@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table readers + oracle-parity helpers shared by every operator.
+  *
+  * Design notes (100 TB posture):
+  *  - All readers are plain `spark.read.parquet` scans: the vectorized
+  *    parquet reader + Catalyst column pruning / predicate pushdown do the
+  *    heavy lifting; operators never pre-materialize.
+  *  - Double aggregation goes through DECIMAL so results are exact and
+  *    partition-order-independent — a plain `sum(double)` differs run-to-run
+  *    at scale (FP addition is non-associative), which would break both the
+  *    DuckDB oracle hash-compare and any incremental/backfill reconciliation
+  *    on a real cluster.
+  */
+object Tables {
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, dir: String): DataFrame  = tbl(s, dir, "lineitem")
+  def orders(s: SparkSession, dir: String): DataFrame    = tbl(s, dir, "orders")
+  def customer(s: SparkSession, dir: String): DataFrame  = tbl(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame  = tbl(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame      = tbl(s, dir, "part")
+  def nation(s: SparkSession, dir: String): DataFrame    = tbl(s, dir, "nation")
+  def region(s: SparkSession, dir: String): DataFrame    = tbl(s, dir, "region")
+  def events(s: SparkSession, dir: String): DataFrame    = tbl(s, dir, "events")
+  def documents(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "embeddings")
+
+  /** Exact, order-independent sum of a double column: route through
+    * DECIMAL(25,6) so every partition ordering yields bit-identical output,
+    * then surface as double. DuckDB mirror:
+    * `CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE)`. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 6))).cast(DoubleType)
+
+  /** Deterministic mean: exact decimal sum, then one IEEE double divide. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Timestamp → 'yyyy-MM-dd HH:mm:ss.SSSSSS' string (µs precision).
+    * Emitting timestamps as strings sidesteps parquet INT96-vs-µs-vs-ns
+    * representation drift between Spark, pyarrow, and DuckDB.
+    * DuckDB mirror: `strftime(t, '%Y-%m-%d %H:%M:%S.%f')`. */
+  def tsFmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Date-valued timestamp → 'yyyy-MM-dd' string.
+    * DuckDB mirror: `strftime(t, '%Y-%m-%d')`. */
+  def dateFmt(c: Column): Column = date_format(c, "yyyy-MM-dd")
+}

@@ -1,0 +1,430 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operator set (SURVEY.md §2.1–2.9): scans, filters,
+  * aggregations, joins, windows, sort/limit, set ops, scalar functions.
+  *
+  * Everything here is declarative DataFrame API — Catalyst plans the
+  * physical execution (pushdown, partial aggregation, join strategy, AQE).
+  * Scale notes per operator are in the Scaladoc of each method.
+  *
+  * Oracle parity rules (SURVEY.md §7.4): every query ends in a total-order
+  * sort replicated in the DuckDB SQL; double aggregates go through
+  * DECIMAL(25,6) on both sides; ASC sorts that can see nulls pin
+  * NULLS FIRST on the DuckDB side (Spark's ASC default).
+  */
+object Relational {
+
+  // ---------------------------------------------------------------- scans
+
+  /** S3: plain parquet scan with projection — pruned at the reader
+    * (ReadSchema carries only the selected columns). */
+  def scanParquet(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .orderBy("p_partkey")
+
+  /** S4: `SELECT * FROM t` full-table scan
+    * (reference: /root/reference/dags/db_to_snowflake.py:39). */
+  def scanTableStar(s: SparkSession, dir: String): DataFrame =
+    nation(s, dir).orderBy("n_nationkey")
+
+  /** A0 count: the reference's only aggregation
+    * (/root/reference/scripts/extract.py:66). Plans as a partial+final
+    * count with no row exchange beyond one long per partition. */
+  def countStar(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).agg(count(lit(1)).as("cnt"))
+
+  /** F1: predicate filter; both predicates reach the parquet scan as
+    * PushedFilters so row groups that can't match are skipped. */
+  def filterPred(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ----------------------------------------------------------- aggregation
+
+  /** A1: grouped hash aggregation (TPC-H Q1 shape). Spark plans
+    * partial (map-side) + final HashAggregate — the shuffle carries one row
+    * per (group × partition), not per input row. */
+  def aggGroup(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A2: exact distinct counts (plans as Expand + two-phase agg). */
+  def aggCountDistinct(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_ord"),
+        countDistinct(col("l_partkey")).as("n_part"))
+      .orderBy("l_returnflag")
+
+  /** A3: HLL approximate distinct — constant memory per group at any scale
+    * (the 100 TB substitute for A2 when exactness isn't required).
+    * No DuckDB oracle (sketch internals differ); tolerance-tested. */
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_ord"))
+      .orderBy("l_returnflag")
+
+  /** A4: rollup grouping sets (flag × status, flag, grand total). */
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** A5: collect-to-array (inverse of the reference's author-array flatten,
+    * /root/reference/scripts/transform.py:27-29). `sort_array` pins the
+    * nondeterministic collect order; emitted as a joined string so the
+    * oracle hash compares scalars, not list objects. */
+  def aggCollectList(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .groupBy("c_nationkey")
+      .agg(array_join(sort_array(collect_list(col("c_name"))), ",").as("names"))
+      .orderBy("c_nationkey")
+
+  // ----------------------------------------------------------------- joins
+
+  /** J1: broadcast hash join — `part` (dim) ships to every executor, no
+    * shuffle of the fact side. At 100 TB the fact scan streams through
+    * map-side joins; only the small agg output shuffles. */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("p_brand")
+
+  /** J2: large-to-large equi-join — both sides hash-partitioned on the key;
+    * AQE picks sort-merge vs shuffled-hash and coalesces partitions. */
+  def joinSortmerge(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** J3: left outer join preserving customers without orders. */
+  def joinOuter(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total"))
+      .orderBy("c_custkey")
+
+  /** J4a: left semi (EXISTS) — customers with ≥1 finished order. */
+  def joinSemi(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(orders(s, dir).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** J4b: left anti (NOT EXISTS) — customers with no pending orders
+    * (filtering on 'P' keeps the result non-empty at every SF). */
+  def joinAnti(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(orders(s, dir).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** J5: range (theta) join against a tiny in-memory tier dim — plans as
+    * BroadcastNestedLoop with the 3-row side broadcast; half-open intervals
+    * so boundary values land in exactly one tier. */
+  def joinRange(s: SparkSession, dir: String): DataFrame = {
+    val sq = s; import sq.implicits._
+    val tiers = Seq(
+      (-100000.0, 2500.0, "low"),
+      (2500.0, 5000.0, "mid"),
+      (5000.0, 100000.0, "high")).toDF("lo", "hi", "tier")
+    customer(s, dir)
+      .join(broadcast(tiers), col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"))
+      .select("c_custkey", "c_acctbal", "tier")
+      .orderBy("c_custkey")
+  }
+
+  /** J7: cross join (5 regions × distinct order statuses). */
+  def joinCross(s: SparkSession, dir: String): DataFrame =
+    region(s, dir)
+      .crossJoin(orders(s, dir).select(col("o_orderstatus").as("status")).distinct())
+      .select("r_regionkey", "r_name", "status")
+      .orderBy("r_regionkey", "status")
+
+  // --------------------------------------------------------------- windows
+
+  /** W1: ranking functions over (nation, acctbal) with a unique tiebreak so
+    * row_number is deterministic. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+      .orderBy("c_custkey")
+  }
+
+  /** W2: lag/lead over each customer's order history. */
+  def windowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy("o_orderkey")
+  }
+
+  /** W3: running total per customer — decimal accumulator so the running
+    * sum is exact (stable under any physical ordering of partial frames). */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(25,6)")).over(w)
+          .cast("double").as("running_total"))
+      .orderBy("o_orderkey")
+  }
+
+  /** W4: top-k per group (3 priciest orders per customer). */
+  def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  // ------------------------------------------------------------ sort/limit
+
+  /** Sort + limit — Spark plans TakeOrderedAndProject: each partition keeps
+    * its local top-100, only 100×P rows reach the driver-side merge. */
+  def sortLimit(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(100)
+
+  // --------------------------------------------------------------- set ops
+
+  private def buildingCust(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+
+  private def finishedCust(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"))
+
+  /** SQL UNION (distinct) of two key sets. */
+  def setUnion(s: SparkSession, dir: String): DataFrame =
+    buildingCust(s, dir).union(finishedCust(s, dir)).distinct().orderBy("k")
+
+  def setIntersect(s: SparkSession, dir: String): DataFrame =
+    buildingCust(s, dir).intersect(finishedCust(s, dir)).orderBy("k")
+
+  def setExcept(s: SparkSession, dir: String): DataFrame =
+    buildingCust(s, dir).except(finishedCust(s, dir)).orderBy("k")
+
+  // ------------------------------------------------------- scalar functions
+
+  /** C-series string functions (lengths surfaced as BIGINT to match
+    * DuckDB's integer width). */
+  def strFuncs(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .select(col("p_partkey"),
+        lower(col("p_name")).as("lname"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 5).as("prefix"),
+        size(split(col("p_name"), " ")).cast("long").as("n_words"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_alpha"))
+      .orderBy("p_partkey")
+
+  /** C5/date: month bucketing + grouped agg over order dates. */
+  def dateTruncAgg(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(dateFmt(date_trunc("month", col("o_orderdate"))).as("month"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("month")
+
+  // ------------------------------------------------------------- inventory
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_parquet"        -> scanParquet _,
+    "scan_table_star"     -> scanTableStar _,
+    "count_star"          -> countStar _,
+    "filter_pred"         -> filterPred _,
+    "agg_group"           -> aggGroup _,
+    "agg_count_distinct"  -> aggCountDistinct _,
+    "agg_approx_distinct" -> aggApproxDistinct _,
+    "agg_rollup"          -> aggRollup _,
+    "agg_collect_list"    -> aggCollectList _,
+    "join_broadcast"      -> joinBroadcast _,
+    "join_sortmerge"      -> joinSortmerge _,
+    "join_outer"          -> joinOuter _,
+    "join_semi"           -> joinSemi _,
+    "join_anti"           -> joinAnti _,
+    "join_range"          -> joinRange _,
+    "join_cross"          -> joinCross _,
+    "window_rank"         -> windowRank _,
+    "window_lag"          -> windowLag _,
+    "window_running"      -> windowRunning _,
+    "topk_per_group"      -> topkPerGroup _,
+    "sort_limit"          -> sortLimit _,
+    "set_union"           -> setUnion _,
+    "set_intersect"       -> setIntersect _,
+    "set_except"          -> setExcept _,
+    "str_funcs"           -> strFuncs _,
+    "date_trunc_agg"      -> dateTruncAgg _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "scan_table_star" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "count_star" ->
+      "SELECT count(*) AS cnt FROM lineitem",
+    "filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_ord,
+        |  COUNT(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_collect_list" ->
+      """SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "join_broadcast" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "join_sortmerge" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 0.0) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_range" ->
+      """SELECT c_custkey, c_acctbal, tier
+        |FROM customer JOIN (VALUES (-100000.0, 2500.0, 'low'),
+        |  (2500.0, 5000.0, 'mid'), (5000.0, 100000.0, 'high')) t(lo, hi, tier)
+        |ON c_acctbal >= lo AND c_acctbal < hi
+        |ORDER BY c_custkey""".stripMargin,
+    "join_cross" ->
+      """SELECT r_regionkey, r_name, status
+        |FROM region CROSS JOIN
+        |  (SELECT DISTINCT o_orderstatus AS status FROM orders) s
+        |ORDER BY r_regionkey, status""".stripMargin,
+    "window_rank" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
+    "window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_orderkey""".stripMargin,
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+        |  FROM orders) q
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 100""".stripMargin,
+    "set_union" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY k""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY k""".stripMargin,
+    "set_except" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY k""".stripMargin,
+    "str_funcs" ->
+      """SELECT p_partkey, lower(p_name) AS lname,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  substring(p_name, 1, 5) AS prefix,
+        |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS first_alpha
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "date_trunc_agg" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+  )
+}

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Reads the parquet dumps produced by `graft.Verify` (one dir per query) plus
+`oracle_sql.json`, runs each oracle SQL in DuckDB against the same
+`{sfDir}/*.parquet` tables, and compares values after sorting columns by
+name — the same shape of comparison the driver performs. Dev-only tool; the
+shipped engine (src/main/scala) has no Python dependency.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    return df
+
+
+def cell(v):
+    # canonical scalar: numpy -> python, NaN/None -> None, float -> repr
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return repr(v)
+    if hasattr(v, "item") and not isinstance(v, (list, tuple)):
+        try:
+            return cell(v.item())
+        except Exception:
+            pass
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(cell(x) for x in v)
+    return v
+
+
+def table_repr(df: pd.DataFrame):
+    return [tuple(cell(v) for v in row) for row in df.itertuples(index=False)]
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+
+    n_pass = n_fail = n_noracle = 0
+    for name in sorted(os.listdir(out_dir)):
+        qdir = os.path.join(out_dir, name)
+        if not os.path.isdir(qdir):
+            continue
+        got = canon(pd.read_parquet(qdir))
+        if name not in oracle:
+            n_noracle += 1
+            print(f"  [rows-only] {name}: rows={len(got)}")
+            if len(got) == 0:
+                print(f"    !! EMPTY RESULT")
+                n_fail += 1
+            continue
+        try:
+            want = canon(con.execute(oracle[name]).df())
+        except Exception as e:
+            print(f"  [FAIL] {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"  [FAIL] {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_fail += 1
+            continue
+        g, w = table_repr(got), table_repr(want)
+        if g == w:
+            n_pass += 1
+            print(f"  [ok]   {name}: {len(g)} rows")
+        else:
+            n_fail += 1
+            print(f"  [FAIL] {name}: rows {len(g)} vs {len(w)}")
+            for i, (a, b) in enumerate(zip(g, w)):
+                if a != b:
+                    print(f"    first diff at row {i}:\n      spark:  {a}\n      duckdb: {b}")
+                    break
+            else:
+                if len(g) != len(w):
+                    print(f"    row-count mismatch; spark[0]={g[0] if g else None} duckdb[0]={w[0] if w else None}")
+    print(f"PASS={n_pass} FAIL={n_fail} ROWS_ONLY={n_noracle}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
