@@ -17,11 +17,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries
+    ops.Relational.queries ++ ops.EventOps.queries ++ ops.TextOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops → driver
     * records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracleSql
+    ops.Relational.oracleSql ++ ops.EventOps.oracleSql ++ ops.TextOps.oracleSql
 }

@@ -1,0 +1,180 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-table operators (SURVEY.md §2.2 K6, §2.5 J6, §2.9 C4/C5, §2.13):
+  * JSON extraction, coercing casts, tumbling-window aggregation, batch
+  * sessionization, as-of join, keep-latest upsert.
+  *
+  * The batch window/sessionization forms are the oracle-checkable
+  * equivalents of the Structured Streaming path in
+  * [[graft.streaming.StreamingOps]] — same logical semantics, so the
+  * streaming spec asserts stream-vs-batch equality.
+  *
+  * `events.ts` is nanosecond parquet; Spark reads it at µs precision, so
+  * every oracle casts `ts` to µs (`CAST(ts AS TIMESTAMP)`) before
+  * comparing/ordering (SURVEY.md §7.3.4).
+  */
+object EventOps {
+
+  /** C4: JSON field extraction from `events.props`
+    * (reference precedent: raw JSON parse, /root/reference/scripts/extract.py:46). */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  /** P7: coerce-don't-fail numeric cast + scalar arithmetic — the
+    * reference's `pd.to_numeric(errors='coerce') * 100`
+    * (/root/reference/scripts/transform.py:45-46), as ANSI-safe try_cast. */
+  def ratingScale(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"),
+        (expr("try_cast(get_json_object(props, '$.k') AS double)") * lit(100.0))
+          .as("rating"))
+      .orderBy("event_id")
+
+  /** §2.13: tumbling 1-hour window aggregation — the batch equivalent of
+    * `groupBy(window($"ts", "1 hour"))` under Structured Streaming. Group
+    * keys are low-cardinality, so this is a cheap partial+final agg at any
+    * scale. */
+  def eventsTumblingAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(tsFmt(col("w.start")).as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** §2.13: batch sessionization (gaps-and-islands, 30-min inactivity gap).
+    * Single shuffle on `user_id`; each user's timeline is processed inside
+    * one partition — the same state-locality a streaming
+    * `session_window`/`flatMapGroupsWithState` run would have. */
+  def eventsSession(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val sess = events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        tsFmt(min(col("ts"))).as("sess_start"),
+        tsFmt(max(col("ts"))).as("sess_end"),
+        (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("span_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** K6: idempotent keep-latest upsert (the orphaned HF DAG's
+    * `INSERT ... ON CONFLICT DO UPDATE`, SURVEY.md §2.11) re-expressed as
+    * window dedup — `row_number() OVER (PARTITION BY key ORDER BY ts DESC)
+    * = 1`. Re-running over the union of old+new state is a no-op, which is
+    * what makes retries safe at scale. */
+  def upsertLatestByKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), tsFmt(col("ts")).as("ts_s"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  /** J6: as-of join — for each purchase, the latest signup at-or-before it
+    * for the same user. Implemented as union + `last(_, ignoreNulls)` over
+    * a (ts, kind, id)-ordered window: one shuffle on `user_id`, no
+    * nested-loop join, linear in events per user — the 100 TB-safe form.
+    * Signups sort before purchases at equal ts so ties match the oracle's
+    * `s.ts <= p.ts`. */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc,
+        when(col("event_type") === "signup", 0).otherwise(1).asc,
+        col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("signup_ts",
+        when(col("event_type") === "signup", col("ts")))
+      .withColumn("last_signup", last(col("signup_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), tsFmt(col("ts")).as("ts_s"),
+        tsFmt(col("last_signup")).as("signup_ts_s"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "json_extract"         -> jsonExtract _,
+    "rating_scale"         -> ratingScale _,
+    "events_tumbling_agg"  -> eventsTumblingAgg _,
+    "events_session"       -> eventsSession _,
+    "upsert_latest_by_key" -> upsertLatestByKey _,
+    "join_asof"            -> joinAsof _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "json_extract" ->
+      """SELECT event_id, user_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "rating_scale" ->
+      """SELECT event_id,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) * 100.0 AS rating
+        |FROM events ORDER BY event_id""".stripMargin,
+    "events_tumbling_agg" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+        |    '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "events_session" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER
+        |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |      OR epoch(date_trunc('second', ts)) - epoch(date_trunc('second', prev_ts)) > 1800
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM s)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_end,
+        |  CAST(max(epoch(date_trunc('second', ts)))
+        |    - min(epoch(date_trunc('second', ts))) AS BIGINT) AS span_s
+        |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "upsert_latest_by_key" ->
+      """SELECT user_id, event_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) q
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "join_asof" ->
+      """SELECT p.event_id, p.user_id,
+        |  strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  strftime((SELECT max(CAST(s.ts AS TIMESTAMP)) FROM events s
+        |     WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+        |       AND CAST(s.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)),
+        |    '%Y-%m-%d %H:%M:%S.%f') AS signup_ts_s
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+  )
+}

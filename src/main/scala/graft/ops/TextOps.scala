@@ -1,0 +1,224 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (SURVEY.md §2.12 L5–L8 plus the
+  * training-data-pipeline extensions: quality scoring, language-ID
+  * heuristic, token counting, fingerprinting).
+  *
+  * All token work is built-in higher-order functions (`split`/`filter`/
+  * `transform`) over the text column — no UDFs, fully codegen'd, and the
+  * per-document work is embarrassingly parallel (no shuffle until the
+  * term-level aggregations, which shuffle only (term, count) partials).
+  */
+object TextOps {
+
+  /** Stopword list shared by tokenize/quality/lang-id (fixed, tiny → burned
+    * into the plan as a literal array; at 100 TB a large list would be a
+    * broadcast join against an exploded token table instead). */
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")
+
+  private def stopArr: Column = array(Stopwords.map(lit): _*)
+
+  /** Tokens of `text`: lowercase, whitespace-split. */
+  def tokens(c: Column): Column = split(lower(c), " ")
+
+  /** L5: tokenize + stopword filter. Arrays emitted as joined strings so
+    * the oracle compares scalars. */
+  def textTokenize(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        array_join(filter(tokens(col("text")), t => !array_contains(stopArr, t)), " ")
+          .as("toks"),
+        size(filter(tokens(col("text")), t => !array_contains(stopArr, t)))
+          .cast("long").as("n_toks"))
+      .orderBy("doc_id")
+
+  /** L6: corpus-level term frequency — explode is map-side; only (term,
+    * partial count) rows shuffle. */
+  def textTermfreq(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy("word")
+
+  /** L7: TF-IDF. Per-doc TF and corpus DF in one pass each; `df` is
+    * term-cardinality-sized so it broadcasts back onto the TF table. The
+    * doc count is a scalar cross-joined literal (computed once, not per
+    * row). */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), "word")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"), col("tf"),
+        round(col("tf") * log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))), 6)
+          .as("tfidf"))
+      .orderBy("doc_id", "word")
+  }
+
+  /** L8: per-(lang, source) slice metrics. */
+  def docLangStats(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        davg(col("n_chars")).as("avg_chars"))
+      .orderBy("lang", "source")
+
+  /** Quality scoring: token counts, stopword ratio, average word length,
+    * composite score — the cheap per-document filters a pretraining
+    * pipeline runs before anything expensive. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+    documents(s, dir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stop"),
+        round(nStop / nullif(nTok, lit(0.0)), 6).as("stop_ratio"),
+        round((length(col("text")).cast("double") - (nTok - lit(1.0))) /
+          nullif(nTok, lit(0.0)), 6).as("avg_word_len"),
+        round(least(lit(1.0), nTok / lit(100.0)) *
+          (lit(1.0) - nStop / nullif(nTok, lit(0.0))), 6).as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic: marker-token overlap score per language,
+    * argmax with a fixed preference order. (The synthetic corpus shares one
+    * vocabulary across langs, so this exercises the mechanism — scores,
+    * deterministic argmax — rather than linguistic accuracy.) */
+  def langIdNgram(s: SparkSession, dir: String): DataFrame = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "and"),
+      "de" -> Seq("der", "die", "und"),
+      "es" -> Seq("el", "la", "los"),
+      "fr" -> Seq("le", "les", "des"))
+    val toks = tokens(col("text"))
+    def score(ms: Seq[String]): Column =
+      size(filter(toks, t => array_contains(array(ms.map(lit): _*), t))).cast("long")
+    val scored = documents(s, dir).select(
+      col("doc_id") +: col("lang").as("actual_lang") +:
+        markers.map { case (l, ms) => score(ms).as(s"s_$l") }: _*)
+    val best = markers.map(_._1).foldRight(lit("und")) { (l, acc) =>
+      // first lang (in declared order) with the max positive score wins
+      when(col(s"s_$l") > 0 &&
+        markers.map(m => col(s"s_$l") >= col(s"s_${m._1}")).reduce(_ && _), lit(l))
+        .otherwise(acc)
+    }
+    scored.select(col("doc_id"), col("actual_lang"),
+        col("s_en"), col("s_de"), col("s_es"), col("s_fr"),
+        best.as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token estimate
+    * (alpha runs, single digits, punctuation singles — the shape of a
+    * byte-pair pretokenizer). */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("re_tokens"))
+      .orderBy("doc_id")
+
+  /** Document fingerprinting: content-addressed id (md5 — stable across
+    * engines) + prefix shard key, the pattern used to bucket a 100 TB
+    * corpus into balanced dedup units. */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        md5(col("text")).as("fp"),
+        substring(md5(col("text")), 1, 2).as("shard"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokenize"   -> textTokenize _,
+    "text_termfreq"   -> textTermfreq _,
+    "text_tfidf"      -> textTfidf _,
+    "doc_lang_stats"  -> docLangStats _,
+    "text_quality"    -> textQuality _,
+    "lang_id_ngram"   -> langIdNgram _,
+    "token_count"     -> tokenCount _,
+    "doc_fingerprint" -> docFingerprint _,
+  )
+
+  private val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracleSql: Map[String, String] = Map(
+    "text_tokenize" ->
+      s"""SELECT doc_id,
+         |  array_to_string(list_filter(string_split(lower(text), ' '),
+         |    t -> NOT list_contains($stopList, t)), ' ') AS toks,
+         |  CAST(len(list_filter(string_split(lower(text), ' '),
+         |    t -> NOT list_contains($stopList, t))) AS BIGINT) AS n_toks
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_termfreq" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) q
+        |GROUP BY word ORDER BY word""".stripMargin,
+    "text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, word, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |    FROM documents) q GROUP BY doc_id, word),
+        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.word, tf.tf,
+        |  round(tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df)), 6) AS tfidf
+        |FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+        |ORDER BY doc_id, word""".stripMargin,
+    "doc_lang_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(25,6))) AS DOUBLE) / COUNT(n_chars) AS avg_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    string_split(lower(text), ' ') AS toks,
+         |    CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n_tok,
+         |    CAST(len(list_filter(string_split(lower(text), ' '),
+         |      t -> list_contains($stopList, t))) AS DOUBLE) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(n_tok AS BIGINT) AS n_tokens,
+         |  CAST(n_stop AS BIGINT) AS n_stop,
+         |  round(n_stop / nullif(n_tok, 0.0), 6) AS stop_ratio,
+         |  round((CAST(length(text) AS DOUBLE) - (n_tok - 1.0)) / nullif(n_tok, 0.0), 6) AS avg_word_len,
+         |  round(least(1.0, n_tok / 100.0) * (1.0 - n_stop / nullif(n_tok, 0.0)), 6) AS score
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "lang_id_ngram" ->
+      """WITH t AS (SELECT doc_id, lang AS actual_lang,
+        |    string_split(lower(text), ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, actual_lang,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','a','and'], x))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(toks, x -> list_contains(['der','die','und'], x))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(toks, x -> list_contains(['el','la','los'], x))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(toks, x -> list_contains(['le','les','des'], x))) AS BIGINT) AS s_fr
+        |  FROM t)
+        |SELECT doc_id, actual_lang, s_en, s_de, s_es, s_fr,
+        |  CASE
+        |    WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |    WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |    WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |    WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+        |    ELSE 'und' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 2) AS shard
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
