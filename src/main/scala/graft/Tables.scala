@@ -27,7 +27,20 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = tbl(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame    = tbl(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame    = tbl(s, dir, "region")
-  def events(s: SparkSession, dir: String): DataFrame    = tbl(s, dir, "events")
+  /** `events.parquet` stores `ts` as TIMESTAMP(NANOS), which Spark 4 refuses
+    * to read natively (PARQUET_TYPE_ILLEGAL). Sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` so the column arrives as a
+    * nanos BIGINT; we convert to a µs timestamp here with integer division
+    * (`div`, not `/` — nanos ≈ 1.7e18 exceeds double's 2^53 exact-integer
+    * range, so a float divide would corrupt the microseconds). DuckDB
+    * oracles cast ts to µs themselves, so they are unaffected. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = tbl(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw
+    }
+  }
   def documents(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "embeddings")
 

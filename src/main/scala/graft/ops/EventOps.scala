@@ -14,8 +14,9 @@ import org.apache.spark.sql.expressions.Window
   * [[graft.streaming.StreamingOps]] — same logical semantics, so the
   * streaming spec asserts stream-vs-batch equality.
   *
-  * `events.ts` is nanosecond parquet; Spark reads it at µs precision, so
-  * every oracle casts `ts` to µs (`CAST(ts AS TIMESTAMP)`) before
+  * `events.ts` is nanosecond parquet; [[graft.Tables.events]] reads it via
+  * the nanos-as-long legacy mode and converts to a µs timestamp, and every
+  * oracle casts `ts` to µs (`CAST(ts AS TIMESTAMP)`) before
   * comparing/ordering (SURVEY.md §7.3.4).
   */
 object EventOps {
@@ -123,7 +124,7 @@ object EventOps {
   val oracleSql: Map[String, String] = Map(
     "json_extract" ->
       """SELECT event_id, user_id,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
     "rating_scale" ->
       """SELECT event_id,

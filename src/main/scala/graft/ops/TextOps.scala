@@ -175,7 +175,7 @@ object TextOps {
         |SELECT tf.doc_id, tf.word, tf.tf,
         |  round(tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df)), 6) AS tfidf
         |FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
-        |ORDER BY doc_id, word""".stripMargin,
+        |ORDER BY tf.doc_id, tf.word""".stripMargin,
     "doc_lang_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

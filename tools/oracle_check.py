@@ -53,10 +53,24 @@ def main(sf_dir: str, out_dir: str) -> int:
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
 
+    # Iterate the EXPECTED inventory (manifest written by Verify, falling
+    # back to oracle keys ∪ dump dirs) so a query whose Spark execution
+    # failed — no dump dir at all — counts as FAIL instead of vanishing.
+    manifest = os.path.join(out_dir, "queries.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            expected = sorted(set(json.load(f)) | set(oracle))
+    else:
+        dirs = [d for d in os.listdir(out_dir)
+                if os.path.isdir(os.path.join(out_dir, d))]
+        expected = sorted(set(dirs) | set(oracle))
+
     n_pass = n_fail = n_noracle = 0
-    for name in sorted(os.listdir(out_dir)):
+    for name in expected:
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
+            print(f"  [FAIL] {name}: no dump dir (spark execution failed)")
+            n_fail += 1
             continue
         got = canon(pd.read_parquet(qdir))
         if name not in oracle:
