@@ -17,11 +17,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.EventOps.queries ++ ops.TextOps.queries
+    ops.Relational.queries ++ ops.EventOps.queries ++ ops.TextOps.queries ++
+      ops.DedupOps.queries ++ ops.VectorOps.queries ++ ops.BooksOps.queries ++
+      ops.MultimodalOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops → driver
     * records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracleSql ++ ops.EventOps.oracleSql ++ ops.TextOps.oracleSql
+    ops.Relational.oracleSql ++ ops.EventOps.oracleSql ++ ops.TextOps.oracleSql ++
+      ops.DedupOps.oracleSql ++ ops.VectorOps.oracleSql ++ ops.BooksOps.oracleSql ++
+      ops.MultimodalOps.oracleSql
 }

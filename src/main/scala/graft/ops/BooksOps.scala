@@ -1,0 +1,146 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** The reference's own transform pipeline (SURVEY.md §2.3 P1–P7, §1.2), as
+  * one reusable DataFrame→DataFrame function plus oracle-checked queries.
+  *
+  * Reference semantics reproduced (all from
+  * /root/reference/scripts/transform.py):
+  *  - P1 nested-list unwrap: each raw element is `[book]` → take element 1
+  *    (`transform.py:26`);
+  *  - P2 whitelist projection: keep 7 columns, DROP `subtitle`
+  *    (`transform.py:30-38`);
+  *  - P3 struct extraction `rating.average`, null-safe (`transform.py:35`);
+  *  - P4 array-of-struct pluck `authors[*].id/name` (`transform.py:27-29`);
+  *  - P5 null-safe numeric chain `int(float(x))` → cast double → long
+  *    (`transform.py:43`);
+  *  - P6 array element cast to string (`transform.py:44`);
+  *  - P7 coercing cast then ×100 (`transform.py:45-46`).
+  *
+  * The harness has no live book feed, so the oracle queries synthesize the
+  * raw nested shape deterministically from `nation`/`region`/`customer`
+  * (book=nation, authors=its 3 lowest-key customers) and then run the real
+  * flatten. The golden-fixture spec (BooksSpec) covers the ragged-input
+  * edge cases (missing image/subtitle, empty authors, unparseable rating,
+  * bare non-wrapped record) that the synthetic build can't express.
+  */
+object BooksOps {
+
+  /** Raw-feed schema (SURVEY.md §1.2) — always declared, never inferred:
+    * schema inference on a 100 TB ingest is a full extra pass. */
+  val bookStruct: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("title", StringType),
+    StructField("subtitle", StringType),
+    StructField("image", StringType),
+    StructField("authors", ArrayType(StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType))))),
+    StructField("genres", ArrayType(StringType)),
+    StructField("rating", StructType(Seq(StructField("average", DoubleType))))))
+
+  val rawSchema: StructType = StructType(Seq(
+    StructField("raw", ArrayType(bookStruct))))
+
+  /** The reference transform (P1–P7) on a DataFrame with a `raw`
+    * array<bookStruct> column. Pure column algebra — codegen'd, no UDF, no
+    * shuffle; at 100 TB this is a map-only stage fused into the scan. */
+  def flattenRawBooks(raw: DataFrame): DataFrame = {
+    val b = element_at(col("raw"), 1) // P1: unwrap single-element list
+    raw.select(
+      b.getField("id").cast("double").cast("long").as("id"), // P5
+      b.getField("title").as("title"),
+      b.getField("image").as("image"), // P2: subtitle dropped
+      b.getField("genres").as("genres"),
+      (b.getField("rating").getField("average") * 100.0).as("rating"), // P3+P7
+      transform(coalesce(b.getField("authors"), array().cast(bookStruct("authors").dataType)),
+        a => a.getField("id").cast("string")).as("author_id"), // P4+P6
+      transform(coalesce(b.getField("authors"), array().cast(bookStruct("authors").dataType)),
+        a => a.getField("name")).as("author_name")) // P4
+  }
+
+  /** Deterministic raw nested books built from the star schema: one book
+    * per nation, authors = its 3 lowest-key customers, wrapped in the
+    * reference's single-element-list shape. */
+  def syntheticRaw(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    val auth = customer(s, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .groupBy("c_nationkey")
+      .agg(sort_array(collect_list(
+        struct(col("c_custkey").cast("long").as("id"), col("c_name").as("name"))))
+        .as("authors"))
+    nation(s, dir)
+      .join(region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .join(auth, col("n_nationkey") === col("c_nationkey"))
+      .select(array(struct(
+        col("n_nationkey").cast("long").as("id"),
+        col("n_name").as("title"),
+        concat(lit("subtitle of "), col("n_name")).as("subtitle"),
+        when(col("n_nationkey") % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("http://img/"), col("n_name"))).as("image"),
+        col("authors"),
+        array(col("r_name"), col("n_name")).as("genres"),
+        struct((col("n_nationkey") / 25.0).as("average")).as("rating"))).as("raw"))
+  }
+
+  /** Arrays → joined strings so the oracle hash-compares scalars. */
+  private def flat(df: DataFrame): DataFrame =
+    df.select(col("id"), col("title"), col("image"),
+      array_join(col("genres"), ",").as("genres"),
+      col("rating"),
+      array_join(col("author_id"), ",").as("author_id"),
+      array_join(col("author_name"), ",").as("author_name"))
+      .orderBy("id")
+
+  /** M1 flagship: build nested raw → reference flatten → flat projection. */
+  def flattenRawBooksQuery(s: SparkSession, dir: String): DataFrame =
+    flat(flattenRawBooks(syntheticRaw(s, dir)))
+
+  /** S1/S2: JSON source round-trip — write the nested raw feed as JSON,
+    * read it back with the DECLARED schema (`spark.read.schema(...).json`),
+    * then flatten. Exercises the reference's ingest hop
+    * (/root/reference/dags/bigbookapi.py:90-91) including null-field
+    * omission in JSON. Same oracle as the direct flatten — the round-trip
+    * must be lossless. */
+  def scanJsonRaw(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_books_raw_${dir.replaceAll("[^0-9.]", "")}"
+    syntheticRaw(s, dir).write.mode("overwrite").json(path)
+    flat(flattenRawBooks(s.read.schema(rawSchema).json(path)))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flatten_raw_books" -> flattenRawBooksQuery _,
+    "scan_json_raw"     -> scanJsonRaw _,
+  )
+
+  private val flattenOracle =
+    """WITH top3 AS (
+      |  SELECT c_nationkey, c_custkey, c_name,
+      |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+      |  FROM customer),
+      |auth AS (
+      |  SELECT c_nationkey,
+      |    string_agg(c_custkey::VARCHAR, ',' ORDER BY c_custkey) AS author_id,
+      |    string_agg(c_name, ',' ORDER BY c_custkey) AS author_name
+      |  FROM top3 WHERE rn <= 3 GROUP BY c_nationkey)
+      |SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS title,
+      |  CASE WHEN n_nationkey % 3 = 0 THEN NULL
+      |       ELSE 'http://img/' || n_name END AS image,
+      |  r_name || ',' || n_name AS genres,
+      |  (n_nationkey / 25.0) * 100.0 AS rating,
+      |  author_id, author_name
+      |FROM nation
+      |JOIN region ON n_regionkey = r_regionkey
+      |JOIN auth ON n_nationkey = c_nationkey
+      |ORDER BY id""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "flatten_raw_books" -> flattenOracle,
+    "scan_json_raw"     -> flattenOracle,
+  )
+}

@@ -1,0 +1,224 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` (SURVEY.md §2.11/§2.12 L1–L2
+  * plus the training-data-pipeline extensions: SimHash, n-gram Jaccard).
+  * The reference's own dedup precedent is the orphaned HF DAG's set-based
+  * transform (`/root/reference/dags/__pycache__/huggingface_extract.cpython-312.pyc`,
+  * SURVEY.md §2.11); everything beyond exact dedup is the 100 TB extension.
+  *
+  * All hashing is md5 over deterministic strings, which DuckDB computes
+  * identically — that is what makes MinHash/SimHash oracle-checkable, not
+  * just rows-only. At 100 TB the same choice holds: signatures must be
+  * engine- and partition-order-independent or a backfill re-run would
+  * re-bucket the corpus.
+  *
+  * Scale shape of every operator here:
+  *  - per-document work (shingling, signatures) is map-side only — no
+  *    shuffle until the band/bucket groupBy, which carries fixed-width
+  *    (id, hash) rows, never the text;
+  *  - candidate generation joins on (band, band_key) — bucket sizes are
+  *    bounded by the banding parameters, and a pathological hot bucket is
+  *    AQE-skew-split (or salted) rather than exploding one task;
+  *  - the verify step (exact Jaccard) runs only on candidate pairs, i.e.
+  *    on an output-sized input, not on n² pairs.
+  */
+object DedupOps {
+
+  /** Word 3-gram shingles of `text`, deduplicated. Guarded so texts with
+    * <3 tokens yield an empty set (Spark's `sequence(1, n)` would count
+    * DOWN for n<1 — the guard is load-bearing, not cosmetic). */
+  private def shingles(text: Column): Column = {
+    val t = split(lower(text), " ")
+    array_distinct(
+      when(size(t) >= 3,
+        transform(sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** docs projected to (doc_id, shingles), empty-shingle docs dropped. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), shingles(col("text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  private val NumHashes = 8
+  private val NumBands  = 2
+  private val RowsPerBand = NumHashes / NumBands
+
+  /** MinHash signature: per seed s, the lexicographic min of
+    * md5("s:" ++ shingle). Min over hex strings is order- and
+    * engine-independent — the property the oracle (and any multi-engine
+    * pipeline) needs. */
+  private def minhashSig(sh: Column): Column =
+    transform(sequence(lit(1), lit(NumHashes)),
+      s => array_min(transform(sh, x => md5(concat(s.cast("string"), lit(":"), x)))))
+
+  /** (doc_id, band, band_key) LSH banding table. */
+  private def bandTable(s: SparkSession, dir: String): DataFrame = {
+    val sig = shingled(s, dir).select(col("doc_id"), minhashSig(col("shingles")).as("mh"))
+    val bands = array((1 to NumBands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", slice(col("mh"), (b - 1) * RowsPerBand + 1, RowsPerBand)))
+          .as("band_key"))
+    }: _*)
+    sig.select(col("doc_id"), explode(bands).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** L1: exact dedup — content-hash groupBy keeping the smallest doc_id
+    * per distinct text (the deterministic form of `dropDuplicates`; one
+    * shuffle on the 32-char fingerprint, never on the text itself). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("keep_id")
+
+  /** L2 (bucketing half): MinHash-LSH banding table. This IS the scale
+    * artifact — at 100 TB this table is what gets written, partitioned by
+    * band_key prefix, and self-joined bucket-locally. */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    bandTable(s, dir).orderBy("doc_id", "band")
+
+  /** L4: LSH-bucketed similarity self-join with exact-Jaccard verify.
+    * Candidates = distinct doc pairs sharing any band bucket; verify =
+    * set Jaccard on shingles, kept at ≥ 0.8. Only candidate pairs (output-
+    * scale, not n²) ever reach the verify join. */
+  def simjoinLsh(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandTable(s, dir)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = shingled(s, dir)
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sa.shingles"), col("sb.shingles"))).cast("double") /
+          size(array_union(col("sa.shingles"), col("sb.shingles"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val SimBits = 16
+  private val HexDigits = "0123456789abcdef"
+
+  /** SimHash (16-bit): per token-occurrence md5, bit j of the fingerprint
+    * is the sign of Σ(±1) over the parity of hex digit j. Explode is
+    * map-side; the groupBy shuffles 16 small ints per doc. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val tok = documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+    val sums = (1 to SimBits).map { j =>
+      sum(when(ascii(substring(col("h"), j, 1)) % 2 === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val fp = (1 to SimBits)
+      .map(j => when(col(s"b$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fp.cast("long").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** n-gram Jaccard on adjacent doc pairs — the exact-similarity kernel
+    * (array_intersect/array_union set algebra) on a bounded O(n) pair set.
+    * The unbounded version is [[simjoinLsh]]; this one demonstrates the
+    * kernel itself oracle-exactly. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    sh.as("a")
+      .join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+          size(array_union(col("a.shingles"), col("b.shingles"))), 6).as("jaccard"))
+      .orderBy("doc_a")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"         -> dedupExact _,
+    "dedup_minhash"       -> dedupMinhash _,
+    "simjoin_lsh"         -> simjoinLsh _,
+    "dedup_simhash"       -> dedupSimhash _,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+  )
+
+  /** Shared SQL fragments (DuckDB): shingles + minhash bands, mirroring
+    * the Spark exprs above 1:1. */
+  private val shinglesCte =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(
+      |      CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t)-1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [] END) AS shingles
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
+      |shf AS (SELECT * FROM sh WHERE len(shingles) > 0)""".stripMargin
+
+  private val bandsCte =
+    s"""sig AS (
+       |  SELECT doc_id, list_transform(range(1, ${NumHashes + 1}),
+       |      s -> list_min(list_transform(shingles, x -> md5(s::VARCHAR || ':' || x)))) AS mh
+       |  FROM shf),
+       |bands AS (
+       |  SELECT doc_id, b AS band,
+       |    md5(array_to_string(mh[(b-1)*$RowsPerBand+1 : b*$RowsPerBand], '|')) AS band_key
+       |  FROM sig, (SELECT unnest(range(1, ${NumBands + 1})) AS b))""".stripMargin
+
+  private val simhashSums = (1 to SimBits).map { j =>
+    s"SUM(CASE WHEN ascii(substring(h, $j, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
+  }.mkString(",\n    ")
+  private val simhashFp = (1 to SimBits)
+    .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << (j - 1)} ELSE 0 END)")
+    .mkString(" + ")
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH $shinglesCte,
+         |$bandsCte
+         |SELECT doc_id, CAST(band AS INT) AS band, band_key FROM bands
+         |ORDER BY doc_id, band""".stripMargin,
+    "simjoin_lsh" ->
+      s"""WITH $shinglesCte,
+         |$bandsCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+         |    len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+         |FROM cand
+         |JOIN shf sa ON doc_a = sa.doc_id
+         |JOIN shf sb ON doc_b = sb.doc_id
+         |WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+         |    len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |    $simhashSums
+         |  FROM tok GROUP BY doc_id)
+         |SELECT doc_id, CAST($simhashFp AS BIGINT) AS simhash
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shinglesCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |    len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+         |FROM shf a JOIN shf b ON b.doc_id = a.doc_id + 1
+         |ORDER BY doc_a""".stripMargin,
+  )
+}

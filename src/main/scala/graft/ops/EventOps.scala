@@ -74,6 +74,19 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** §2.13: built-in `session_window` (30-min gap) — the same operator the
+    * Structured Streaming path uses, run in batch mode. Window end is
+    * last-event + gap (Spark session semantics); a new session starts when
+    * the gap is ≥ 30 min at FULL µs precision (the oracle mirrors with
+    * epoch_us, not truncated seconds). */
+  def eventsSessionWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), tsFmt(col("w.start")).as("sess_start"),
+        tsFmt(col("w.end")).as("sess_end"), col("n_events"))
+      .orderBy("user_id", "sess_start")
+
   /** K6: idempotent keep-latest upsert (the orphaned HF DAG's
     * `INSERT ... ON CONFLICT DO UPDATE`, SURVEY.md §2.11) re-expressed as
     * window dedup — `row_number() OVER (PARTITION BY key ORDER BY ts DESC)
@@ -117,6 +130,7 @@ object EventOps {
     "rating_scale"         -> ratingScale _,
     "events_tumbling_agg"  -> eventsTumblingAgg _,
     "events_session"       -> eventsSession _,
+    "events_session_window" -> eventsSessionWindow _,
     "upsert_latest_by_key" -> upsertLatestByKey _,
     "join_asof"            -> joinAsof _,
   )
@@ -160,6 +174,28 @@ object EventOps {
         |  CAST(max(epoch(date_trunc('second', ts)))
         |    - min(epoch(date_trunc('second', ts))) AS BIGINT) AS span_s
         |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "events_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER
+        |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM s)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS sess_end,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
     "upsert_latest_by_key" ->
       """SELECT user_id, event_id,
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_s,

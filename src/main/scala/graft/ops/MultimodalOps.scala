@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators (SURVEY.md §2.12 L9): media as opaque
+  * `BinaryType` blobs with typed metadata, plus a partition-wise
+  * feature-extraction stage with the decode kernel STUBBED.
+  *
+  * The harness has no media files or codec libraries, so blobs are the
+  * UTF-8 bytes of `documents.text` — byte-for-byte deterministic, which
+  * lets the DuckDB oracle check the full Spark-side plumbing (schema,
+  * batching, partitioning) even though the "decode" is a fake.
+  *
+  * Scale shape: a real 100 TB media pipeline stores blobs in parquet
+  * binary columns (or pointers to object storage beyond ~1 MB), keeps
+  * metadata in sibling scalar columns so pruning never touches bytes, and
+  * decodes partition-wise in fixed-size batches to bound executor memory —
+  * exactly the `mapPartitions` + grouped-batch shape below. Swap
+  * [[MediaDecode.decode]] for a JNI/codec call and nothing else changes.
+  */
+object MultimodalOps {
+
+  /** The stubbed decode kernel. Deterministic fake: "dimensions" are read
+    * from the blob's md5 (stand-in for parsing a real header), so the
+    * oracle can recompute them. A real implementation replaces ONLY this
+    * object (e.g. javax.imageio / ffmpeg bindings). */
+  object MediaDecode {
+    final case class Media(docId: Long, width: Int, height: Int, nFrames: Int, px: Long)
+
+    def md5Hex(bytes: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+
+    /** Fake header parse: width/height/frame-count from md5 nibbles. */
+    def decode(docId: Long, blob: Array[Byte]): Media = {
+      val h = md5Hex(blob)
+      val w = 16 + Integer.parseInt(h.substring(0, 2), 16)
+      val ht = 16 + Integer.parseInt(h.substring(2, 4), 16)
+      val f = 1 + Integer.parseInt(h.substring(4, 5), 16)
+      Media(docId, w, ht, f, w.toLong * ht * f)
+    }
+  }
+
+  private val BatchSize = 64
+
+  /** Metadata projection over the blob column: byte size, 4 KiB chunk
+    * count, content hash. Pure column algebra — the blob never leaves the
+    * scan stage, and a `SELECT doc_id, n_bytes` on the result prunes the
+    * bytes entirely. */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
+      .select(col("doc_id"),
+        length(col("blob")).cast("long").as("n_bytes"),
+        ceil(length(col("blob")) / lit(4096.0)).cast("long").as("n_chunks"),
+        md5(col("blob")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Partition-wise batched feature extraction: Dataset[(id, blob)] →
+    * mapPartitions → grouped fixed-size batches → decode → typed rows.
+    * The `grouped(BatchSize)` is the batch boundary a columnar decoder
+    * (Arrow batch / GPU kernel) would consume. */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val sq = s; import sq.implicits._
+    documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map {
+        case (id, blob) => MediaDecode.decode(id, blob)
+      }))
+      .toDF("doc_id", "width", "height", "n_frames", "px")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_meta" -> multimodalMeta _,
+    "media_features"  -> mediaFeatures _,
+  )
+
+  /** hex-pair → int in DuckDB ('0x..'::INT). */
+  private def hex(expr: String, from: Int, len: Int): String =
+    s"CAST('0x' || substring($expr, $from, $len) AS INTEGER)"
+
+  val oracleSql: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(ceil(octet_length(encode(text)) / 4096.0) AS BIGINT) AS n_chunks,
+        |  md5(text) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "media_features" ->
+      s"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |d AS (SELECT doc_id,
+         |    16 + ${hex("h", 1, 2)} AS width,
+         |    16 + ${hex("h", 3, 2)} AS height,
+         |    1 + ${hex("h", 5, 1)} AS n_frames
+         |  FROM m)
+         |SELECT doc_id, width, height, n_frames,
+         |  CAST(width AS BIGINT) * height * n_frames AS px
+         |FROM d ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -262,6 +262,15 @@ object Relational {
         regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_alpha"))
       .orderBy("p_partkey")
 
+  /** C6/array: posexplode (generator / UDTF surface) — each part name
+    * fans out to (position, token) rows. Generators run map-side; row
+    * fan-out never shuffles by itself. */
+  def arrayExplode(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+      .select(col("p_partkey"), col("pos").cast("long").as("pos"), col("col").as("word"))
+      .orderBy("p_partkey", "pos")
+
   /** C5/date: month bucketing + grouped agg over order dates. */
   def dateTruncAgg(s: SparkSession, dir: String): DataFrame =
     orders(s, dir)
@@ -298,6 +307,7 @@ object Relational {
     "set_except"          -> setExcept _,
     "str_funcs"           -> strFuncs _,
     "date_trunc_agg"      -> dateTruncAgg _,
+    "array_explode"       -> arrayExplode _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -426,5 +436,11 @@ object Relational {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "array_explode" ->
+      """SELECT p_partkey,
+        |  CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS pos,
+        |  unnest(t) AS word
+        |FROM (SELECT p_partkey, string_split(p_name, ' ') AS t FROM part)
+        |ORDER BY p_partkey, pos""".stripMargin,
   )
 }

@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over `embeddings` (SURVEY.md §2.12 L3/L4): brute-force
+  * cosine top-k as the correctness baseline, an IVF-style cell-pruned
+  * variant as the scale path, and a bounded near-duplicate join.
+  *
+  * All vector math is built-in higher-order functions (`zip_with` +
+  * `aggregate`) over the float array cast to double — fully codegen'd, no
+  * UDF, no linear-algebra dependency. Float→double widening is exact and
+  * both engines then fold left-to-right in IEEE doubles, so scores are
+  * bit-identical to the DuckDB oracle before the defensive round(…, 6).
+  *
+  * Scale shape:
+  *  - brute-force kNN is a map-side scan + `TakeOrderedAndProject` (each
+  *    partition keeps its local top-k; only k×P candidate rows move);
+  *  - the IVF variant prunes to one cell BEFORE scoring — the cell id is a
+  *    cheap sign-bit signature, the physical analogue of a centroid
+  *    assignment, and at 100 TB the table would be written partitioned by
+  *    cell so probe queries touch one partition;
+  *  - the near-dup join buckets by `label` (stand-in for a coarse cluster
+  *    id), so pair blowup is bounded per bucket, never global n².
+  */
+object VectorOps {
+
+  /** Double-cast view of the embedding column. */
+  private def asD(c: Column): Column = c.cast("array<double>")
+
+  /** IEEE-double dot product via zip_with + left fold. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** round(cosine, 6) — the rounding is defensive symmetry with the oracle,
+    * not a correctness crutch (see class doc). */
+  private def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** 4-bit IVF cell id: sign bits of dims 1–4. A real IVF would k-means
+    * its centroids; the sign-grid keeps the partition-pruning physics while
+    * staying deterministic enough for a SQL oracle. */
+  private def cellOf(e: Column): Column =
+    (1 to 4).map(j => when(element_at(e, j) > 0f, lit(1 << (j - 1))).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  private val K = 10
+
+  /** L3 baseline: brute-force cosine top-k against the vec_id=0 query
+    * vector. Plans as scan → map-side score → TakeOrderedAndProject. */
+  def knnCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(asD(col("embedding")).as("qv"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        cosine(asD(col("embedding")), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(K)
+  }
+
+  /** L3 scale path: IVF-style probe — score ONLY the query's cell. The
+    * pruning is the point: the scored row count drops by the cell fan-out
+    * (16× here) before any arithmetic runs. */
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .withColumn("cell", cellOf(col("embedding")))
+    val q = e.filter(col("vec_id") === 0)
+      .select(asD(col("embedding")).as("qv"), col("cell").as("qcell"))
+    e.join(broadcast(q), col("cell") === col("qcell"))
+      .select(col("vec_id"), col("cell"),
+        cosine(asD(col("embedding")), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(K)
+  }
+
+  /** L4: embedding near-dup — each vector's nearest same-label neighbour
+    * (label = coarse bucket), flagged at cosine ≥ 0.35. Window top-1 per
+    * vector, ties broken on neighbour id so the result is deterministic. */
+  def embedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val pairs = e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+        col("b.vec_id").as("nn_id"),
+        cosine(asD(col("a.embedding")), asD(col("b.embedding"))).as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id").asc)
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("nn_id"), col("cos"),
+        (col("cos") >= 0.35).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_cosine"    -> knnCosine _,
+    "knn_ivf"       -> knnIvf _,
+    "embed_neardup" -> embedNeardup _,
+  )
+
+  /** DuckDB cosine: double-cast dot product over the same fold order. */
+  private def sqlCos(a: String, b: String): String =
+    s"""round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) /
+       |    (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) *
+       |     sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)""".stripMargin
+
+  private val sqlCell =
+    "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END + " +
+      "CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)"
+
+  val oracleSql: Map[String, String] = Map(
+    "knn_cosine" ->
+      s"""SELECT vec_id, label, ${sqlCos("embedding", "qv")} AS cos
+         |FROM embeddings,
+         |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |ORDER BY cos DESC, vec_id ASC LIMIT $K""".stripMargin,
+    "knn_ivf" ->
+      s"""WITH c AS (SELECT vec_id, embedding, $sqlCell AS cell FROM embeddings),
+         |q AS (SELECT embedding AS qv, cell AS qcell FROM c WHERE vec_id = 0)
+         |SELECT vec_id, CAST(cell AS INT) AS cell, ${sqlCos("embedding", "qv")} AS cos
+         |FROM c JOIN q ON cell = qcell
+         |ORDER BY cos DESC, vec_id ASC LIMIT $K""".stripMargin,
+    "embed_neardup" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_id,
+         |    ${sqlCos("a.embedding", "b.embedding")} AS cos
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY cos DESC, nn_id ASC) AS rn
+         |  FROM pairs)
+         |SELECT vec_id, label, nn_id, cos, cos >= 0.35 AS is_dup
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+  )
+}
