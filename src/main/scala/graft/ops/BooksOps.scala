@@ -46,17 +46,45 @@ object BooksOps {
   val rawSchema: StructType = StructType(Seq(
     StructField("raw", ArrayType(bookStruct))))
 
+  /** Ingest-side book schema: `id` and `rating.average` arrive as STRINGS
+    * so the reference's coercing conversions (P5 `int(float(x))`, P7
+    * `to_numeric(errors='coerce')`) happen in the flatten via `try_cast`,
+    * not at parse time — a ragged feed must never fail the read (E1/E2,
+    * /root/reference/dags/db_to_snowflake.py:110,
+    * /root/reference/scripts/transform.py:45). */
+  val ingestBookStruct: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("title", StringType),
+    StructField("subtitle", StringType),
+    StructField("image", StringType),
+    StructField("authors", ArrayType(StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType))))),
+    StructField("genres", ArrayType(StringType)),
+    StructField("rating", StructType(Seq(StructField("average", StringType))))))
+
+  /** P1's `isinstance` branch (/root/reference/scripts/transform.py:26) in
+    * Spark form: each JSONL line is either `[{book}]` or a bare `{book}`;
+    * parse as array first, fall back to wrapping the bare object. Input: a
+    * one-string-column DataFrame (`spark.read.text` / a streaming source). */
+  def parseRawJsonLines(lines: DataFrame): DataFrame = {
+    val c = col(lines.columns.head)
+    lines.select(coalesce(
+      from_json(c, ArrayType(ingestBookStruct)),
+      array(from_json(c, ingestBookStruct))).as("raw"))
+  }
+
   /** The reference transform (P1–P7) on a DataFrame with a `raw`
     * array<bookStruct> column. Pure column algebra — codegen'd, no UDF, no
     * shuffle; at 100 TB this is a map-only stage fused into the scan. */
   def flattenRawBooks(raw: DataFrame): DataFrame = {
     val b = element_at(col("raw"), 1) // P1: unwrap single-element list
     raw.select(
-      b.getField("id").cast("double").cast("long").as("id"), // P5
+      b.getField("id").try_cast("double").cast("long").as("id"), // P5
       b.getField("title").as("title"),
       b.getField("image").as("image"), // P2: subtitle dropped
       b.getField("genres").as("genres"),
-      (b.getField("rating").getField("average") * 100.0).as("rating"), // P3+P7
+      (b.getField("rating").getField("average").try_cast("double") * 100.0)
+        .as("rating"), // P3+P7
       transform(coalesce(b.getField("authors"), array().cast(bookStruct("authors").dataType)),
         a => a.getField("id").cast("string")).as("author_id"), // P4+P6
       transform(coalesce(b.getField("authors"), array().cast(bookStruct("authors").dataType)),

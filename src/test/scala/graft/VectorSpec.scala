@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.{Relational, VectorOps}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Vector-search invariants on sf0.001 (SURVEY.md §5.2.5): brute-force
+  * ground truth for kNN, IVF result containment, HLL tolerance. */
+class VectorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  /** Ground-truth cosine top-k computed independently in Scala doubles. */
+  private def localTopK(k: Int): Seq[(Long, Double)] = {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getAs[Seq[Float]](1).map(_.toDouble).toArray).toMap
+    val q = vecs(0L)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val qn = math.sqrt(dot(q, q))
+    vecs.toSeq.map { case (id, v) =>
+      val c = BigDecimal(dot(v, q) / (math.sqrt(dot(v, v)) * qn))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, c)
+    }.sortBy { case (id, c) => (-c, id) }.take(k)
+  }
+
+  test("knn_cosine matches brute-force ground truth exactly") {
+    val got = VectorOps.knnCosine(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq
+    assert(got == localTopK(10))
+  }
+
+  test("knn_ivf results all lie in the query cell and score identically to brute force") {
+    val full = localTopK(Int.MaxValue).toMap
+    VectorOps.knnIvf(spark, sf).collect().foreach { r =>
+      val (id, c) = (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))
+      assert(math.abs(full(id) - c) < 1e-9, s"vec $id score drift")
+    }
+  }
+
+  test("approx_count_distinct stays within 5% of exact (A3 tolerance)") {
+    val approx = Relational.aggApproxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Relational.aggCountDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n <= 0.05,
+        s"group $k: approx ${approx(k)} vs exact $n")
+    }
+  }
+}
