@@ -74,6 +74,27 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** E1/E2: PERMISSIVE semi-structured parse — per-record tolerance, the
+    * reference's `ON_ERROR='CONTINUE'`
+    * (/root/reference/dags/db_to_snowflake.py:110). Every 100th record is
+    * deliberately truncated to malformed JSON; `from_json` in PERMISSIVE
+    * mode yields a null struct + the raw line in the corrupt-record
+    * column, so bad records are QUARANTINED, never dropped and never
+    * fatal — the posture a 100 TB ingest needs. */
+  def jsonPermissive(s: SparkSession, dir: String): DataFrame = {
+    val raw = events(s, dir)
+      .select(col("event_id"),
+        when(col("event_id") % 100 === 0, substring(col("props"), 1, 3))
+          .otherwise(col("props")).as("line"))
+    raw.select(col("event_id"),
+      from_json(col("line"), "k string, _corrupt string",
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt"))
+        .as("j"))
+      .select(col("event_id"), col("j.k").as("k"),
+        col("j._corrupt").isNotNull.as("is_corrupt"))
+      .orderBy("event_id")
+  }
+
   /** §2.13: built-in `session_window` (30-min gap) — the same operator the
     * Structured Streaming path uses, run in batch mode. Window end is
     * last-event + gap (Spark session semantics); a new session starts when
@@ -131,6 +152,7 @@ object EventOps {
     "events_tumbling_agg"  -> eventsTumblingAgg _,
     "events_session"       -> eventsSession _,
     "events_session_window" -> eventsSessionWindow _,
+    "json_permissive"      -> jsonPermissive _,
     "upsert_latest_by_key" -> upsertLatestByKey _,
     "join_asof"            -> joinAsof _,
   )
@@ -174,6 +196,12 @@ object EventOps {
         |  CAST(max(epoch(date_trunc('second', ts)))
         |    - min(epoch(date_trunc('second', ts))) AS BIGINT) AS span_s
         |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "json_permissive" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 100 = 0 THEN NULL
+        |       ELSE json_extract_string(props, '$.k') END AS k,
+        |  event_id % 100 = 0 AS is_corrupt
+        |FROM events ORDER BY event_id""".stripMargin,
     "events_session_window" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -278,6 +278,66 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
       .orderBy("month")
 
+  /** A6: exact DECIMAL aggregation — the money-safe path (no FP drift by
+    * construction). Emitted as strings: DECIMAL survives parquet exactly
+    * while the oracle harness would coerce it to float64. */
+  def aggDecimal(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("string").as("sum_price"),
+        max(col("l_extendedprice").cast("decimal(18,2)")).cast("string").as("max_price"))
+      .orderBy("l_returnflag")
+
+  /** A7: exact-interpolation percentiles (Spark `percentile`, not the
+    * t-digest approximation) — grouped, two quantiles per group. */
+  def aggPercentile(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.95)), 6).as("p95"))
+      .orderBy("l_returnflag")
+
+  /** A8: pivot (long→wide) — counts per linestatus pivoted over the three
+    * return flags. Explicit pivot values keep the plan single-pass (no
+    * distinct-values pre-query). */
+  def aggPivot(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(count(lit(1)))
+      .orderBy("l_linestatus")
+
+  /** C7: MapType construction + key lookup (the map/decimal/interval slots
+    * of SURVEY.md §1.3). Lookups emitted as scalars — map columns
+    * themselves don't hash-compare portably across engines. */
+  def mapFuncs(s: SparkSession, dir: String): DataFrame =
+    nation(s, dir)
+      .join(region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"),
+        map(lit("nation"), col("n_name"), lit("region"), col("r_name")).as("m"))
+      .select(col("n_nationkey"),
+        element_at(col("m"), "nation").as("nation_v"),
+        element_at(col("m"), "region").as("region_v"),
+        size(col("m")).cast("long").as("m_size"))
+      .orderBy("n_nationkey")
+
+  /** K2: parquet sink round-trip — partitioned overwrite write (the
+    * idempotent form of the reference's parquet hop,
+    * /root/reference/dags/bigbookapi.py:100), then re-scan + aggregate.
+    * Partitioning by the low-cardinality flag column is what makes the
+    * re-scan prunable at scale. */
+  def sinkParquetRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_sink_${dir.replaceAll("[^0-9.]", "")}"
+    lineitem(s, dir)
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    s.read.parquet(path)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   // ------------------------------------------------------------- inventory
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -308,6 +368,11 @@ object Relational {
     "str_funcs"           -> strFuncs _,
     "date_trunc_agg"      -> dateTruncAgg _,
     "array_explode"       -> arrayExplode _,
+    "agg_decimal"         -> aggDecimal _,
+    "agg_percentile"      -> aggPercentile _,
+    "agg_pivot"           -> aggPivot _,
+    "map_funcs"           -> mapFuncs _,
+    "sink_parquet_roundtrip" -> sinkParquetRoundtrip _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -442,5 +507,35 @@ object Relational {
         |  unnest(t) AS word
         |FROM (SELECT p_partkey, string_split(p_name, ' ') AS t FROM part)
         |ORDER BY p_partkey, pos""".stripMargin,
+    "agg_decimal" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price,
+        |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS "A",
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS "N",
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "map_funcs" ->
+      """SELECT n_nationkey,
+        |  map_extract(m, 'nation')[1] AS nation_v,
+        |  map_extract(m, 'region')[1] AS region_v,
+        |  CAST(cardinality(m) AS BIGINT) AS m_size
+        |FROM (SELECT n_nationkey,
+        |    map(['nation', 'region'], [n_name, r_name]) AS m
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey)
+        |ORDER BY n_nationkey""".stripMargin,
+    "sink_parquet_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_quantity > 40
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
