@@ -338,6 +338,45 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Q1: uncorrelated scalar subquery — lineitems above the global average
+    * price. Catalyst plans the subquery once (ReusedSubquery/broadcast),
+    * not per row. */
+  def subqueryScalar(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    val avgPrice = li.agg(davg(col("l_extendedprice")).as("ap"))
+    li.crossJoin(broadcast(avgPrice))
+      .filter(col("l_extendedprice") > col("ap"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_above"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Q2: correlated scalar subquery (SQL surface) — customers richer than
+    * their nation's average balance. Written in SQL so Catalyst's
+    * decorrelation (`RewriteCorrelatedScalarSubquery`) turns the per-row
+    * subquery into one aggregate + join — the 100 TB-safe plan. */
+  def subqueryCorrelated(s: SparkSession, dir: String): DataFrame = {
+    customer(s, dir).createOrReplaceTempView("graft_cust")
+    s.sql(
+      """SELECT c_custkey, c_nationkey, c_acctbal
+        |FROM graft_cust o
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(i.c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+        |                          / count(i.c_acctbal)
+        |                   FROM graft_cust i
+        |                   WHERE i.c_nationkey = o.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** S6: deterministic hash sampling — the reproducible substitute for
+    * TABLESAMPLE in a pipeline (same rows on every engine, every run,
+    * every retry; mod-bucket on a stable key hash). ~10% of orders. */
+  def sampleHash(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .filter(conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
   // ------------------------------------------------------------- inventory
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -373,6 +412,9 @@ object Relational {
     "agg_pivot"           -> aggPivot _,
     "map_funcs"           -> mapFuncs _,
     "sink_parquet_roundtrip" -> sinkParquetRoundtrip _,
+    "subquery_scalar"     -> subqueryScalar _,
+    "subquery_correlated" -> subqueryCorrelated _,
+    "sample_hash"         -> sampleHash _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -537,5 +579,25 @@ object Relational {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_quantity > 40
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "subquery_scalar" ->
+      """SELECT l_returnflag, COUNT(*) AS n_above
+        |FROM lineitem
+        |WHERE l_extendedprice > (
+        |  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+        |         / COUNT(l_extendedprice) FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "subquery_correlated" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal
+        |FROM customer o
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(i.c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+        |                          / count(i.c_acctbal)
+        |                   FROM customer i
+        |                   WHERE i.c_nationkey = o.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE CAST('0x' || substring(md5(o_orderkey::VARCHAR), 1, 4) AS BIGINT) % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }
