@@ -88,6 +88,13 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** A4b: full cube grouping sets (all 4 combinations of flag × status). */
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** A5: collect-to-array (inverse of the reference's author-array flatten,
     * /root/reference/scripts/transform.py:27-29). `sort_array` pins the
     * nondeterministic collect order; emitted as a joined string so the
@@ -207,6 +214,20 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** W5: distribution ranking — ntile buckets, percent_rank, cume_dist
+    * (all rank-derived: integer-ratio doubles, deterministic across
+    * engines). */
+  def windowNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("c_custkey")
+  }
+
   /** W4: top-k per group (3 priciest orders per customer). */
   def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
@@ -261,6 +282,20 @@ object Relational {
         size(split(col("p_name"), " ")).cast("long").as("n_words"),
         regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_alpha"))
       .orderBy("p_partkey")
+
+  /** C5/date: calendar arithmetic — interval add, day diff, field
+    * extraction (dates as strings for parquet-representation-proof
+    * comparison). */
+  def dateArith(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .select(col("o_orderkey"),
+        dateFmt(col("o_orderdate")).as("d"),
+        dateFmt(date_add(col("o_orderdate"), 30)).as("d_plus30"),
+        datediff(lit("1995-01-01").cast("date"), col("o_orderdate")).cast("long").as("days_to_95"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"))
+      .orderBy("o_orderkey")
 
   /** C6/array: posexplode (generator / UDTF surface) — each part name
     * fans out to (position, token) rows. Generators run map-side; row
@@ -415,6 +450,9 @@ object Relational {
     "subquery_scalar"     -> subqueryScalar _,
     "subquery_correlated" -> subqueryCorrelated _,
     "sample_hash"         -> sampleHash _,
+    "window_ntile"        -> windowNtile _,
+    "date_arith"          -> dateArith _,
+    "agg_cube"            -> aggCube _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -599,5 +637,27 @@ object Relational {
         |FROM orders
         |WHERE CAST('0x' || substring(md5(o_orderkey::VARCHAR), 1, 4) AS BIGINT) % 10 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    "window_ntile" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
+    "date_arith" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS d_plus30,
+        |  CAST(datediff('day', o_orderdate, DATE '1995-01-01') AS BIGINT) AS days_to_95,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
   )
 }

@@ -1,0 +1,76 @@
+package graft
+
+import graft.ops.BooksOps
+import graft.streaming.{Ev, StreamingOps}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY.md §5.2.3): cast null-safety of the
+  * coercing flatten over generator-produced ragged input, and idempotence
+  * of the keep-latest upsert. Generated cases run as ONE batch per
+  * property — the per-row invariant is checked against an independent
+  * local model, not against Spark itself. */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val idGen: Gen[String] = Gen.oneOf(
+    Gen.choose(1L, 1000000L).map(_.toString),          // plain int
+    Gen.choose(1L, 1000000L).map(v => s"$v.0"),        // float-formatted (P5)
+    Gen.alphaStr.suchThat(_.nonEmpty),                 // garbage -> null
+    Gen.const(""))                                     // empty -> null
+
+  private val ratingGen: Gen[String] = Gen.oneOf(
+    Gen.choose(0, 100).map(v => (v / 100.0).toString), // parseable double
+    Gen.const("N/A"), Gen.const(""), Gen.alphaStr.suchThat(_.nonEmpty))
+
+  /** The reference's coercion semantics, modelled independently:
+    * int(float(x)) if parseable else None. */
+  private def modelId(s: String): Option[Long] =
+    s.toDoubleOption.map(_.toLong)
+  private def modelRating(s: String): Option[Double] =
+    s.toDoubleOption.map(_ * 100.0)
+
+  test("flatten coercing casts never throw; null exactly when unparseable (P5/P7)") {
+    val recGen = for { i <- idGen; r <- ratingGen } yield (i, r)
+    val prop = Prop.forAll(Gen.listOfN(60, recGen)) { recs =>
+      val lines = recs.zipWithIndex.map { case ((i, r), k) =>
+        // title carries the row key so results can be matched back
+        s"""[{"id": "$i", "title": "t$k", "authors": [], "genres": [], "rating": {"average": "$r"}}]"""
+      }
+      val sq = spark; import sq.implicits._
+      val flat = BooksOps.flattenRawBooks(
+        BooksOps.parseRawJsonLines(lines.toDF("value"))).collect()
+      val byTitle = flat.map(row => row.getAs[String]("title") -> row).toMap
+      recs.zipWithIndex.forall { case ((i, r), k) =>
+        val row = byTitle(s"t$k")
+        val gotId = if (row.isNullAt(row.fieldIndex("id"))) None
+                    else Some(row.getAs[Long]("id"))
+        val gotRating = if (row.isNullAt(row.fieldIndex("rating"))) None
+                        else Some(row.getAs[Double]("rating"))
+        gotId == modelId(i) && gotRating == modelRating(r)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("keep-latest upsert is idempotent: f(f(x)) == f(x)") {
+    val sq = spark; import sq.implicits._
+    val ds = Tables.events(spark, TestSpark.Sf0001).as[Ev]
+    val once = StreamingOps.latestByUser(ds).collect().sortBy(_.user_id).toSeq
+    val twice = StreamingOps.latestByUser(StreamingOps.latestByUser(ds))
+      .collect().sortBy(_.user_id).toSeq
+    assert(once == twice)
+  }
+
+  test("exact dedup is idempotent over its survivors") {
+    val sq = spark; import sq.implicits._
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val survivors = docs.join(
+      ops.DedupOps.dedupExact(spark, TestSpark.Sf0001)
+        .select(org.apache.spark.sql.functions.col("keep_id").as("doc_id")),
+      "doc_id")
+    // dedup of the deduped corpus keeps every row
+    assert(survivors.dropDuplicates("text").count() == survivors.count())
+  }
+}
