@@ -175,6 +175,26 @@ object Relational {
       .select("r_regionkey", "r_name", "status")
       .orderBy("r_regionkey", "status")
 
+  /** J8: salted equi-join — the manual skew playbook (AQE skew-split is
+    * the automatic backstop; salting is what you reach for when one key
+    * dominates a 100 TB shuffle). Probe side gets a deterministic salt in
+    * [0,8); build side is exploded ×8 so every (key, salt) pair exists;
+    * joining on (key, salt) spreads a hot key over 8 partitions. Salting
+    * is pure physics — the result MUST equal the unsalted join, which is
+    * exactly what the oracle checks. */
+  def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val Salts = 8
+    val li = lineitem(s, dir)
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(Salts)))
+    val ord = orders(s, dir)
+      .withColumn("salt", explode(sequence(lit(0), lit(Salts - 1))))
+    li.join(ord,
+        col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   // --------------------------------------------------------------- windows
 
   /** W1: ranking functions over (nation, acctbal) with a unique tiebreak so
@@ -451,6 +471,7 @@ object Relational {
     "subquery_correlated" -> subqueryCorrelated _,
     "sample_hash"         -> sampleHash _,
     "window_ntile"        -> windowNtile _,
+    "join_skew_salted"    -> joinSkewSalted _,
     "date_arith"          -> dateArith _,
     "agg_cube"            -> aggCube _,
   )
@@ -637,6 +658,11 @@ object Relational {
         |FROM orders
         |WHERE CAST('0x' || substring(md5(o_orderkey::VARCHAR), 1, 4) AS BIGINT) % 10 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    "join_skew_salted" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "window_ntile" ->
       """SELECT c_custkey, c_nationkey, c_acctbal,
         |  CAST(ntile(4) OVER w AS INT) AS quartile,
