@@ -70,8 +70,8 @@ object DedupOps {
     * no interpreted higher-order functions, no per-seed rehash of the
     * text. (a + s·b < 2³² + 8·2³² — no overflow, and identical integer
     * arithmetic in DuckDB.) */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
-    val ex = shingleRows(s, dir)
+  private def signaturesFrom(shRows: DataFrame): DataFrame = {
+    val ex = shRows
       .select(col("doc_id"), md5(col("x")).as("h"))
       .select(col("doc_id"),
         conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("a"),
@@ -82,13 +82,13 @@ object DedupOps {
 
   /** (doc_id, band, band_key) LSH banding table: band key = md5 over its
     * RowsPerBand signature slots. */
-  private def bandTable(s: SparkSession, dir: String): DataFrame = {
+  private def bandTableFrom(shRows: DataFrame): DataFrame = {
     val bands = array((1 to NumBands).map { b =>
       val slots = ((b - 1) * RowsPerBand + 1 to b * RowsPerBand)
         .map(i => col(s"mh$i").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("band_key"))
     }: _*)
-    signatures(s, dir).select(col("doc_id"), explode(bands).as("bk"))
+    signaturesFrom(shRows).select(col("doc_id"), explode(bands).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
@@ -105,7 +105,7 @@ object DedupOps {
     * artifact — at 100 TB this table is what gets written, partitioned by
     * band_key prefix, and self-joined bucket-locally. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
-    bandTable(s, dir).orderBy("doc_id", "band")
+    bandTableFrom(shingleRows(s, dir)).orderBy("doc_id", "band")
 
   /** L4: LSH-bucketed similarity join with exact-Jaccard verify.
     * Candidate pairs are generated BUCKET-LOCALLY: one groupBy on
@@ -116,7 +116,12 @@ object DedupOps {
     * handling is the backstop). Verify = set Jaccard on shingles, kept at
     * ≥ 0.8, joined only for candidate pairs (output-scale, never n²). */
   def simjoinLsh(s: SparkSession, dir: String): DataFrame = {
-    val cand = bandTable(s, dir)
+    // The shingle rows feed three consumers (signature pipeline + both
+    // verify sides); Spark plans each branch independently, so materialize
+    // once. At cluster scale this is a checkpoint/intermediate table, not
+    // an executor cache.
+    val shRows = shingleRows(s, dir).persist()
+    val cand = bandTableFrom(shRows)
       .groupBy("band", "band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -125,7 +130,7 @@ object DedupOps {
           y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    val sh = shingled(s, dir)
+    val sh = shRows.groupBy("doc_id").agg(collect_list(col("x")).as("shingles"))
     cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))

@@ -432,6 +432,72 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
 
+  /** Registers the star-schema tables as temp views for the SQL entry
+    * point — the engine's `spark.sql` surface. */
+  def registerViews(s: SparkSession, dir: String): Unit =
+    Seq("lineitem", "orders", "customer", "supplier", "nation", "region", "part")
+      .foreach(t => tbl(s, dir, t).createOrReplaceTempView(t))
+
+  /** SQL-1 (TPC-H Q3 shape): 3-way join + filter + agg + top-10 revenue.
+    * Exercises the full SQL path: parse → analyze (view resolution) →
+    * join reorder/pushdown → hash aggs → TakeOrderedAndProject. */
+  def sqlShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS STRING) AS o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+  }
+
+  /** SQL-2 (TPC-H Q5 shape): 5-way snowflake join through
+    * customer→orders→lineitem→supplier→nation→region with a co-nation
+    * constraint — the join-graph stress test. */
+  def sqlLocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+
+  /** W6: RANGE frame — peers-inclusive running aggregation (value-based
+    * frame, not row-based): count of same-nation customers within ±1000
+    * acctbal of each row. */
+  def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"))
+      .rangeBetween(-1000L, 1000L)
+    customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        count(lit(1)).over(w).as("peers_1k"))
+      .orderBy("c_custkey")
+  }
+
+  /** C8: second string-function battery — replace/pad/reverse/trim/case
+    * (exact, engine-portable semantics only). */
+  def strFuncs2(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .select(col("p_partkey"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
+        lpad(col("p_brand"), 12, "#").as("brand_pad"),
+        reverse(col("p_type")).as("type_rev"),
+        trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trimmed"),
+        upper(col("p_name")).as("upper_name"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("lower_vowels"))
+      .orderBy("p_partkey")
+
   // ------------------------------------------------------------- inventory
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -472,6 +538,10 @@ object Relational {
     "sample_hash"         -> sampleHash _,
     "window_ntile"        -> windowNtile _,
     "join_skew_salted"    -> joinSkewSalted _,
+    "sql_shipping_priority"   -> sqlShippingPriority _,
+    "sql_local_supplier_volume" -> sqlLocalSupplierVolume _,
+    "window_range_frame"  -> windowRangeFrame _,
+    "str_funcs2"          -> strFuncs2 _,
     "date_arith"          -> dateArith _,
     "agg_cube"            -> aggCube _,
   )
@@ -658,6 +728,41 @@ object Relational {
         |FROM orders
         |WHERE CAST('0x' || substring(md5(o_orderkey::VARCHAR), 1, 4) AS BIGINT) % 10 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    "sql_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS VARCHAR) AS o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "sql_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "window_range_frame" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  count(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+        |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS peers_1k
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "str_funcs2" ->
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+        |  lpad(p_brand, 12, '#') AS brand_pad,
+        |  reverse(p_type) AS type_rev,
+        |  trim('  ' || p_brand || '  ') AS trimmed,
+        |  upper(p_name) AS upper_name,
+        |  translate(p_type, 'AEIOU', 'aeiou') AS lower_vowels
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "join_skew_salted" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
