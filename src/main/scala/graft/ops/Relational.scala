@@ -195,6 +195,37 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** J9: bucketed co-located join — both tables written pre-bucketed on
+    * the join key (8 buckets, sorted), so the join itself requires NO
+    * exchange: the plan goes scan → scan → sort-merge join with zero
+    * shuffles before the aggregation. This is the 100 TB layout answer —
+    * pay the partitioning once at write time, amortize it over every
+    * subsequent join on that key. */
+  def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^0-9]", "")
+    val (liT, ordT) = (s"graft_li_b$sfx", s"graft_ord_b$sfx")
+    // The in-memory catalog is per-session but the warehouse directory
+    // outlives it; a stale location fails saveAsTable with
+    // LOCATION_ALREADY_EXISTS, so drop both catalog entry and directory.
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+      f.delete(); ()
+    }
+    val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq(liT, ordT).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      rmrf(new java.io.File(wh, t))
+    }
+    lineitem(s, dir).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
+    orders(s, dir).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)
+    s.table(liT).join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   // --------------------------------------------------------------- windows
 
   /** W1: ranking functions over (nation, acctbal) with a unique tiebreak so
@@ -542,6 +573,7 @@ object Relational {
     "sql_local_supplier_volume" -> sqlLocalSupplierVolume _,
     "window_range_frame"  -> windowRangeFrame _,
     "str_funcs2"          -> strFuncs2 _,
+    "join_bucketed"       -> joinBucketed _,
     "date_arith"          -> dateArith _,
     "agg_cube"            -> aggCube _,
   )
@@ -728,6 +760,11 @@ object Relational {
         |FROM orders
         |WHERE CAST('0x' || substring(md5(o_orderkey::VARCHAR), 1, 4) AS BIGINT) % 10 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    "join_bucketed" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "sql_shipping_priority" ->
       """SELECT l_orderkey,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,

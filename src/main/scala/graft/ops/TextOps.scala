@@ -140,7 +140,26 @@ object TextOps {
         substring(md5(col("text")), 1, 2).as("shard"))
       .orderBy("doc_id")
 
+  /** PII-style scrubbing — email/URL redaction plus whitespace collapse,
+    * the cheap normalization pass before anything expensive in a
+    * pretraining pipeline. Conservative regexes chosen to behave
+    * identically under Java regex and RE2. */
+  def textScrub(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"),
+              "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+            "https?://[^ ]+", "<URL>"),
+          "  +", " ").as("clean"),
+        (length(col("text")) - length(
+          regexp_replace(col("text"), "https?://[^ ]+", ""))).cast("long")
+          .as("url_chars_removed"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_scrub"      -> textScrub _,
     "text_tokenize"   -> textTokenize _,
     "text_termfreq"   -> textTermfreq _,
     "text_tfidf"      -> textTfidf _,
@@ -154,6 +173,15 @@ object TextOps {
   private val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "text_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '  +', ' ', 'g') AS clean,
+        |  CAST(length(text) - length(regexp_replace(text, 'https?://[^ ]+', '', 'g')) AS BIGINT)
+        |    AS url_chars_removed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tokenize" ->
       s"""SELECT doc_id,
          |  array_to_string(list_filter(string_split(lower(text), ' '),

@@ -99,7 +99,20 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Vector hygiene: L2 norm + normalized-first-component check — the
+    * pre-index normalization pass (and a norm-distribution sanity probe)
+    * every embedding pipeline runs before similarity search. */
+  def embedNormalize(s: SparkSession, dir: String): DataFrame = {
+    val e = asD(col("embedding"))
+    embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        round(norm(e), 6).as("l2_norm"),
+        round(element_at(e, 1) / norm(e), 6).as("e1_normed"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_normalize" -> embedNormalize _,
     "knn_cosine"    -> knnCosine _,
     "knn_ivf"       -> knnIvf _,
     "embed_neardup" -> embedNeardup _,
@@ -116,6 +129,12 @@ object VectorOps {
       "CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)"
 
   val oracleSql: Map[String, String] = Map(
+    "embed_normalize" ->
+      """SELECT vec_id, label,
+        |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
+        |  round(embedding[1]::DOUBLE /
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS e1_normed
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "knn_cosine" ->
       s"""SELECT vec_id, label, ${sqlCos("embedding", "qv")} AS cos
          |FROM embeddings,
