@@ -11,8 +11,9 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("filter_pred", "join_broadcast", "join_sortmerge", "scan_parquet",
-                  "knn_cosine", "embed_neardup", "dedup_minhash", "text_tfidf")) {
+    for (q <- Seq("filter_pred", "join_broadcast", "join_sortmerge", "join_bucketed",
+                  "knn_cosine", "embed_neardup", "dedup_minhash", "simjoin_lsh",
+                  "text_tfidf", "sql_local_supplier_volume")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -146,7 +146,29 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Funnel conversion: per user, first signup → first subsequent
+    * purchase, converted iff within 7 days. One conditional-agg pass for
+    * signups, one filtered agg for purchases, broadcast-joined — no
+    * per-user iteration anywhere. */
+  def funnelConversion(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(signups), "user_id")
+      .filter(col("ts") >= col("signup_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("purchase_ts"))
+    signups.join(firstPurchase, Seq("user_id"), "left")
+      .select(col("user_id"), tsFmt(col("signup_ts")).as("signup_s"),
+        tsFmt(col("purchase_ts")).as("purchase_s"),
+        (col("purchase_ts").isNotNull &&
+          col("purchase_ts").cast("long") - col("signup_ts").cast("long") <= 7 * 86400)
+          .as("converted"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_conversion"    -> funnelConversion _,
     "json_extract"         -> jsonExtract _,
     "rating_scale"         -> ratingScale _,
     "events_tumbling_agg"  -> eventsTumblingAgg _,
@@ -158,6 +180,23 @@ object EventOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "funnel_conversion" ->
+      """WITH su AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS signup_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |pu AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS purchase_ts
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= su.signup_ts
+        |  GROUP BY e.user_id)
+        |SELECT su.user_id,
+        |  strftime(signup_ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_s,
+        |  strftime(purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_s,
+        |  purchase_ts IS NOT NULL AND
+        |    epoch(date_trunc('second', purchase_ts)) - epoch(date_trunc('second', signup_ts))
+        |      <= 7 * 86400 AS converted
+        |FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+        |ORDER BY su.user_id""".stripMargin,
     "json_extract" ->
       """SELECT event_id, user_id,
         |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -95,6 +95,20 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** A9: custom typed aggregation — quantity-weighted average price via
+    * the [[graft.functions.WeightedAvg]] `Aggregator` (scaled-long buffer
+    * → partition-order-independent, see its scaladoc). Exercises the
+    * udaf() registration path. */
+  def aggTypedWavg(s: SparkSession, dir: String): DataFrame = {
+    val wavg = udaf(graft.functions.WeightedAvg,
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaDouble))
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 6).as("wavg_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** A5: collect-to-array (inverse of the reference's author-array flatten,
     * /root/reference/scripts/transform.py:27-29). `sort_array` pins the
     * nondeterministic collect order; emitted as a joined string so the
@@ -574,6 +588,7 @@ object Relational {
     "window_range_frame"  -> windowRangeFrame _,
     "str_funcs2"          -> strFuncs2 _,
     "join_bucketed"       -> joinBucketed _,
+    "agg_typed_wavg"      -> aggTypedWavg _,
     "date_arith"          -> dateArith _,
     "agg_cube"            -> aggCube _,
   )
@@ -760,6 +775,12 @@ object Relational {
         |FROM orders
         |WHERE CAST('0x' || substring(md5(o_orderkey::VARCHAR), 1, 4) AS BIGINT) % 10 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    "agg_typed_wavg" ->
+      """SELECT l_returnflag,
+        |  round(CAST(SUM(CAST(l_extendedprice * 1000000 AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |    / 1000000 / SUM(CAST(l_quantity AS BIGINT)), 6) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "join_bucketed" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
