@@ -141,9 +141,20 @@ object BooksOps {
     flat(flattenRawBooks(s.read.schema(rawSchema).json(path)))
   }
 
+  /** S1: the DataSourceV2 paginated source ([[graft.sources.PagedBooksSource]])
+    * — 10 page-partitions of 100 rows, aggregated. The oracle recomputes
+    * the deterministic feed from the same formula via generate_series. */
+  def scanRestPages(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.PagedBooksSource")
+      .option("rows", 1000).option("pageSize", 100).load()
+      .agg(count(lit(1)).as("n"),
+        dsum(col("rating")).as("sum_rating"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "flatten_raw_books" -> flattenRawBooksQuery _,
     "scan_json_raw"     -> scanJsonRaw _,
+    "scan_rest_pages"   -> scanRestPages _,
   )
 
   private val flattenOracle =
@@ -170,5 +181,10 @@ object BooksOps {
   val oracleSql: Map[String, String] = Map(
     "flatten_raw_books" -> flattenOracle,
     "scan_json_raw"     -> flattenOracle,
+    "scan_rest_pages" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST((i % 100) / 100.0 AS DECIMAL(25,6))) AS DOUBLE) AS sum_rating,
+        |  MIN(i) AS min_id, MAX(i) AS max_id
+        |FROM (SELECT unnest(range(0, 1000)) AS i)""".stripMargin,
   )
 }

@@ -108,6 +108,17 @@ object EventOps {
         tsFmt(col("w.end")).as("sess_end"), col("n_events"))
       .orderBy("user_id", "sess_start")
 
+  /** §2.13: sliding 1-hour window, 30-min slide — every event lands in
+    * exactly length/slide = 2 windows. The fan-out is a map-side explode
+    * of window starts; only (window, type) partials shuffle. */
+  def eventsSlidingAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(tsFmt(col("w.start")).as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
   /** K6: idempotent keep-latest upsert (the orphaned HF DAG's
     * `INSERT ... ON CONFLICT DO UPDATE`, SURVEY.md §2.11) re-expressed as
     * window dedup — `row_number() OVER (PARTITION BY key ORDER BY ts DESC)
@@ -172,6 +183,7 @@ object EventOps {
     "json_extract"         -> jsonExtract _,
     "rating_scale"         -> ratingScale _,
     "events_tumbling_agg"  -> eventsTumblingAgg _,
+    "events_sliding_agg"   -> eventsSlidingAgg _,
     "events_session"       -> eventsSession _,
     "events_session_window" -> eventsSessionWindow _,
     "json_permissive"      -> jsonPermissive _,
@@ -211,6 +223,18 @@ object EventOps {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "events_sliding_agg" ->
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |    make_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000 * 1800000000) AS w0
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type, value, unnest([w0, w0 - INTERVAL 30 MINUTE]) AS ws
+        |  FROM b)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S.%f') AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY ws, event_type ORDER BY window_start, event_type""".stripMargin,
     "events_session" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

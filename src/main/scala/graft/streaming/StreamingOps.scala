@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Typed event row for the streaming surface (schema = the `events` table
   * after [[graft.Tables.events]] µs normalization). */
@@ -56,6 +56,50 @@ object StreamingOps {
   def dedupWithinWatermark(ev: DataFrame): DataFrame =
     ev.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Closed session emitted by the custom sessionizer (epoch-µs bounds). */
+  final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+
+  private val GapUs = 30L * 60 * 1000000
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * operator you write when built-in `session_window` can't express the
+    * state machine (per-session enrichment, abandonment timers, …). State
+    * per user = the open session; a ≥30-min gap closes it and emits. In
+    * batch mode each group arrives complete (unordered — hence the sort)
+    * and every session closes at group end; in streaming the same function
+    * runs incrementally with the state store holding the open session. */
+  def sessionizeCustom(ev: Dataset[Ev]): Dataset[Session] = {
+    val sq = ev.sparkSession; import sq.implicits._
+    val streaming = ev.isStreaming // plan property — resolve driver-side, not in the closure
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Option[Session], Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[Option[Session]]) =>
+          val closed = Seq.newBuilder[Session]
+          var open: Option[Session] = state.getOption.flatten
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
+            open = open match {
+              case Some(s) if t - s.end_us < GapUs =>
+                Some(s.copy(end_us = t, n_events = s.n_events + 1))
+              case Some(s) =>
+                closed += s
+                Some(Session(uid, t, t, 1))
+              case None =>
+                Some(Session(uid, t, t, 1))
+            }
+          }
+          state.update(open)
+          // Batch: the group is complete, so the open session is final.
+          // Streaming: it stays in state until a later batch closes it.
+          val tail = if (!streaming) open.toSeq else Nil
+          (closed.result() ++ tail).iterator
+      }
+  }
 
   private val byRecency: Ordering[Ev] =
     Ordering.by(e => (e.ts.getTime, e.ts.getNanos, e.event_id))

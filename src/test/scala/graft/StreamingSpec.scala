@@ -68,6 +68,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("s_dedup").count() == all.size)
   }
 
+  test("flatMapGroupsWithState sessionizer matches an independent local model") {
+    def us(t: java.sql.Timestamp): Long = (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    val gap = 30L * 60 * 1000000
+    val model = eventsDs.collect().groupBy(_.user_id).flatMap { case (uid, es) =>
+      val ts = es.sortBy(e => (us(e.ts), e.event_id)).map(e => us(e.ts))
+      val sessions = scala.collection.mutable.Buffer[(Long, Long, Long)]() // start, end, n
+      ts.foreach { t =>
+        if (sessions.nonEmpty && t - sessions.last._2 < gap) {
+          val (s0, _, n) = sessions.last; sessions(sessions.size - 1) = (s0, t, n + 1)
+        } else sessions += ((t, t, 1L))
+      }
+      sessions.map { case (s0, e0, n) => StreamingOps.Session(uid, s0, e0, n) }
+    }.toSet
+    val got = StreamingOps.sessionizeCustom(eventsDs).collect().toSet
+    assert(got == model)
+  }
+
   test("mapGroupsWithState keep-latest == batch window-dedup upsert") {
     val sq = spark; import sq.implicits._
     val got = StreamingOps.latestByUser(eventsDs).collect()
