@@ -70,15 +70,38 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Session extension registering the graft function surface
+/** Optimizer rule: collapse nested applications of idempotent string
+  * functions (`lower(lower(x))` → `lower(x)`, same for upper/trim) — the
+  * duplicate-application shape that appears when independently-authored
+  * normalization passes compose (e.g. tokenizers that each defensively
+  * lowercase). Injected via `injectOptimizerRule`; exercised by
+  * ExtensionsSpec with a plan assertion. */
+object CollapseIdempotentStringFns
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Lower, StringTrim, Upper}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Lower(Lower(c))                       => Lower(c)
+      case Upper(Upper(c))                       => Upper(c)
+      case StringTrim(StringTrim(c, None), None) => StringTrim(c, None)
+    }
+}
+
+/** Session extension registering the graft surface — the custom
+  * expression (`graft_dot`) and the idempotent-string-fn optimizer rule
   * (`spark.sql.extensions=graft.functions.GraftExtensions` or
   * `.withExtensions(new GraftExtensions)`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectOptimizerRule(_ => CollapseIdempotentStringFns)
+  }
 }
 
 object VectorFunctions {
