@@ -53,6 +53,17 @@ object Tables {
   /** Deterministic mean: exact decimal sum, then one IEEE double divide. */
   def davg(c: Column): Column = dsum(c) / count(c)
 
+  /** Explicit round-half-up to 6 dp: `floor(x·10⁶ + 0.5)/10⁶`, written the
+    * same way in the DuckDB oracles ([[sqlR6]]). Spark's `round` is
+    * HALF_UP while DuckDB's is half-even, and integer-ratio columns
+    * (cume_dist, Jaccard, stopword ratios) DO hit binary-exact …5 values
+    * at the 7th decimal where the two diverge — found by the sf0.1 oracle
+    * sweep, invisible at sf0.01. */
+  def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** DuckDB mirror of [[r6]]. */
+  def sqlR6(e: String): String = s"floor(($e) * 1000000 + 0.5) / 1000000"
+
   /** Timestamp → 'yyyy-MM-dd HH:mm:ss.SSSSSS' string (µs precision).
     * Emitting timestamps as strings sidesteps parquet INT96-vs-µs-vs-ns
     * representation drift between Spark, pyarrow, and DuckDB.

@@ -135,8 +135,8 @@ object DedupOps {
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sa.shingles"), col("sb.shingles"))).cast("double") /
-          size(array_union(col("sa.shingles"), col("sb.shingles"))), 6).as("jaccard"))
+        r6(size(array_intersect(col("sa.shingles"), col("sb.shingles"))).cast("double") /
+          size(array_union(col("sa.shingles"), col("sb.shingles")))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy("doc_a", "doc_b")
   }
@@ -171,8 +171,8 @@ object DedupOps {
     sh.as("a")
       .join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
-          size(array_union(col("a.shingles"), col("b.shingles"))), 6).as("jaccard"))
+        r6(size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+          size(array_union(col("a.shingles"), col("b.shingles")))).as("jaccard"))
       .orderBy("doc_a")
   }
 
@@ -239,13 +239,15 @@ object DedupOps {
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b,
-         |  round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-         |    len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+         |  floor((len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+         |    len(list_distinct(list_concat(sa.shingles, sb.shingles)))) * 1000000 + 0.5)
+         |    / 1000000 AS jaccard
          |FROM cand
          |JOIN shf sa ON doc_a = sa.doc_id
          |JOIN shf sb ON doc_b = sb.doc_id
-         |WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-         |    len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) >= 0.8
+         |WHERE floor((len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+         |    len(list_distinct(list_concat(sa.shingles, sb.shingles)))) * 1000000 + 0.5)
+         |    / 1000000 >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (
@@ -259,8 +261,9 @@ object DedupOps {
     "dedup_ngram_jaccard" ->
       s"""WITH $shinglesCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-         |    len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+         |  floor((len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |    len(list_distinct(list_concat(a.shingles, b.shingles)))) * 1000000 + 0.5)
+         |    / 1000000 AS jaccard
          |FROM shf a JOIN shf b ON b.doc_id = a.doc_id + 1
          |ORDER BY doc_a""".stripMargin,
   )

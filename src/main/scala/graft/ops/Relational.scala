@@ -288,8 +288,8 @@ object Relational {
     customer(s, dir)
       .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
+        r6(percent_rank().over(w)).as("pct_rank"),
+        r6(cume_dist().over(w)).as("cume"))
       .orderBy("c_custkey")
   }
 
@@ -829,8 +829,8 @@ object Relational {
     "window_ntile" ->
       """SELECT c_custkey, c_nationkey, c_acctbal,
         |  CAST(ntile(4) OVER w AS INT) AS quartile,
-        |  round(percent_rank() OVER w, 6) AS pct_rank,
-        |  round(cume_dist() OVER w, 6) AS cume
+        |  floor((percent_rank() OVER w) * 1000000 + 0.5) / 1000000 AS pct_rank,
+        |  floor((cume_dist() OVER w) * 1000000 + 0.5) / 1000000 AS cume
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
         |ORDER BY c_custkey""".stripMargin,

@@ -83,11 +83,11 @@ object TextOps {
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stop"),
-        round(nStop / nullif(nTok, lit(0.0)), 6).as("stop_ratio"),
-        round((length(col("text")).cast("double") - (nTok - lit(1.0))) /
-          nullif(nTok, lit(0.0)), 6).as("avg_word_len"),
-        round(least(lit(1.0), nTok / lit(100.0)) *
-          (lit(1.0) - nStop / nullif(nTok, lit(0.0))), 6).as("score"))
+        r6(nStop / nullif(nTok, lit(0.0))).as("stop_ratio"),
+        r6((length(col("text")).cast("double") - (nTok - lit(1.0))) /
+          nullif(nTok, lit(0.0))).as("avg_word_len"),
+        r6(least(lit(1.0), nTok / lit(100.0)) *
+          (lit(1.0) - nStop / nullif(nTok, lit(0.0)))).as("score"))
       .orderBy("doc_id")
   }
 
@@ -219,9 +219,11 @@ object TextOps {
          |SELECT doc_id,
          |  CAST(n_tok AS BIGINT) AS n_tokens,
          |  CAST(n_stop AS BIGINT) AS n_stop,
-         |  round(n_stop / nullif(n_tok, 0.0), 6) AS stop_ratio,
-         |  round((CAST(length(text) AS DOUBLE) - (n_tok - 1.0)) / nullif(n_tok, 0.0), 6) AS avg_word_len,
-         |  round(least(1.0, n_tok / 100.0) * (1.0 - n_stop / nullif(n_tok, 0.0)), 6) AS score
+         |  floor((n_stop / nullif(n_tok, 0.0)) * 1000000 + 0.5) / 1000000 AS stop_ratio,
+         |  floor(((CAST(length(text) AS DOUBLE) - (n_tok - 1.0)) / nullif(n_tok, 0.0))
+         |    * 1000000 + 0.5) / 1000000 AS avg_word_len,
+         |  floor((least(1.0, n_tok / 100.0) * (1.0 - n_stop / nullif(n_tok, 0.0)))
+         |    * 1000000 + 0.5) / 1000000 AS score
          |FROM t ORDER BY doc_id""".stripMargin,
     "lang_id_ngram" ->
       """WITH t AS (SELECT doc_id, lang AS actual_lang,

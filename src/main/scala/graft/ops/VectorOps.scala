@@ -38,10 +38,10 @@ object VectorOps {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** round(cosine, 6) — the rounding is defensive symmetry with the oracle,
-    * not a correctness crutch (see class doc). */
+  /** Half-up 6-dp cosine ([[graft.Tables.r6]]) — defensive symmetry with
+    * the oracle, identical formula both engines. */
   private def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6)
+    r6(dot(a, b) / (norm(a) * norm(b)))
 
   /** 4-bit IVF cell id: sign bits of dims 1–4. A real IVF would k-means
     * its centroids; the sign-grid keeps the partition-pruning physics while
@@ -106,8 +106,8 @@ object VectorOps {
     val e = asD(col("embedding"))
     embeddings(s, dir)
       .select(col("vec_id"), col("label"),
-        round(norm(e), 6).as("l2_norm"),
-        round(element_at(e, 1) / norm(e), 6).as("e1_normed"))
+        r6(norm(e)).as("l2_norm"),
+        r6(element_at(e, 1) / norm(e)).as("e1_normed"))
       .orderBy("vec_id")
   }
 
@@ -118,11 +118,12 @@ object VectorOps {
     "embed_neardup" -> embedNeardup _,
   )
 
-  /** DuckDB cosine: double-cast dot product over the same fold order. */
+  /** DuckDB cosine: double-cast dot product over the same fold order,
+    * half-up 6-dp round matching [[graft.Tables.r6]]. */
   private def sqlCos(a: String, b: String): String =
-    s"""round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) /
+    s"""floor((list_dot_product($a::DOUBLE[], $b::DOUBLE[]) /
        |    (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) *
-       |     sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)""".stripMargin
+       |     sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))) * 1000000 + 0.5) / 1000000""".stripMargin
 
   private val sqlCell =
     "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END + " +
@@ -131,9 +132,11 @@ object VectorOps {
   val oracleSql: Map[String, String] = Map(
     "embed_normalize" ->
       """SELECT vec_id, label,
-        |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
-        |  round(embedding[1]::DOUBLE /
-        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS e1_normed
+        |  floor(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |    * 1000000 + 0.5) / 1000000 AS l2_norm,
+        |  floor((embedding[1]::DOUBLE /
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+        |    * 1000000 + 0.5) / 1000000 AS e1_normed
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "knn_cosine" ->
       s"""SELECT vec_id, label, ${sqlCos("embedding", "qv")} AS cos

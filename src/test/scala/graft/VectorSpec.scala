@@ -18,8 +18,8 @@ class VectorSpec extends AnyFunSuite {
       a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
     val qn = math.sqrt(dot(q, q))
     vecs.toSeq.map { case (id, v) =>
-      val c = BigDecimal(dot(v, q) / (math.sqrt(dot(v, v)) * qn))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // same half-up formula as Tables.r6
+      val c = math.floor(dot(v, q) / (math.sqrt(dot(v, v)) * qn) * 1e6 + 0.5) / 1e6
       (id, c)
     }.sortBy { case (id, c) => (-c, id) }.take(k)
   }
