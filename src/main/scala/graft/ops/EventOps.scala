@@ -74,6 +74,20 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** C4b: Spark 4 VARIANT — the engine-native analogue of the reference's
+    * Snowflake VARIANT columns (/root/reference/dags/db_to_snowflake.py:82-85):
+    * `parse_json` → binary variant → typed `variant_get` extraction.
+    * Variant keeps the parsed tree in a compact binary form, so repeated
+    * path extraction skips re-parsing — the right ingest representation
+    * for semi-structured props at scale. */
+  def jsonVariant(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("variant_get(v, '$.tag', 'string')").as("tag"))
+      .orderBy("event_id")
+
   /** E1/E2: PERMISSIVE semi-structured parse — per-record tolerance, the
     * reference's `ON_ERROR='CONTINUE'`
     * (/root/reference/dags/db_to_snowflake.py:110). Every 100th record is
@@ -187,6 +201,7 @@ object EventOps {
     "events_session"       -> eventsSession _,
     "events_session_window" -> eventsSessionWindow _,
     "json_permissive"      -> jsonPermissive _,
+    "json_variant"         -> jsonVariant _,
     "upsert_latest_by_key" -> upsertLatestByKey _,
     "join_asof"            -> joinAsof _,
   )
@@ -259,6 +274,11 @@ object EventOps {
         |  CAST(max(epoch(date_trunc('second', ts)))
         |    - min(epoch(date_trunc('second', ts))) AS BIGINT) AS span_s
         |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "json_variant" ->
+      """SELECT event_id,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  json_extract_string(props, '$.tag') AS tag
+        |FROM events ORDER BY event_id""".stripMargin,
     "json_permissive" ->
       """SELECT event_id,
         |  CASE WHEN event_id % 100 = 0 THEN NULL

@@ -80,6 +80,26 @@ object VectorOps {
       .limit(K)
   }
 
+  /** L3c: multi-probe IVF — probe the query cell plus its 4 Hamming-1
+    * neighbours (the standard recall fix for boundary vectors: a vector
+    * whose dim-j sign is near zero sits on a cell edge). 5/16 of the
+    * table is scored instead of 1/16, still a 3× prune. */
+  def knnIvfMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .withColumn("cell", cellOf(col("embedding")))
+    val probes = (0 to 4).map { j =>
+      if (j == 0) col("qcell0") else expr(s"int(qcell0 ^ ${1 << (j - 1)})")
+    }
+    val q = e.filter(col("vec_id") === 0)
+      .select(asD(col("embedding")).as("qv"), col("cell").as("qcell0"))
+      .select(col("qv"), explode(array(probes: _*)).as("qcell"))
+    e.join(broadcast(q), col("cell") === col("qcell"))
+      .select(col("vec_id"), col("cell"),
+        cosine(asD(col("embedding")), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(K)
+  }
+
   /** L4: embedding near-dup — each vector's nearest same-label neighbour
     * (label = coarse bucket), flagged at cosine ≥ 0.35. Window top-1 per
     * vector, ties broken on neighbour id so the result is deterministic. */
@@ -115,6 +135,7 @@ object VectorOps {
     "embed_normalize" -> embedNormalize _,
     "knn_cosine"    -> knnCosine _,
     "knn_ivf"       -> knnIvf _,
+    "knn_ivf_multiprobe" -> knnIvfMultiprobe _,
     "embed_neardup" -> embedNeardup _,
   )
 
@@ -146,6 +167,14 @@ object VectorOps {
     "knn_ivf" ->
       s"""WITH c AS (SELECT vec_id, embedding, $sqlCell AS cell FROM embeddings),
          |q AS (SELECT embedding AS qv, cell AS qcell FROM c WHERE vec_id = 0)
+         |SELECT vec_id, CAST(cell AS INT) AS cell, ${sqlCos("embedding", "qv")} AS cos
+         |FROM c JOIN q ON cell = qcell
+         |ORDER BY cos DESC, vec_id ASC LIMIT $K""".stripMargin,
+    "knn_ivf_multiprobe" ->
+      s"""WITH c AS (SELECT vec_id, embedding, $sqlCell AS cell FROM embeddings),
+         |q0 AS (SELECT embedding AS qv, cell AS qcell0 FROM c WHERE vec_id = 0),
+         |q AS (SELECT qv, unnest([qcell0, xor(qcell0, 1), xor(qcell0, 2),
+         |                         xor(qcell0, 4), xor(qcell0, 8)]) AS qcell FROM q0)
          |SELECT vec_id, CAST(cell AS INT) AS cell, ${sqlCos("embedding", "qv")} AS cos
          |FROM c JOIN q ON cell = qcell
          |ORDER BY cos DESC, vec_id ASC LIMIT $K""".stripMargin,
