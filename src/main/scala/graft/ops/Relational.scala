@@ -334,6 +334,41 @@ object Relational {
   def setExcept(s: SparkSession, dir: String): DataFrame =
     buildingCust(s, dir).except(finishedCust(s, dir)).orderBy("k")
 
+  /** Multiset set-ops (bag semantics — duplicates preserved by count). */
+  def setExceptAll(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir).select(col("o_custkey").as("k"))
+      .exceptAll(customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("n")) // stable form for hash-compare
+      .orderBy("k")
+
+  def setIntersectAll(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir).select(col("o_custkey").as("k"))
+      .intersectAll(orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  /** A4c: explicit GROUPING SETS — independent slices in one pass (flag
+    * totals and status totals, not their cross product). */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir).createOrReplaceTempView("graft_li_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM graft_li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** A10: unpivot (wide→long) — the Spark 4 `unpivot`/melt API. */
+  def unpivotMelt(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+        "metric", "value")
+      .orderBy("p_partkey", "metric")
+
   // ------------------------------------------------------- scalar functions
 
   /** C-series string functions (lengths surfaced as BIGINT to match
@@ -591,6 +626,10 @@ object Relational {
     "agg_typed_wavg"      -> aggTypedWavg _,
     "date_arith"          -> dateArith _,
     "agg_cube"            -> aggCube _,
+    "set_except_all"      -> setExceptAll _,
+    "set_intersect_all"   -> setIntersectAll _,
+    "agg_grouping_sets"   -> aggGroupingSets _,
+    "unpivot_melt"        -> unpivotMelt _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -775,6 +814,28 @@ object Relational {
         |FROM orders
         |WHERE CAST('0x' || substring(md5(o_orderkey::VARCHAR), 1, 4) AS BIGINT) % 10 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    "set_except_all" ->
+      """SELECT k, COUNT(*) AS n FROM (
+        |  SELECT o_custkey AS k FROM orders
+        |  EXCEPT ALL
+        |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY k ORDER BY k""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT k, COUNT(*) AS n FROM (
+        |  SELECT o_custkey AS k FROM orders
+        |  INTERSECT ALL
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY k ORDER BY k""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "unpivot_melt" ->
+      """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
     "agg_typed_wavg" ->
       """SELECT l_returnflag,
         |  round(CAST(SUM(CAST(l_extendedprice * 1000000 AS BIGINT)
