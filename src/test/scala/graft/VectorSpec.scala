@@ -38,6 +38,18 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe IVF result contains the single-probe result (recall monotonicity)") {
+    val single = VectorOps.knnIvf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    val multi = VectorOps.knnIvfMultiprobe(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toMap
+    // every single-probe hit scoring >= the multi-probe cutoff must appear
+    val cutoff = multi.values.min
+    single.filter(_._2 > cutoff).foreach { case (id, c) =>
+      assert(multi.get(id).contains(c), s"vec $id lost by widening the probe set")
+    }
+  }
+
   test("approx_count_distinct stays within 5% of exact (A3 tolerance)") {
     val approx = Relational.aggApproxDistinct(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
