@@ -115,7 +115,12 @@ object DedupOps {
     * bucket size (a hot bucket is a banding-parameter bug, and AQE skew
     * handling is the backstop). Verify = set Jaccard on shingles, kept at
     * ≥ 0.8, joined only for candidate pairs (output-scale, never n²). */
-  def simjoinLsh(s: SparkSession, dir: String): DataFrame = {
+  def simjoinLsh(s: SparkSession, dir: String): DataFrame =
+    simPairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** Verified near-dup pairs (unordered) — shared by [[simjoinLsh]] and
+    * [[dedupClusters]]. */
+  private def simPairs(s: SparkSession, dir: String): DataFrame = {
     // The shingle rows feed three consumers (signature pipeline + both
     // verify sides); Spark plans each branch independently, so materialize
     // once. At cluster scale this is a checkpoint/intermediate table, not
@@ -138,7 +143,40 @@ object DedupOps {
         r6(size(array_intersect(col("sa.shingles"), col("sb.shingles"))).cast("double") /
           size(array_union(col("sa.shingles"), col("sb.shingles")))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** L4c: transitive dup-cluster collapse — near-dup PAIRS become dedup
+    * DECISIONS by connected components: every doc in a component keeps the
+    * component's min doc_id as cluster id (keep that one, drop the rest).
+    *
+    * Distributed min-label propagation: labels live in a DataFrame, each
+    * iteration joins labels across edges and takes the min — data stays
+    * partitioned on doc_id; the driver loop only checks the converged-row
+    * COUNT (control plane, not data). Iteration count = component
+    * diameter, and near-dup components are tiny by construction (bounded
+    * bucket sizes), so this converges in a handful of rounds even at
+    * corpus scale. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = simPairs(s, dir).select("doc_a", "doc_b").persist()
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy("src").agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .persist()
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
   }
 
   private val SimBits = 16
@@ -182,6 +220,7 @@ object DedupOps {
     "simjoin_lsh"         -> simjoinLsh _,
     "dedup_simhash"       -> dedupSimhash _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_clusters"      -> dedupClusters _,
   )
 
   /** Shared SQL fragments (DuckDB): shingles + minhash bands, mirroring
@@ -215,6 +254,23 @@ object DedupOps {
        |bands AS (
        |  $bandSelects)""".stripMargin
 
+  /** Candidate generation + exact-Jaccard verify as CTEs (requires
+    * shinglesCte + bandsCte in scope). */
+  private val pairsCte =
+    """cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |jac AS (
+      |  SELECT doc_a, doc_b,
+      |    floor((len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+      |      len(list_distinct(list_concat(sa.shingles, sb.shingles)))) * 1000000 + 0.5)
+      |      / 1000000 AS jaccard
+      |  FROM cand
+      |  JOIN shf sa ON doc_a = sa.doc_id
+      |  JOIN shf sb ON doc_b = sb.doc_id),
+      |pairs AS (SELECT * FROM jac WHERE jaccard >= 0.8)""".stripMargin
+
   private val simhashSums = (1 to SimBits).map { j =>
     s"SUM(CASE WHEN ascii(substring(h, $j, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
   }.mkString(",\n    ")
@@ -234,21 +290,21 @@ object DedupOps {
     "simjoin_lsh" ->
       s"""WITH $shinglesCte,
          |$bandsCte,
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b,
-         |  floor((len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-         |    len(list_distinct(list_concat(sa.shingles, sb.shingles)))) * 1000000 + 0.5)
-         |    / 1000000 AS jaccard
-         |FROM cand
-         |JOIN shf sa ON doc_a = sa.doc_id
-         |JOIN shf sb ON doc_b = sb.doc_id
-         |WHERE floor((len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-         |    len(list_distinct(list_concat(sa.shingles, sb.shingles)))) * 1000000 + 0.5)
-         |    / 1000000 >= 0.8
+         |$pairsCte
+         |SELECT doc_a, doc_b, jaccard FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |$bandsCte,
+         |$pairsCte,
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(n, m) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT e.a, reach.m FROM e JOIN reach ON e.b = reach.n)
+         |SELECT n AS doc_id, min(m) AS cluster_id
+         |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h

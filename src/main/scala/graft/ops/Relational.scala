@@ -215,25 +215,33 @@ object Relational {
     * shuffles before the aggregation. This is the 100 TB layout answer —
     * pay the partitioning once at write time, amortize it over every
     * subsequent join on that key. */
+  private val bucketedWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def joinBucketed(s: SparkSession, dir: String): DataFrame = {
     val sfx = dir.replaceAll("[^0-9]", "")
     val (liT, ordT) = (s"graft_li_b$sfx", s"graft_ord_b$sfx")
-    // The in-memory catalog is per-session but the warehouse directory
-    // outlives it; a stale location fails saveAsTable with
-    // LOCATION_ALREADY_EXISTS, so drop both catalog entry and directory.
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
-      f.delete(); ()
+    // Bucketed tables are WRITE-ONCE layout artifacts (that's the whole
+    // point — pay the shuffle at write time, reuse across queries), so
+    // within one JVM the write happens once per (session, sf).
+    if (bucketedWritten.add(s"${System.identityHashCode(s)}:$dir")) {
+      // The in-memory catalog is per-session but the warehouse directory
+      // outlives it; a stale location fails saveAsTable with
+      // LOCATION_ALREADY_EXISTS, so drop both catalog entry and directory.
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+        f.delete(); ()
+      }
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      Seq(liT, ordT).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        rmrf(new java.io.File(wh, t))
+      }
+      lineitem(s, dir).write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
+      orders(s, dir).write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)
     }
-    val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
-    Seq(liT, ordT).foreach { t =>
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      rmrf(new java.io.File(wh, t))
-    }
-    lineitem(s, dir).write.mode("overwrite")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
-    orders(s, dir).write.mode("overwrite")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)
     s.table(liT).join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
