@@ -53,6 +53,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_clusters matches a local union-find over the verified pairs") {
+    val pairs = DedupOps.simjoinLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    val got = DedupOps.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("simhash is stable and 16-bit bounded") {
     val fps = DedupOps.dedupSimhash(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
