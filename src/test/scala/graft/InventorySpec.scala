@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Harness-contract guards: the driver's correctness gate only checks what
+  * is DECLARED, so declaration drift (a query without an oracle, an orphan
+  * oracle, a broken flagship) silently weakens the gate. This spec makes
+  * drift a test failure instead. */
+class InventorySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Queries intentionally without a DuckDB oracle (rows-only check). Keep
+    * this list SHORT and justified. */
+  private val rowsOnly = Set(
+    "agg_approx_distinct" // HLL sketch internals differ; tolerance-tested in VectorSpec
+  )
+
+  test("every declared query has an oracle or a documented rows-only waiver") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries without oracle or waiver: $missing")
+  }
+
+  test("no orphan oracles (oracle for a query that doesn't exist)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"orphan oracle entries: $orphans")
+  }
+
+  test("rows-only waivers are still real queries") {
+    assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty)
+  }
+
+  test("flagship entry returns rows (driver t1 smoke parity)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle ends in a total ORDER BY or is a single-row aggregate") {
+    // hash-compare is order-sensitive; an oracle without ORDER BY must be
+    // a 1-row aggregate (count_star / scan_rest_pages shapes).
+    val noOrder = SparkEntry.oracleSql.filterNot(_._2.toUpperCase.contains("ORDER BY"))
+    val allowed = Set("count_star", "scan_rest_pages")
+    assert((noOrder.keySet -- allowed).isEmpty,
+      s"oracles missing ORDER BY: ${noOrder.keySet -- allowed}")
+  }
+}
