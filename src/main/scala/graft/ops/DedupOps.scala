@@ -167,12 +167,15 @@ object DedupOps {
     while (!converged && rounds < 20) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy("src").agg(min(col("lbl")).as("nbr_lbl"))
+      // change flag computed inside the propagation join — one action per
+      // round (materialize + convergence count together)
       val next = labels.join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).as("changed"))
         .persist()
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select("id", "lbl")
       rounds += 1
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
