@@ -183,7 +183,6 @@ object DedupOps {
   }
 
   private val SimBits = 16
-  private val HexDigits = "0123456789abcdef"
 
   /** SimHash (16-bit): per token-occurrence md5, bit j of the fingerprint
     * is the sign of Σ(±1) over the parity of hex digit j. Explode is
