@@ -109,6 +109,26 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** A11: statistical aggregates — sample stddev and Pearson correlation.
+    * Both engines compute in IEEE doubles with ~1e-12 relative agreement;
+    * the half-up 6-dp round absorbs the algorithmic difference (Welford
+    * vs two-pass). Verified stable at sf0.01 AND sf0.1. */
+  def aggStats(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(r6(stddev_samp(col("l_discount"))).as("sd_disc"),
+        r6(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+        r6(covar_samp(col("l_quantity"), col("l_discount"))).as("cov_qty_disc"))
+      .orderBy("l_returnflag")
+
+  /** A12: histogram — fixed-width bucketing of document lengths (the
+    * corpus length-distribution probe every data-quality pass runs). */
+  def docLengthHistogram(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(floor(col("n_chars") / 100).cast("long").as("bucket_100"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket_100")
+
   /** A5: collect-to-array (inverse of the reference's author-array flatten,
     * /root/reference/scripts/transform.py:27-29). `sort_array` pins the
     * nondeterministic collect order; emitted as a joined string so the
@@ -638,6 +658,8 @@ object Relational {
     "set_intersect_all"   -> setIntersectAll _,
     "agg_grouping_sets"   -> aggGroupingSets _,
     "unpivot_melt"        -> unpivotMelt _,
+    "agg_stats"           -> aggStats _,
+    "doc_length_histogram" -> docLengthHistogram _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -844,6 +866,15 @@ object Relational {
         |UNION ALL
         |SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
         |ORDER BY p_partkey, metric""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  floor(stddev_samp(l_discount) * 1000000 + 0.5) / 1000000 AS sd_disc,
+        |  floor(corr(l_quantity, l_extendedprice) * 1000000 + 0.5) / 1000000 AS corr_qty_price,
+        |  floor(covar_samp(l_quantity, l_discount) * 1000000 + 0.5) / 1000000 AS cov_qty_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "doc_length_histogram" ->
+      """SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket_100, COUNT(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY bucket_100""".stripMargin,
     "agg_typed_wavg" ->
       """SELECT l_returnflag,
         |  round(CAST(SUM(CAST(l_extendedprice * 1000000 AS BIGINT)
