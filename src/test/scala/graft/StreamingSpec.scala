@@ -85,6 +85,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == model)
   }
 
+  test("mapGroupsWithState keep-latest is correct INCREMENTALLY (update-mode stream)") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val all = eventsDs.collect().sortBy(_.event_id).toSeq
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.latestByUser(ms.toDS())
+      .writeStream.format("memory").queryName("s_latest").outputMode("update").start()
+    try {
+      all.grouped(math.max(1, all.size / 3)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // update-mode memory sink appends one row per (user, batch) update;
+    // the LAST update per user must equal the batch keep-latest result
+    val sink = spark.table("s_latest").as[Ev].collect()
+    val lastUpdate = sink.zipWithIndex
+      .groupBy(_._1.user_id).map { case (u, rows) => u -> rows.maxBy(_._2)._1.event_id }
+    val want = graft.ops.EventOps.upsertLatestByKey(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+    assert(lastUpdate == want)
+  }
+
   test("mapGroupsWithState keep-latest == batch window-dedup upsert") {
     val sq = spark; import sq.implicits._
     val got = StreamingOps.latestByUser(eventsDs).collect()
