@@ -45,6 +45,17 @@ object PagedBooksTable {
   /** Deterministic feed row `i` (the stand-in for one REST record). */
   def rowAt(i: Long): (Long, String, Double) =
     (i, s"book-$i", (i % 100) / 100.0)
+
+  /** Field value by name for pruned-schema reads. */
+  def fieldAt(i: Long, field: String): Any = field match {
+    case "id"     => i
+    case "title"  => UTF8String.fromString(s"book-$i")
+    case "rating" => (i % 100) / 100.0
+  }
+
+  /** Observability hook for tests: rows planned by the latest scan (after
+    * limit pushdown). */
+  @volatile var lastPlannedRows: Long = -1L
 }
 
 class PagedBooksTable extends Table with SupportsRead {
@@ -53,24 +64,38 @@ class PagedBooksTable extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
 
+  /** The scan builder honors Catalyst pushdowns the way a real REST source
+    * must to be efficient: column pruning (request only needed fields) and
+    * limit pushdown — the DSv2 form of the reference's quota-cap early
+    * stop (/root/reference/scripts/extract.py:61-64): a pushed LIMIT means
+    * later pages are never fetched at all. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val rows = options.getLong("rows", 1000L)
+    val totalRows = options.getLong("rows", 1000L)
     val pageSize = options.getLong("pageSize", 100L)
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+        with Scan with Batch {
+      private var prunedSchema: StructType = PagedBooksTable.Schema
+      private var rowCap: Long = totalRows
+      override def pruneColumns(required: StructType): Unit = prunedSchema = required
+      override def pushLimit(n: Int): Boolean = { rowCap = math.min(rowCap, n.toLong); true }
       override def build(): Scan = this
-      override def readSchema(): StructType = PagedBooksTable.Schema
+      override def readSchema(): StructType = prunedSchema
       override def toBatch: Batch = this
-      override def planInputPartitions(): Array[InputPartition] =
-        (0L until rows by pageSize)
-          .map(off => PagePartition(off, math.min(pageSize, rows - off)): InputPartition)
+      override def planInputPartitions(): Array[InputPartition] = {
+        PagedBooksTable.lastPlannedRows = rowCap
+        (0L until rowCap by pageSize)
+          .map(off => PagePartition(off, math.min(pageSize, rowCap - off),
+            prunedSchema.fieldNames): InputPartition)
           .toArray
+      }
       override def createReaderFactory(): PartitionReaderFactory =
         new PageReaderFactory
     }
   }
 }
 
-case class PagePartition(offset: Long, count: Long) extends InputPartition
+case class PagePartition(offset: Long, count: Long, fields: Array[String])
+    extends InputPartition
 
 class PageReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -78,10 +103,8 @@ class PageReaderFactory extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private var i = -1L
       override def next(): Boolean = { i += 1; i < p.count }
-      override def get(): InternalRow = {
-        val (id, title, rating) = PagedBooksTable.rowAt(p.offset + i)
-        InternalRow(id, UTF8String.fromString(title), rating)
-      }
+      override def get(): InternalRow = InternalRow.fromSeq(
+        p.fields.toIndexedSeq.map(f => PagedBooksTable.fieldAt(p.offset + i, f)))
       override def close(): Unit = ()
     }
   }
