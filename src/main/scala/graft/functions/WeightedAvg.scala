@@ -1,5 +1,7 @@
 package graft.functions
 
+import java.math.{BigDecimal => JBD, RoundingMode}
+
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
@@ -7,31 +9,36 @@ import org.apache.spark.sql.expressions.Aggregator
   * `Aggregator[IN, BUF, OUT]` — the engine's sanctioned path for custom
   * aggregation logic (black-box row UDFs stay banned).
   *
-  * The buffer keeps the weighted sum in SCALED LONG space (micro-units),
-  * not doubles: partial buffers merge in any order on a cluster, and
-  * integer accumulation makes the result partition-order-independent —
-  * the same determinism-by-construction rule as [[graft.Tables.dsum]].
-  * Inputs are (value, weight) pairs with 2-decimal test data; the ×1e6
-  * scaling is exact for them and overflows only past ~9e12 weighted sum,
-  * far beyond the fixture range.
+  * The buffer keeps (Σ value·weight, Σ weight) as exact DECIMALs, with
+  * both inputs snapped to 6 decimal places on entry: partial buffers merge
+  * in any order on a cluster, and decimal accumulation makes the result
+  * partition-order-independent — the same determinism-by-construction rule
+  * as [[graft.Tables.dsum]]. Fractional weights are exact to 6 dp (0.25
+  * stays 0.25); inputs must satisfy |x| < 9.2e12 (the 6-dp scaled-long
+  * snap), far beyond the fixture range. The Σv·w column needs ≤ 20 integer
+  * digits inside the encoder's DECIMAL(38,18) — ~1e20, out of reach even
+  * at petabyte row counts.
   */
-object WeightedAvg extends Aggregator[(Double, Double), (Long, Long), Double] {
-  private val Scale = 1000000L
+object WeightedAvg extends Aggregator[(Double, Double), (JBD, JBD), Double] {
+  /** Snap a double to an exact 6-dp decimal (half-up, like SQL round). */
+  private def d6(x: Double): JBD = JBD.valueOf(math.round(x * 1e6), 6)
 
-  override def zero: (Long, Long) = (0L, 0L)
+  override def zero: (JBD, JBD) = (JBD.ZERO, JBD.ZERO)
 
-  override def reduce(b: (Long, Long), in: (Double, Double)): (Long, Long) = {
-    val (v, w) = in
-    (b._1 + math.round(v * Scale) * math.round(w), b._2 + math.round(w))
+  override def reduce(b: (JBD, JBD), in: (Double, Double)): (JBD, JBD) = {
+    val v = d6(in._1)
+    val w = d6(in._2)
+    (b._1.add(v.multiply(w)), b._2.add(w))
   }
 
-  override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
-    (a._1 + b._1, a._2 + b._2)
+  override def merge(a: (JBD, JBD), b: (JBD, JBD)): (JBD, JBD) =
+    (a._1.add(b._1), a._2.add(b._2))
 
-  override def finish(b: (Long, Long)): Double =
-    if (b._2 == 0L) Double.NaN else b._1.toDouble / Scale / b._2
+  override def finish(b: (JBD, JBD)): Double =
+    if (b._2.signum == 0) Double.NaN
+    else b._1.divide(b._2, 12, RoundingMode.HALF_EVEN).doubleValue
 
-  override def bufferEncoder: Encoder[(Long, Long)] =
-    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+  override def bufferEncoder: Encoder[(JBD, JBD)] =
+    Encoders.tuple(Encoders.DECIMAL, Encoders.DECIMAL)
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }

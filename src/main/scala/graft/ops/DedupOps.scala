@@ -29,6 +29,22 @@ import org.apache.spark.sql.expressions.Window
   */
 object DedupOps {
 
+  /** Caches from the PREVIOUS dedup invocation. Lazy results can't be
+    * unpersisted before their consumer's action runs, so lifecycle is
+    * generational: each new dedup query first retires everything the last
+    * one cached — a long-lived session (Bench warm-up + repeated timed
+    * runs) holds at most one generation of blocks instead of accumulating
+    * one per invocation. */
+  private val cachedGen = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def retireCaches(): Unit = synchronized {
+    cachedGen.foreach(_.unpersist(false)); cachedGen.clear()
+  }
+
+  private def cache(df: DataFrame): DataFrame = synchronized {
+    cachedGen += df; df.persist()
+  }
+
   /** Distinct word-3-gram shingles, one ROW per (doc_id, shingle).
     *
     * Deliberately NOT a higher-order-function array build: HOF lambdas
@@ -125,7 +141,8 @@ object DedupOps {
     // verify sides); Spark plans each branch independently, so materialize
     // once. At cluster scale this is a checkpoint/intermediate table, not
     // an executor cache.
-    val shRows = shingleRows(s, dir).persist()
+    retireCaches()
+    val shRows = cache(shingleRows(s, dir))
     val cand = bandTableFrom(shRows)
       .groupBy("band", "band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -157,14 +174,19 @@ object DedupOps {
     * bucket sizes), so this converges in a handful of rounds even at
     * corpus scale. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = simPairs(s, dir).select("doc_a", "doc_b").persist()
+    val MaxRounds = 50
+    val pairs = cache(simPairs(s, dir).select("doc_a", "doc_b"))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
-    var labels = edges.select(col("src").as("id")).distinct()
+    // `prev` is always THE frame persist() was called on (unpersisting a
+    // derived select is a cache-manager no-op); `labels` is the id/lbl
+    // view of it fed to the next round.
+    var prev = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).persist()
+    var labels = prev
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < MaxRounds) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy("src").agg(min(col("lbl")).as("nbr_lbl"))
       // change flag computed inside the propagation join — one action per
@@ -175,9 +197,22 @@ object DedupOps {
           (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).as("changed"))
         .persist()
       converged = next.filter(col("changed")).isEmpty
+      // `next` is materialized by the convergence action, so last round's
+      // labels are dead — drop them NOW, not at end-of-query: the loop's
+      // peak footprint stays at two generations of labels regardless of
+      // component diameter.
+      prev.unpersist(false)
+      prev = next
       labels = next.select("id", "lbl")
       rounds += 1
     }
+    // Silent truncation would return plausible-but-wrong cluster ids;
+    // a diameter > MaxRounds component must fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters: min-label propagation not converged after $MaxRounds rounds " +
+          "(a connected component has diameter > MaxRounds)")
+    cachedGen += prev // retire with the generation, not before the consumer runs
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
   }

@@ -243,8 +243,12 @@ object Relational {
     val (liT, ordT) = (s"graft_li_b$sfx", s"graft_ord_b$sfx")
     // Bucketed tables are WRITE-ONCE layout artifacts (that's the whole
     // point — pay the shuffle at write time, reuse across queries), so
-    // within one JVM the write happens once per (session, sf).
-    if (bucketedWritten.add(s"${System.identityHashCode(s)}:$dir")) {
+    // within one JVM the write happens once per (session, sf). The set
+    // alone can false-positive (identityHashCode collides across session
+    // lifetimes), so a catalog existence check backs it up: skip only
+    // when this session can actually resolve both tables.
+    if (bucketedWritten.add(s"${System.identityHashCode(s)}:$dir") ||
+        !s.catalog.tableExists(liT) || !s.catalog.tableExists(ordT)) {
       // The in-memory catalog is per-session but the warehouse directory
       // outlives it; a stale location fails saveAsTable with
       // LOCATION_ALREADY_EXISTS, so drop both catalog entry and directory.
@@ -877,9 +881,10 @@ object Relational {
         |FROM documents GROUP BY 1 ORDER BY bucket_100""".stripMargin,
     "agg_typed_wavg" ->
       """SELECT l_returnflag,
-        |  round(CAST(SUM(CAST(l_extendedprice * 1000000 AS BIGINT)
-        |      * CAST(l_quantity AS BIGINT)) AS DOUBLE)
-        |    / 1000000 / SUM(CAST(l_quantity AS BIGINT)), 6) AS wavg_price
+        |  round(CAST(SUM(CAST(round(l_extendedprice, 6) AS DECIMAL(25,6))
+        |      * CAST(round(l_quantity, 6) AS DECIMAL(25,6))) AS DOUBLE)
+        |    / CAST(SUM(CAST(round(l_quantity, 6) AS DECIMAL(25,6))) AS DOUBLE),
+        |    6) AS wavg_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "join_bucketed" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
