@@ -19,7 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.EventOps.queries ++ ops.TextOps.queries ++
       ops.DedupOps.queries ++ ops.VectorOps.queries ++ ops.BooksOps.queries ++
-      ops.MultimodalOps.queries
+      ops.MultimodalOps.queries ++ ops.PipelineOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops → driver
@@ -27,5 +27,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracleSql ++ ops.EventOps.oracleSql ++ ops.TextOps.oracleSql ++
       ops.DedupOps.oracleSql ++ ops.VectorOps.oracleSql ++ ops.BooksOps.oracleSql ++
-      ops.MultimodalOps.oracleSql
+      ops.MultimodalOps.oracleSql ++ ops.PipelineOps.oracleSql
 }

@@ -1,0 +1,206 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-pipeline patterns the reference implies but never needed at its
+  * 157-row scale (full-refresh daily batch, `/root/reference/dags/bigbookapi.py:51`;
+  * idempotent upsert precedent in the orphaned HF DAG, SURVEY.md §2.11):
+  * runtime-filtered joins, changelog application, stratified corpus
+  * sampling, token-budget shard packing, and rule-based quality
+  * filtering. Each is written in the shape that survives 100 TB — the
+  * scaladoc on every operator names the scale mechanism it demonstrates.
+  */
+object PipelineOps {
+
+  /** J10: bloom-runtime-filter join — the build side's join keys are
+    * sketched into a Bloom filter (driver-side, like Spark's own
+    * `InjectRuntimeFilter`), and the probe side is pre-filtered by
+    * membership BEFORE the shuffle. At 100 TB this is the difference
+    * between shuffling the whole fact table and shuffling only the ~20%
+    * that can possibly match; false positives cost nothing because the
+    * exact join still runs after. The membership udf is the sanctioned
+    * exception to the no-black-box-UDF policy: it wraps a broadcast
+    * sketch, exactly what Catalyst's internal BloomFilterMightContain
+    * does.
+    *
+    * Oracle = the plain exact join (the bloom is transparent to
+    * semantics — that is the point being verified). */
+  def joinBloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val dim = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val bf = dim.stat.bloomFilter("c_custkey", math.max(dim.count(), 1000L), 0.01)
+    val mightContain = udf((k: Long) => bf.mightContain(k))
+    orders(s, dir)
+      .filter(col("o_custkey").isNotNull && mightContain(col("o_custkey")))
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** K7: CDC changelog application — the batch form of the reference's
+    * `INSERT ... ON CONFLICT DO UPDATE` (SURVEY.md §2.11/K6) generalized
+    * to I/U/D ops: snapshot ∪ changelog → keep the highest-seq row per
+    * key → drop deletes. One shuffle on the key, no driver-side state;
+    * at 100 TB the union sides are co-partitioned on the key so the
+    * window is the only exchange. The changelog here is derived
+    * deterministically from the snapshot so DuckDB can replay it. */
+  def cdcApplyChanges(s: SparkSession, dir: String): DataFrame = {
+    val base = customer(s, dir)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"), lit(1).as("seq"), lit("I").as("op"))
+    val upd = customer(s, dir).filter(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        (col("c_acctbal") + 100.0).as("acctbal"), lit(2).as("seq"), lit("U").as("op"))
+    val del = customer(s, dir).filter(col("c_custkey") % 10 === 7)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"), lit(2).as("seq"), lit("D").as("op"))
+    val ins = customer(s, dir).filter(col("c_custkey") % 10 === 1)
+      .select((col("c_custkey") + 1000000L).as("k"), col("c_name").as("name"),
+        lit(0.0).as("acctbal"), lit(2).as("seq"), lit("I").as("op"))
+    val w = Window.partitionBy("k").orderBy(col("seq").desc)
+    base.unionAll(upd).unionAll(del).unionAll(ins)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("k").as("c_custkey"), col("name").as("c_name"),
+        col("acctbal").as("c_acctbal"), col("op"))
+      .orderBy("c_custkey")
+  }
+
+  /** L10: stratified corpus sampling — per-language keep rates (downsample
+    * the dominant language, keep low-resource ones) decided by a
+    * DETERMINISTIC hash of the stable doc_id, never `rand()`: a backfill
+    * re-run at 100 TB must select the same rows, and the hash-mod form
+    * pushes to a map-side filter with zero shuffle (same mechanism as
+    * `sample_hash`, SURVEY.md §2.9). */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    val rate = when(col("lang") === "en", 10).otherwise(40)
+    documents(s, dir)
+      .filter(h < rate)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** L11: token-budget shard packing — assign documents to training
+    * shards by cumulative token count. A naive global running sum is a
+    * single-task window; this is the SCALABLE two-pass prefix sum:
+    * (1) partition docs into ordered buckets and take a parallel
+    * per-bucket running sum, (2) prefix-sum the tiny per-bucket totals
+    * (one row per bucket — driver-scale even at 100 TB), (3) global
+    * offset = bucket offset + within-bucket position. Every heavy window
+    * is partitioned; the only global window runs over n/100 rows. */
+  def shardPackTokens(s: SparkSession, dir: String): DataFrame = {
+    val Budget = 10000L
+    val toks = documents(s, dir)
+      .select(col("doc_id"), (col("doc_id") / lit(100)).cast("long").as("bucket"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withBucketPos = toks
+      .withColumn("within", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+    val wB = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy("bucket").agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("offset", coalesce(sum(col("btot")).over(wB), lit(0L)))
+      .select(col("bucket").as("ob"), col("offset"))
+    withBucketPos
+      .join(broadcast(offsets), col("bucket") === col("ob"))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("offset") + col("within")) / Budget).cast("long").as("shard"))
+      .orderBy("doc_id")
+  }
+
+  /** L12: rule-based quality filter — the curation decision step: each
+    * document gets keep/drop with the FIRST failing rule as the reason
+    * (too short / too long / too repetitive — the token-repetition rule
+    * from the Gopher-style quality heuristics: total/distinct token
+    * ratio). Pure map-side scalar work over pruned columns; at 100 TB
+    * this is a zero-shuffle pass whose output feeds the sampling and
+    * dedup stages. Thresholds are corpus-calibrated so every outcome is
+    * represented in the fixtures. */
+  def docsQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val repRatio = size(toks).cast("double") / size(array_distinct(toks))
+    documents(s, dir)
+      .withColumn("rep_ratio", repRatio)
+      .withColumn("reason",
+        when(col("n_chars") < 150, "too_short")
+          .when(col("n_chars") > 450, "too_long")
+          .when(col("rep_ratio") > 2.5, "too_repetitive")
+          .otherwise("keep"))
+      .select(col("doc_id"), col("reason"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bloom_prefilter" -> joinBloomPrefilter _,
+    "cdc_apply_changes"    -> cdcApplyChanges _,
+    "sample_stratified"    -> sampleStratified _,
+    "shard_pack_tokens"    -> shardPackTokens _,
+    "docs_quality_filter"  -> docsQualityFilter _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "join_bloom_prefilter" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "cdc_apply_changes" ->
+      """WITH chg AS (
+        |  SELECT c_custkey AS k, c_name AS name, c_acctbal AS acctbal,
+        |         1 AS seq, 'I' AS op FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal + 100.0, 2, 'U'
+        |  FROM customer WHERE c_custkey % 10 = 3
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, 2, 'D'
+        |  FROM customer WHERE c_custkey % 10 = 7
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, 0.0, 2, 'I'
+        |  FROM customer WHERE c_custkey % 10 = 1),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM chg)
+        |SELECT k AS c_custkey, name AS c_name, acctbal AS c_acctbal, op
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source
+        |FROM documents
+        |WHERE CAST('0x' || substring(md5(doc_id::VARCHAR), 1, 4) AS BIGINT) % 100
+        |      < CASE WHEN lang = 'en' THEN 10 ELSE 40 END
+        |ORDER BY doc_id""".stripMargin,
+    "shard_pack_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id // 100 AS bucket,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, bucket, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS within
+        |  FROM toks),
+        |offs AS (
+        |  SELECT bucket,
+        |    COALESCE(SUM(SUM(n_tokens)) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM toks GROUP BY bucket)
+        |SELECT doc_id, n_tokens, CAST((off + within) // 10000 AS BIGINT) AS shard
+        |FROM pos JOIN offs USING (bucket)
+        |ORDER BY doc_id""".stripMargin,
+    "docs_quality_filter" ->
+      """SELECT doc_id,
+        |  CASE WHEN n_chars < 150 THEN 'too_short'
+        |       WHEN n_chars > 450 THEN 'too_long'
+        |       WHEN len(string_split(text, ' '))::DOUBLE
+        |            / len(list_distinct(string_split(text, ' '))) > 2.5
+        |         THEN 'too_repetitive'
+        |       ELSE 'keep' END AS reason
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the pipeline/curation operators
+  * (graft.ops.PipelineOps) that the hash-vs-oracle gate can't express. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  test("bloom prefilter is semantically transparent (equals plain join)") {
+    val withBloom = ops.PipelineOps.joinBloomPrefilter(spark, sf)
+    val plain = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf).filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+    val a = withBloom.select("o_orderpriority", "n").collect().toSeq
+    val b = plain.collect().toSeq
+    assert(a == b)
+  }
+
+  test("cdc apply: deletes gone, updates applied, inserts present") {
+    val out = ops.PipelineOps.cdcApplyChanges(spark, sf).cache()
+    val snap = Tables.customer(spark, sf).cache()
+    // no key with c_custkey % 10 == 7 survives (and inserts shift by 1e6)
+    assert(out.filter(col("c_custkey") % 10 === 7 && col("c_custkey") < 1000000).isEmpty)
+    // an updated key carries acctbal + 100
+    val k = snap.filter(col("c_custkey") % 10 === 3)
+      .select("c_custkey", "c_acctbal").head()
+    val got = out.filter(col("c_custkey") === k.getLong(0)).select("c_acctbal").head().getDouble(0)
+    assert(math.abs(got - (k.getDouble(1) + 100.0)) < 1e-9)
+    // every insert key exists exactly once with op = 'I'
+    val nIns = snap.filter(col("c_custkey") % 10 === 1).count()
+    assert(out.filter(col("c_custkey") >= 1000000).count() == nIns)
+    out.unpersist(); snap.unpersist(); ()
+  }
+
+  test("shard packing: shards are contiguous, ordered, and budget-bounded") {
+    val out = ops.PipelineOps.shardPackTokens(spark, sf).collect()
+    val Budget = 10000L
+    // non-decreasing shard ids in doc order
+    assert(out.map(_.getLong(2)).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    // a shard's token mass stays under budget + one max-doc overhang
+    val maxDoc = out.map(_.getLong(1)).max
+    val perShard = out.groupBy(_.getLong(2)).map { case (_, rs) => rs.map(_.getLong(1)).sum }
+    assert(perShard.forall(_ <= Budget + maxDoc))
+  }
+
+  test("stratified sampling downsamples the dominant stratum") {
+    val docs = Tables.documents(spark, sf)
+    val kept = ops.PipelineOps.sampleStratified(spark, sf)
+    val totEn = docs.filter(col("lang") === "en").count().toDouble
+    val totOther = docs.filter(col("lang") =!= "en").count().toDouble
+    val kEn = kept.filter(col("lang") === "en").count() / totEn
+    val kOther = kept.filter(col("lang") =!= "en").count() / totOther
+    assert(kEn < kOther, s"en rate $kEn should be below others $kOther")
+  }
+
+  test("quality filter reasons match the rule boundaries") {
+    val out = ops.PipelineOps.docsQualityFilter(spark, sf)
+      .join(Tables.documents(spark, sf), "doc_id")
+    assert(out.filter(col("reason") === "too_short" && col("n_chars") >= 150).isEmpty)
+    assert(out.filter(col("reason") === "too_long" && col("n_chars") <= 450).isEmpty)
+    assert(out.filter(col("reason") === "keep" &&
+      (col("n_chars") < 150 || col("n_chars") > 450)).isEmpty)
+  }
+}
