@@ -336,6 +336,18 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
+  /** W4b: the same top-3-per-customer through the NATIVE TopKPerGroup
+    * operator (graft.plans: LogicalPlan + Strategy + partial/final
+    * SparkPlan). Semantically identical to [[topkPerGroup]] minus the rank
+    * column; the plan shuffles at most k rows per (group × partition)
+    * instead of sorting the whole input — see TopKPerGroup scaladoc. */
+  def topkNative(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerGroup(orders(s, dir), 3,
+      Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+
   // ------------------------------------------------------------ sort/limit
 
   /** Sort + limit — Spark plans TakeOrderedAndProject: each partition keeps
@@ -633,6 +645,7 @@ object Relational {
     "window_lag"          -> windowLag _,
     "window_running"      -> windowRunning _,
     "topk_per_group"      -> topkPerGroup _,
+    "topk_native"         -> topkNative _,
     "sort_limit"          -> sortLimit _,
     "set_union"           -> setUnion _,
     "set_intersect"       -> setIntersect _,
@@ -764,6 +777,14 @@ object Relational {
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
         |  FROM orders) q
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "topk_native" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) q
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "sort_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC

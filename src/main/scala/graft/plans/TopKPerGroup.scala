@@ -1,0 +1,123 @@
+package graft.plans
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftx.Bridge
+
+/** Whole-operator Catalyst extension (SURVEY.md §2 mapping (c)): native
+  * top-k-per-group as a `LogicalPlan` + `SparkStrategy` + `SparkPlan`
+  * stack, registered through `SparkSessionExtensions` (GraftExtensions).
+  *
+  * Why an operator and not the window idiom: `row_number() OVER
+  * (PARTITION BY g ORDER BY o) <= k` shuffles and SORTS every input row —
+  * at 100 TB that is a full-data exchange plus an n·log(n) sort per
+  * partition, to then discard all but k rows per group. This operator
+  * plans as partial → exchange → final: the PARTIAL instance runs
+  * map-side and keeps a bounded k-row buffer per group, so the exchange
+  * carries at most k rows per (group × input partition) — the same
+  * partial-aggregation asymmetry that makes hash aggregates scale, applied
+  * to a selection operator. The FINAL instance (after a hash exchange on
+  * the grouping keys, inserted by `EnsureRequirements` from its declared
+  * `ClusteredDistribution`) merges the survivors exactly.
+  *
+  * Exactness requires the ordering to be TOTAL (callers pass a unique
+  * tiebreak, as the window idiom also needs for determinism): partial
+  * top-k under a total order is closed under merge.
+  */
+case class TopKPerGroupNode(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"top-k requires k > 0, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =
+    copy(child = newChild)
+}
+
+/** Physical operator; one class, two roles. `partial = true` consumes any
+  * distribution (map-side, bounded memory: ≤ 2k rows buffered per live
+  * group); `partial = false` declares `ClusteredDistribution(groupExprs)`
+  * so the planner co-locates each group before the exact merge. */
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val g = groupExprs
+    val o = order
+    val kk = k
+    child.execute().mapPartitions({ it =>
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+      val keyProj = UnsafeProjection.create(g, childOutput)
+      val ord = RowOrdering.create(o, childOutput)
+      val groups = new java.util.HashMap[UnsafeRow, ArrayBuffer[UnsafeRow]]()
+      while (it.hasNext) {
+        val u = toUnsafe(it.next())
+        var buf = groups.get(keyProj(u))
+        if (buf == null) {
+          buf = new ArrayBuffer[UnsafeRow](kk + 1)
+          groups.put(keyProj(u).copy(), buf)
+        }
+        buf += u.copy()
+        // amortized truncation: sort+cut at 2k keeps per-group memory and
+        // comparison count bounded without a heap's per-row overhead
+        if (buf.length >= 2 * kk) {
+          val kept = buf.sorted(ord.on((r: UnsafeRow) => r: InternalRow)).take(kk)
+          buf.clear()
+          buf ++= kept
+        }
+      }
+      groups.values.asScala.iterator.flatMap { buf =>
+        buf.sorted(ord.on((r: UnsafeRow) => r: InternalRow)).take(kk)
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
+/** Planner strategy: TopKPerGroupNode → final(partial(child)). */
+class TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupNode(g, o, k, child) =>
+      TopKPerGroupExec(g, o, k, partial = false,
+        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerGroup {
+  /** Public entry: top `k` rows per group under a TOTAL `orderCols` order.
+    * Requires a session built with GraftExtensions (for the strategy). */
+  def apply(df: DataFrame, k: Int, groupCols: Seq[Column], orderCols: Seq[Column]): DataFrame = {
+    val sess = df.sparkSession
+    val g = groupCols.map(Bridge.expr(sess, _))
+    val o = orderCols.map(Bridge.expr(sess, _)).map {
+      case s: SortOrder => s
+      case e            => SortOrder(e, Ascending)
+    }
+    Bridge.ofRows(sess, TopKPerGroupNode(g, o, k, Bridge.analyzedPlan(df)))
+  }
+}
