@@ -204,7 +204,18 @@ object EventOps {
     "json_variant"         -> jsonVariant _,
     "upsert_latest_by_key" -> upsertLatestByKey _,
     "join_asof"            -> joinAsof _,
+    "events_interval_join" -> eventsIntervalJoin _,
   )
+
+  /** J11/§2.13: batch twin of the stream-stream interval join
+    * ([[graft.streaming.StreamingOps.viewPurchaseJoin]]) — identical
+    * logical plan over a static frame, which is what makes the streaming
+    * operator oracle-checkable at all. */
+  def eventsIntervalJoin(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.viewPurchaseJoin(events(s, dir))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        tsFmt(col("v_ts")).as("v_ts_s"), tsFmt(col("p_ts")).as("p_ts_s"))
+      .orderBy("view_id", "purchase_id")
 
   val oracleSql: Map[String, String] = Map(
     "funnel_conversion" ->
@@ -315,6 +326,16 @@ object EventOps {
         |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events) q
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "events_interval_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  strftime(CAST(v.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS v_ts_s,
+        |  strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS p_ts_s
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+        |ORDER BY view_id, purchase_id""".stripMargin,
     "join_asof" ->
       """SELECT p.event_id, p.user_id,
         |  strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_s,

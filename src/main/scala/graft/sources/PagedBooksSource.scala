@@ -56,6 +56,10 @@ object PagedBooksTable {
   /** Observability hook for tests: rows planned by the latest scan (after
     * limit pushdown). */
   @volatile var lastPlannedRows: Long = -1L
+
+  /** Observability hook for tests: transient-failure retries performed by
+    * page readers since JVM start. */
+  val retriesObserved = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 class PagedBooksTable extends Table with SupportsRead {
@@ -72,6 +76,10 @@ class PagedBooksTable extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val totalRows = options.getLong("rows", 1000L)
     val pageSize = options.getLong("pageSize", 100L)
+    // Fault-injection knobs for the E4 retry path (0 = healthy endpoint):
+    // every flakyEvery-th page fails its first fetch attempt.
+    val flakyEvery = options.getLong("flakyEvery", 0L)
+    val backoffMs = options.getLong("backoffMs", 2000L)
     new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
         with Scan with Batch {
       private var prunedSchema: StructType = PagedBooksTable.Schema
@@ -85,7 +93,9 @@ class PagedBooksTable extends Table with SupportsRead {
         PagedBooksTable.lastPlannedRows = rowCap
         (0L until rowCap by pageSize)
           .map(off => PagePartition(off, math.min(pageSize, rowCap - off),
-            prunedSchema.fieldNames): InputPartition)
+            prunedSchema.fieldNames,
+            flakyFirstAttempt = flakyEvery > 0 && (off / pageSize) % flakyEvery == 0,
+            backoffMs = backoffMs): InputPartition)
           .toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
@@ -94,17 +104,52 @@ class PagedBooksTable extends Table with SupportsRead {
   }
 }
 
-case class PagePartition(offset: Long, count: Long, fields: Array[String])
+case class PagePartition(offset: Long, count: Long, fields: Array[String],
+    flakyFirstAttempt: Boolean = false, backoffMs: Long = 2000L)
     extends InputPartition
 
 class PageReaderFactory extends PartitionReaderFactory {
+
+  /** E4 (extract.py:36-39): transient source errors are retried with
+    * exponential backoff INSIDE the partition reader — each page recovers
+    * independently, no task failure, no stage retry. Deliberate divergence
+    * from the reference's retry-FOREVER: a permanently dark endpoint
+    * should fail the task (and surface through Spark's own task-retry
+    * budget), not hang the job — so attempts are capped. Non-transient
+    * errors abort immediately, matching extract.py's abort-on-other-errors
+    * branch. */
+  private val MaxAttempts = 4
+
+  private def fetchWithRetry[A](p: PagePartition)(fetch: Int => A): A = {
+    var attempt = 1
+    var delay = p.backoffMs
+    while (true) {
+      try return fetch(attempt)
+      catch {
+        case _: java.io.IOException if attempt < MaxAttempts =>
+          PagedBooksTable.retriesObserved.incrementAndGet()
+          Thread.sleep(delay)
+          delay *= 2
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagePartition]
     new PartitionReader[InternalRow] {
-      private var i = -1L
-      override def next(): Boolean = { i += 1; i < p.count }
+      // "fetch the page": materialization point where a real REST call
+      // would happen — and where the injected transient failure fires.
+      private val page: IndexedSeq[Long] = fetchWithRetry(p) { attempt =>
+        if (p.flakyFirstAttempt && attempt == 1)
+          throw new java.io.IOException(s"transient failure at offset ${p.offset}")
+        p.offset until (p.offset + p.count)
+      }
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < page.length }
       override def get(): InternalRow = InternalRow.fromSeq(
-        p.fields.toIndexedSeq.map(f => PagedBooksTable.fieldAt(p.offset + i, f)))
+        p.fields.toIndexedSeq.map(f => PagedBooksTable.fieldAt(page(i), f)))
       override def close(): Unit = ()
     }
   }

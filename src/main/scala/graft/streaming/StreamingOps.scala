@@ -57,6 +57,33 @@ object StreamingOps {
     ev.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Stream-stream INTERVAL join: purchases landing within 30 minutes
+    * after a view by the same user. Works on static frames too (same
+    * logical plan — that is what the batch twin `events_interval_join`
+    * oracle-checks). In streaming, BOTH sides carry watermarks and the
+    * join condition bounds event-time distance, which is exactly what
+    * lets the state store evict: a buffered view can only ever match
+    * purchases ≤ 30 min after it, so once the purchase-side watermark
+    * passes v_ts + 30 min the row is dropped. Unbounded stream-stream
+    * joins (no time bound) accumulate state forever — at 100 TB/day the
+    * interval bound IS the operator. */
+  def viewPurchaseJoin(ev: DataFrame): DataFrame = {
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        col("v_ts"), col("p_ts"))
+  }
+
   /** Closed session emitted by the custom sessionizer (epoch-µs bounds). */
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 

@@ -35,4 +35,18 @@ class SourceSpec extends AnyFunSuite {
     assert(PagedBooksTable.lastPlannedRows == 42L,
       s"limit not pushed: planned ${PagedBooksTable.lastPlannedRows} rows")
   }
+
+  test("E4: transient page failures recover via in-reader retry with backoff") {
+    PagedBooksTable.retriesObserved.set(0L)
+    val df = spark.read.format("graft.sources.PagedBooksSource")
+      .option("rows", 500).option("pageSize", 100)
+      .option("flakyEvery", 2).option("backoffMs", 1)
+      .load()
+    // every row arrives exactly once despite the injected failures
+    assert(df.count() == 500)
+    assert(df.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
+      == (0L until 500L).sum)
+    // pages 0, 2, 4 were flaky -> at least 3 retries observed
+    assert(PagedBooksTable.retriesObserved.get() >= 3L)
+  }
 }

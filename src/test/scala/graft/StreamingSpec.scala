@@ -115,4 +115,24 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
     assert(got == want)
   }
+
+  test("stream-stream interval join (append mode) == batch interval join") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    // feed in event-time order: the 2 h watermarks tolerate bounded
+    // disorder, not arbitrary replay
+    val all = eventsDs.collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).toSeq
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.viewPurchaseJoin(ms.toDF())
+      .writeStream.format("memory").queryName("s_ssjoin").outputMode("append").start()
+    try {
+      all.grouped(math.max(1, all.size / 4)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = StreamingOps.viewPurchaseJoin(Tables.events(spark, sf))
+    assert(rows(spark.table("s_ssjoin")) == rows(batch))
+    assert(spark.table("s_ssjoin").count() > 0)
+  }
 }
