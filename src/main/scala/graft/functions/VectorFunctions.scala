@@ -101,6 +101,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
     ext.injectOptimizerRule(_ => CollapseIdempotentStringFns)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
     ext.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)
   }
 }

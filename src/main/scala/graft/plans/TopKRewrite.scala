@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo, Expression, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Optimizer rule: rewrite the universal top-k idiom
+  *
+  *   `Project(cols without rn) ← Filter(rn ≤ k) ← Window(rn = row_number)`
+  *
+  * into the native [[TopKPerGroupNode]] whenever the rank column is
+  * discarded — users keep writing the portable window form and the
+  * engine silently substitutes the partial/final bounded-buffer operator
+  * (≤ k rows per group per partition cross the exchange, no full-input
+  * sort; see TopKPerGroupExec). Spark's own InferWindowGroupLimit runs in
+  * a LATER optimizer batch and only prunes rows ahead of the window sort;
+  * this rewrite removes the window entirely.
+  *
+  * Guards (bail = keep the window plan):
+  *  - exactly one window expression, and it is a plain `row_number()`;
+  *  - the filter condition is solely `rn <= k` / `rn < k` / `rn = 1`;
+  *  - the projection references only child columns (rank is dropped);
+  *  - the window has both partition and order specs.
+  * Ties: row_number under a non-total order is already nondeterministic
+  * in the window form; the rewrite preserves the deterministic cases and
+  * is no worse on the nondeterministic ones. */
+object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
+
+  private def limitOf(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
+      if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: Attribute, Literal(k: Int, IntegerType))
+      if a.semanticEquals(rn) => Some(k - 1)
+    case EqualTo(a: Attribute, Literal(k: Int, IntegerType))
+      if a.semanticEquals(rn) && k == 1 => Some(1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Project(projectList,
+        Filter(cond,
+          Window(Seq(al @ Alias(WindowExpression(RowNumber(), _: WindowSpecDefinition), _)),
+            partitionSpec, orderSpec, child, _)))
+        if partitionSpec.nonEmpty && orderSpec.nonEmpty &&
+          limitOf(cond, al.toAttribute).exists(_ > 0) &&
+          projectList.forall(_.references.subsetOf(child.outputSet)) =>
+      Project(projectList,
+        TopKPerGroupNode(partitionSpec, orderSpec,
+          limitOf(cond, al.toAttribute).get, child))
+  }
+}

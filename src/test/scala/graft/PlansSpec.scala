@@ -43,4 +43,34 @@ class PlansSpec extends AnyFunSuite {
       Seq(col("c_nationkey")), Seq(col("c_custkey").asc))
     assert(all.count() == Tables.customer(spark, sf).count())
   }
+
+  test("optimizer rewrites the rank-filter idiom to the native operator when rank is dropped") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val idiom = Tables.orders(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice") // rank dropped
+    val s = idiom.queryExecution.executedPlan.toString
+    assert(s.contains("TopKPerGroupFinal"), s"rewrite did not fire:\n$s")
+    assert(!s.contains("Window"), s"window survived the rewrite:\n$s")
+    // and it still computes the same rows as keeping the window
+    val kept = ops.Relational.topkPerGroup(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "o_orderkey").collect().toSeq
+    assert(idiom.orderBy("o_custkey", "o_orderkey").collect().toSeq == kept)
+  }
+
+  test("rewrite does NOT fire when the rank column is kept") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val s = Tables.orders(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn")
+      .queryExecution.executedPlan.toString
+    assert(s.contains("Window") && !s.contains("TopKPerGroup"))
+  }
 }
