@@ -24,7 +24,12 @@ object Bench {
     // Per query: full execution at the target SF, twice; report the min —
     // standard noise control against transient GC/compilation/IO spikes
     // (a single-shot run once showed a 6× outlier on one query).
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Debug aid: SPARK_GRAFT_ONLY=q1,q2 restricts the timed set (the
+    // driver never sets it — full map by default).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
