@@ -517,6 +517,45 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** A12: HLL sketch algebra — per-month DISTINCT-customer sketches and
+    * their rollup merge in ONE pass (`hll_sketch_agg` under `rollup`).
+    * This is the 100 TB distinct-counting pattern: sketches are partial
+    * aggregates (map-side combinable, mergeable across days/partitions/
+    * reruns), so "distinct users this month" and "distinct users ever"
+    * come from UNIONING stored sketches, never re-scanning raw data.
+    * No DuckDB oracle (sketch internals are engine-specific) — rows-only
+    * gate plus a ±3% tolerance spec against exact countDistinct. */
+  def aggHllSketchMerge(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .withColumn("month", date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM"))
+      .rollup("month")
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .select(coalesce(col("month"), lit("ALL")).as("month"),
+        hll_sketch_estimate(col("sk")).as("est_customers"))
+      .orderBy("month")
+
+  /** K8: sorted-layout sink — `repartitionByRange` + `sortWithinPartitions`
+    * before the parquet write, so every file covers a disjoint key range
+    * and row-group min/max statistics actually prune. The read-back query
+    * filters a narrow key range: at 100 TB this is the difference between
+    * touching 2 files and touching all of them. (The layout is a write-time
+    * cost paid once, like `join_bucketed`'s bucketing.) Oracle = the same
+    * filter+agg over the raw table — the layout must be semantically
+    * invisible. */
+  def sinkSortedLayout(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_sorted_${dir.replaceAll("[^0-9.]", "")}"
+    lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .filter(col("l_orderkey").between(1000, 3000))
+      .groupBy((col("l_orderkey") % 7).as("g"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("g")
+  }
+
   /** Q1: uncorrelated scalar subquery — lineitems above the global average
     * price. Catalyst plans the subquery once (ReusedSubquery/broadcast),
     * not per row. */
@@ -658,6 +697,8 @@ object Relational {
     "agg_pivot"           -> aggPivot _,
     "map_funcs"           -> mapFuncs _,
     "sink_parquet_roundtrip" -> sinkParquetRoundtrip _,
+    "sink_sorted_layout"  -> sinkSortedLayout _,
+    "agg_hll_sketch_merge" -> aggHllSketchMerge _,
     "subquery_scalar"     -> subqueryScalar _,
     "subquery_correlated" -> subqueryCorrelated _,
     "sample_hash"         -> sampleHash _,
@@ -864,6 +905,11 @@ object Relational {
         |                   FROM customer i
         |                   WHERE i.c_nationkey = o.c_nationkey)
         |ORDER BY c_custkey""".stripMargin,
+    "sink_sorted_layout" ->
+      """SELECT l_orderkey % 7 AS g, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY 1 ORDER BY g""".stripMargin,
     "sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders

@@ -12,7 +12,8 @@ class InventorySpec extends AnyFunSuite {
   /** Queries intentionally without a DuckDB oracle (rows-only check). Keep
     * this list SHORT and justified. */
   private val rowsOnly = Set(
-    "agg_approx_distinct" // HLL sketch internals differ; tolerance-tested in VectorSpec
+    "agg_approx_distinct", // HLL sketch internals differ; tolerance-tested in VectorSpec
+    "agg_hll_sketch_merge" // datasketches HLL absent in DuckDB; tolerance-tested in PropertySpec
   )
 
   test("every declared query has an oracle or a documented rows-only waiver") {

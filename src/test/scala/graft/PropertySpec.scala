@@ -73,4 +73,17 @@ class PropertySpec extends AnyFunSuite {
     // dedup of the deduped corpus keeps every row
     assert(survivors.dropDuplicates("text").count() == survivors.count())
   }
+
+  test("HLL sketch rollup-merge estimates within 3% of exact distinct counts") {
+    val est = ops.Relational.aggHllSketchMerge(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.orders(spark, TestSpark.Sf0001)
+      .select(org.apache.spark.sql.functions.countDistinct("o_custkey"))
+      .head().getLong(0)
+    assert(math.abs(est("ALL").toDouble / exact - 1.0) < 0.03,
+      s"merged estimate ${est("ALL")} vs exact $exact")
+    // monthly estimates sum to >= the merged distinct (overlap across months)
+    val monthlySum = est.filter(_._1 != "ALL").values.sum
+    assert(monthlySum >= est("ALL"))
+  }
 }
