@@ -13,7 +13,11 @@ object Explain {
     val dir = "/root/testdata/sf0.01"
     for (q <- Seq("filter_pred", "join_broadcast", "join_sortmerge", "join_bucketed",
                   "knn_cosine", "embed_neardup", "dedup_minhash", "simjoin_lsh",
-                  "text_tfidf", "sql_local_supplier_volume")) {
+                  "text_tfidf", "sql_local_supplier_volume",
+                  // round 3: native operator, runtime filter, two-pass
+                  // prefix sum, interval join, sorted-layout read-back
+                  "topk_native", "join_bloom_prefilter", "shard_pack_tokens",
+                  "events_interval_join", "sink_sorted_layout")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
