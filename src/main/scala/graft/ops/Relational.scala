@@ -556,6 +556,24 @@ object Relational {
       .orderBy("g")
   }
 
+  /** K1: JSON sink + re-scan round-trip (the reference's extract dump,
+    * /root/reference/scripts/extract.py:76-78, minus the single-file
+    * indent-2 cosmetics — a distributed sink writes one shard per
+    * partition). JSON round-trips doubles through string form, so the
+    * verified columns are the exact-typed ones; the oracle is the same
+    * agg on the raw table (sink must be semantically invisible). */
+  def sinkJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_json_${dir.replaceAll("[^0-9.]", "")}"
+    customer(s, dir)
+      .select("c_custkey", "c_nationkey", "c_mktsegment")
+      .write.mode("overwrite").json(path)
+    s.read.schema("c_custkey long, c_nationkey int, c_mktsegment string")
+      .json(path)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sum_key"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Q1: uncorrelated scalar subquery — lineitems above the global average
     * price. Catalyst plans the subquery once (ReusedSubquery/broadcast),
     * not per row. */
@@ -698,6 +716,7 @@ object Relational {
     "map_funcs"           -> mapFuncs _,
     "sink_parquet_roundtrip" -> sinkParquetRoundtrip _,
     "sink_sorted_layout"  -> sinkSortedLayout _,
+    "sink_json_roundtrip" -> sinkJsonRoundtrip _,
     "agg_hll_sketch_merge" -> aggHllSketchMerge _,
     "subquery_scalar"     -> subqueryScalar _,
     "subquery_correlated" -> subqueryCorrelated _,
@@ -905,6 +924,9 @@ object Relational {
         |                   FROM customer i
         |                   WHERE i.c_nationkey = o.c_nationkey)
         |ORDER BY c_custkey""".stripMargin,
+    "sink_json_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "sink_sorted_layout" ->
       """SELECT l_orderkey % 7 AS g, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty

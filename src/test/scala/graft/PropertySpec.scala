@@ -86,4 +86,33 @@ class PropertySpec extends AnyFunSuite {
     val monthlySum = est.filter(_._1 != "ALL").values.sum
     assert(monthlySum >= est("ALL"))
   }
+
+  test("native TopKPerGroup == window idiom on generated data (any groups, any k)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val sq = spark; import sq.implicits._
+    val rowGen = for {
+      g <- org.scalacheck.Gen.choose(0, 6)
+      v <- org.scalacheck.Gen.choose(-1000, 1000)
+    } yield (g, v)
+    val caseGen = for {
+      rows <- org.scalacheck.Gen.listOfN(120, rowGen)
+      k <- org.scalacheck.Gen.choose(1, 8)
+    } yield (rows, k)
+    val prop = Prop.forAll(caseGen) { case (rows, k) =>
+      // unique tiebreak via zipWithIndex -> total order, exactness applies
+      val df = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+        .toDF("g", "v", "uid")
+      val native = plans.TopKPerGroup(df, k,
+        Seq(col("g")), Seq(col("v").desc, col("uid").asc))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("uid").asc)
+      val idiom = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("g", "v", "uid")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      native == idiom
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
