@@ -181,8 +181,13 @@ object DedupOps {
     // `prev` is always THE frame persist() was called on (unpersisting a
     // derived select is a cache-manager no-op); `labels` is the id/lbl
     // view of it fed to the next round.
-    var prev = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist()
+    // Seeded start: round 1 of propagation (lbl = min(id, neighbors)) is
+    // a plain groupBy over the symmetric edge list — one aggregation
+    // instead of the loop's join+agg+join, and one fewer iteration. Every
+    // node appears as src because edges are symmetrized above.
+    var prev = edges.groupBy("src")
+      .agg(least(col("src"), min(col("dst"))).as("lbl"))
+      .select(col("src").as("id"), col("lbl")).persist()
     var labels = prev
     var converged = false
     var rounds = 0
