@@ -202,6 +202,37 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** J5b: BINNED range join — the scale form of [[joinRange]]. A
+    * non-equi interval join between two LARGE sides plans as a nested
+    * loop (O(n·m) comparisons); when intervals have bounded length the
+    * standard fix is binning: pick a bin width ≥ the max interval
+    * length, explode each interval into the ≤ 2 bins it overlaps, bin
+    * each point, and equi-join on the bin with the range predicate left
+    * as a residual filter. The shuffle is now hash(bin) — an ordinary
+    * co-partitioned equi-join that scales like any other — and each
+    * point meets only the intervals sharing its bin, not all of them.
+    * 1000 overlapping price bands × 600k lineitems at sf0.1; oracle is
+    * the plain range join (binning must be semantically invisible). */
+  def joinRangeBinned(s: SparkSession, dir: String): DataFrame = {
+    val B = 100.0
+    val bands = s.range(0, 1000).select(
+      col("id").as("band_id"),
+      (col("id") * 50.0).as("lo"),
+      (col("id") * 50.0 + 100.0).as("hi"))
+    // bins covered by [lo, hi): ceil handles the exclusive upper bound
+    val binnedBands = bands.withColumn("bin",
+      explode(sequence(floor(col("lo") / B).cast("long"),
+        (ceil(col("hi") / B) - 1).cast("long"))))
+    val pts = lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .withColumn("bin", floor(col("l_extendedprice") / B).cast("long"))
+    pts.join(binnedBands, Seq("bin"))
+      .filter(col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("band_id")
+  }
+
   /** J7: cross join (5 regions × distinct order statuses). */
   def joinCross(s: SparkSession, dir: String): DataFrame =
     region(s, dir)
@@ -717,6 +748,7 @@ object Relational {
     "sink_parquet_roundtrip" -> sinkParquetRoundtrip _,
     "sink_sorted_layout"  -> sinkSortedLayout _,
     "sink_json_roundtrip" -> sinkJsonRoundtrip _,
+    "join_range_binned"   -> joinRangeBinned _,
     "agg_hll_sketch_merge" -> aggHllSketchMerge _,
     "subquery_scalar"     -> subqueryScalar _,
     "subquery_correlated" -> subqueryCorrelated _,
@@ -805,6 +837,15 @@ object Relational {
         |  (2500.0, 5000.0, 'mid'), (5000.0, 100000.0, 'high')) t(lo, hi, tier)
         |ON c_acctbal >= lo AND c_acctbal < hi
         |ORDER BY c_custkey""".stripMargin,
+    "join_range_binned" ->
+      """WITH bands AS (
+        |  SELECT band_id, band_id * 50.0 AS lo, band_id * 50.0 + 100.0 AS hi
+        |  FROM range(0, 1000) t(band_id))
+        |SELECT band_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN bands
+        |  ON l_extendedprice >= lo AND l_extendedprice < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
     "join_cross" ->
       """SELECT r_regionkey, r_name, status
         |FROM region CROSS JOIN
