@@ -33,5 +33,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] = one JVM doing the work of 32 executors; the box has
   // 128 GiB. 8g starves iterative cached workloads into recompute storms.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
-) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(
+  _.split("\\s+").toSeq.filter(_.nonEmpty) // empty arg would eat the main class
 )

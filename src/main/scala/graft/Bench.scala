@@ -13,22 +13,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up at the smallest SF: exercises every query's codegen/JIT path
-    // once so measured sf timings reflect steady-state execution, not
-    // first-call compilation. Skipped silently if the tiny SF is absent.
+    // Debug aid: SPARK_GRAFT_ONLY=q1,q2 restricts BOTH warm-up and the
+    // timed set (the driver never sets it — full map by default).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    // Warm-up at the smallest SF: exercises every selected query's
+    // codegen/JIT path once so measured sf timings reflect steady-state
+    // execution, not first-call compilation. Skipped if the SF is absent.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     // Per query: full execution at the target SF, twice; report the min —
     // standard noise control against transient GC/compilation/IO spikes
     // (a single-shot run once showed a 6× outlier on one query).
-    // Debug aid: SPARK_GRAFT_ONLY=q1,q2 restricts the timed set (the
-    // driver never sets it — full map by default).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
     val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

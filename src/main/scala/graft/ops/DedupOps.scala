@@ -201,23 +201,26 @@ object DedupOps {
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
           (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).as("changed"))
         .persist()
-      converged = next.filter(col("changed")).isEmpty
-      // `next` is materialized by the convergence action, so last round's
-      // labels are dead — drop them NOW, not at end-of-query: the loop's
-      // peak footprint stays at two generations of labels regardless of
-      // component diameter.
+      // count(), NOT isEmpty: isEmpty short-circuits after the first
+      // non-empty partition, leaving the rest of the persisted `next`
+      // unmaterialized — unpersisting prev would then force later rounds
+      // to recompute through the whole chain. count() materializes every
+      // partition of `next`, making prev genuinely dead.
+      converged = next.filter(col("changed")).count() == 0
       prev.unpersist(false)
       prev = next
       labels = next.select("id", "lbl")
       rounds += 1
     }
+    // Register BEFORE the convergence check: on the throw path prev must
+    // still be retired by the next invocation, not leak for the session.
+    synchronized { cachedGen += prev }
     // Silent truncation would return plausible-but-wrong cluster ids;
     // a diameter > MaxRounds component must fail loudly instead.
     if (!converged)
       throw new IllegalStateException(
         s"dedupClusters: min-label propagation not converged after $MaxRounds rounds " +
           "(a connected component has diameter > MaxRounds)")
-    cachedGen += prev // retire with the generation, not before the consumer runs
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
   }

@@ -30,7 +30,11 @@ object PipelineOps {
     * semantics — that is the point being verified). */
   def joinBloomPrefilter(s: SparkSession, dir: String): DataFrame = {
     val dim = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
-    val bf = dim.stat.bloomFilter("c_custkey", math.max(dim.count(), 1000L), 0.01)
+    // Fixed capacity, not dim.count(): an exact pre-count would cost a
+    // second full scan of the build side per invocation; oversizing a
+    // bloom only wastes a few bits per absent slot, and undersizing only
+    // raises the FP rate (correctness unaffected — the join is exact).
+    val bf = dim.stat.bloomFilter("c_custkey", 1000000L, 0.01)
     val mightContain = udf((k: Long) => bf.mightContain(k))
     orders(s, dir)
       .filter(col("o_custkey").isNotNull && mightContain(col("o_custkey")))

@@ -96,9 +96,10 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** A9: custom typed aggregation — quantity-weighted average price via
-    * the [[graft.functions.WeightedAvg]] `Aggregator` (scaled-long buffer
-    * → partition-order-independent, see its scaladoc). Exercises the
-    * udaf() registration path. */
+    * the [[graft.functions.WeightedAvg]] `Aggregator` (exact-DECIMAL
+    * buffer with 6-dp input snap → partition-order-independent and
+    * fractional-weight-correct, see its scaladoc). Exercises the udaf()
+    * registration path. */
   def aggTypedWavg(s: SparkSession, dir: String): DataFrame = {
     val wavg = udaf(graft.functions.WeightedAvg,
       org.apache.spark.sql.Encoders.tuple(

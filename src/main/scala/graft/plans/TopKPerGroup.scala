@@ -47,7 +47,15 @@ case class TopKPerGroupNode(
 /** Physical operator; one class, two roles. `partial = true` consumes any
   * distribution (map-side, bounded memory: ≤ 2k rows buffered per live
   * group); `partial = false` declares `ClusteredDistribution(groupExprs)`
-  * so the planner co-locates each group before the exact merge. */
+  * so the planner co-locates each group before the exact merge.
+  *
+  * Memory model: the in-heap map holds ≤ 2k rows per LIVE GROUP per
+  * partition with no spill path — right for the bounded-k selection this
+  * operator exists for, wrong for effectively-unbounded k (the window
+  * idiom's spillable sort wins there; the auto-rewrite refuses k beyond
+  * [[RewriteRankFilterToTopK.MaxRewriteK]] for exactly that reason).
+  * The final instance emits rows sorted by (group, order) — the same
+  * observable within-partition order the window plan produces. */
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
@@ -70,45 +78,71 @@ case class TopKPerGroupExec(
     val g = groupExprs
     val o = order
     val kk = k
+    val isPartial = partial
     child.execute().mapPartitions({ it =>
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val keyProj = UnsafeProjection.create(g, childOutput)
       val ord = RowOrdering.create(o, childOutput)
+      // overflow-safe amortized-truncation threshold (2k, clamped)
+      val trunc = math.min(2L * kk, (Int.MaxValue - 8).toLong).toInt
       val groups = new java.util.HashMap[UnsafeRow, ArrayBuffer[UnsafeRow]]()
       while (it.hasNext) {
         val u = toUnsafe(it.next())
         var buf = groups.get(keyProj(u))
         if (buf == null) {
-          buf = new ArrayBuffer[UnsafeRow](kk + 1)
+          buf = new ArrayBuffer[UnsafeRow]
           groups.put(keyProj(u).copy(), buf)
         }
         buf += u.copy()
         // amortized truncation: sort+cut at 2k keeps per-group memory and
         // comparison count bounded without a heap's per-row overhead
-        if (buf.length >= 2 * kk) {
+        if (buf.length >= trunc) {
           val kept = buf.sorted(ord.on((r: UnsafeRow) => r: InternalRow)).take(kk)
           buf.clear()
           buf ++= kept
         }
       }
-      groups.values.asScala.iterator.flatMap { buf =>
+      val perGroup = groups.values.asScala.iterator.flatMap { buf =>
         buf.sorted(ord.on((r: UnsafeRow) => r: InternalRow)).take(kk)
+      }
+      if (isPartial) perGroup
+      else {
+        // final instance: restore the window idiom's observable
+        // within-partition order (group asc nulls first, then the user
+        // order) — output-sized, ≤ k rows per group
+        val groupOrd = g.map(SortOrder(_, Ascending))
+        val outOrd = RowOrdering.create(groupOrd ++ o, childOutput)
+        perGroup.toIndexedSeq.sorted(outOrd.on((r: UnsafeRow) => r: InternalRow)).iterator
       }
     }, preservesPartitioning = true)
   }
 }
 
-/** Planner strategy: TopKPerGroupNode → final(partial(child)). */
+/** Planner strategy: TopKPerGroupNode → final(partial(child)). Grouping
+  * keys are float-normalized HERE — expressions are resolved by planning
+  * time (the API hands the node unresolved `col(...)`s), and both entry
+  * paths (explicit API + rewrite rule) funnel through this strategy. */
 class TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupNode(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, partial = false,
-        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+      val ng = TopKPerGroup.normalizedGroups(g)
+      TopKPerGroupExec(ng, o, k, partial = false,
+        TopKPerGroupExec(ng, o, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
 object TopKPerGroup {
+
+  /** Grouping keys must be normalized the way Window/Aggregate keys are
+    * (NormalizeFloatingNumbers): raw UnsafeRow grouping would split
+    * 0.0 / -0.0 (and NaN bit patterns) into distinct groups and silently
+    * diverge from the window idiom. No-op for non-floating types.
+    * RESOLVED expressions only (needs dataType) — called from the
+    * planner strategy, never on API-constructed unresolved columns. */
+  private[plans] def normalizedGroups(g: Seq[Expression]): Seq[Expression] =
+    g.map(Bridge.normalizeFloats)
+
   /** Public entry: top `k` rows per group under a TOTAL `orderCols` order.
     * Requires a session built with GraftExtensions (for the strategy). */
   def apply(df: DataFrame, k: Int, groupCols: Seq[Column], orderCols: Seq[Column]): DataFrame = {

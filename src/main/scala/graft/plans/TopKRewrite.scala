@@ -21,11 +21,19 @@ import org.apache.spark.sql.types.IntegerType
   *  - exactly one window expression, and it is a plain `row_number()`;
   *  - the filter condition is solely `rn <= k` / `rn < k` / `rn = 1`;
   *  - the projection references only child columns (rank is dropped);
-  *  - the window has both partition and order specs.
+  *  - the window has both partition and order specs;
+  *  - k ≤ [[MaxRewriteK]] (bounded-buffer memory stays the win);
+  *  - grouping keys are float-normalized like Window's own would be.
   * Ties: row_number under a non-total order is already nondeterministic
   * in the window form; the rewrite preserves the deterministic cases and
   * is no worse on the nondeterministic ones. */
 object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
+
+  /** Largest k the rewrite will touch: beyond this the bounded-buffer
+    * operator's in-heap per-group state (no spill) loses to the window
+    * plan's spillable sort, so an effectively-unbounded k (a "keep
+    * everything" sentinel) must keep its original plan. */
+  val MaxRewriteK = 1024
 
   private def limitOf(cond: Expression, rn: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
@@ -43,7 +51,7 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
           Window(Seq(al @ Alias(WindowExpression(RowNumber(), _: WindowSpecDefinition), _)),
             partitionSpec, orderSpec, child, _)))
         if partitionSpec.nonEmpty && orderSpec.nonEmpty &&
-          limitOf(cond, al.toAttribute).exists(_ > 0) &&
+          limitOf(cond, al.toAttribute).exists(k => k > 0 && k <= MaxRewriteK) &&
           projectList.forall(_.references.subsetOf(child.outputSet)) =>
       Project(projectList,
         TopKPerGroupNode(partitionSpec, orderSpec,

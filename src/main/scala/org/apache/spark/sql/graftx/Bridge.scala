@@ -26,4 +26,9 @@ object Bridge {
     * node lazily — unusable inside a custom logical operator). */
   def expr(s: SparkSession, c: Column): Expression =
     s.asInstanceOf[classic.SparkSession].expression(c)
+
+  /** Float-normalize a grouping key the way Window/Aggregate keys are
+    * normalized (-0.0 → 0.0, canonical NaN); no-op for other types. */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

@@ -73,4 +73,12 @@ class PlansSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(s.contains("Window") && !s.contains("TopKPerGroup"))
   }
+
+  test("float grouping keys: -0.0 and 0.0 land in ONE group (normalized like Window)") {
+    val sq = spark; import sq.implicits._
+    val df = Seq((0.0, 1L), (-0.0, 2L), (1.5, 3L)).toDF("g", "uid")
+    val top1 = plans.TopKPerGroup(df, 1, Seq(col("g")), Seq(col("uid").asc))
+    // 2 groups (0.0 merged with -0.0), not 3 — matching the window idiom
+    assert(top1.count() == 2)
+  }
 }
