@@ -84,6 +84,17 @@ object StreamingOps {
         col("v_ts"), col("p_ts"))
   }
 
+  /** Stream-STATIC enrichment join: each micro-batch of events joins a
+    * static dimension (user tier derived from user_id here; in production
+    * a slowly-changing dim table). No state, no watermark needed — the
+    * static side is planned once per batch and broadcast when small,
+    * which is the 100 TB shape too: the stream never shuffles, the dim
+    * ships to it. */
+  def enrichWithTier(ev: DataFrame, tiers: DataFrame): DataFrame =
+    ev.join(org.apache.spark.sql.functions.broadcast(tiers), Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("tier"), col("value"))
+
   /** Closed session emitted by the custom sessionizer (epoch-µs bounds). */
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 

@@ -135,4 +135,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(spark.table("s_ssjoin")) == rows(batch))
     assert(spark.table("s_ssjoin").count() > 0)
   }
+
+  test("stream-static enrichment join == batch join, per micro-batch") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val tiers = Tables.events(spark, sf).select("user_id").distinct()
+      .withColumn("tier",
+        org.apache.spark.sql.functions.when(org.apache.spark.sql.functions.col("user_id") % 3 === 0, "gold").otherwise("std"))
+      .cache()
+    val all = eventsDs.collect().sortBy(_.event_id).toSeq
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.enrichWithTier(ms.toDF(), tiers)
+      .writeStream.format("memory").queryName("s_enrich").outputMode("append").start()
+    try {
+      all.grouped(math.max(1, all.size / 3)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = StreamingOps.enrichWithTier(Tables.events(spark, sf), tiers)
+    assert(rows(spark.table("s_enrich")) == rows(batch))
+    assert(spark.table("s_enrich").count() == all.size)
+    tiers.unpersist(); ()
+  }
 }
