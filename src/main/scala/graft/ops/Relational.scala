@@ -234,6 +234,35 @@ object Relational {
       .orderBy("band_id")
   }
 
+  /** J12: typed COGROUP — per-key custom merge of two datasets via
+    * `KeyValueGroupedDataset.cogroup`, the Spark surface for merge logic
+    * that neither join nor groupBy expresses (both sides' groups arrive
+    * together as iterators). Here: per-customer account balance joined
+    * with their order count and max price — deliberately re-derivable as
+    * join+agg SQL so the oracle can check the cogroup path itself. Scale
+    * shape: one co-partitioned shuffle on the key for both sides, same
+    * as a sort-merge join; group iterators stream (no per-key
+    * materialization beyond the group). */
+  def cogroupMerge(s: SparkSession, dir: String): DataFrame = {
+    val sq = s; import sq.implicits._
+    val custs = customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .as[(Long, Double)].groupByKey(_._1)
+    val ords = orders(s, dir)
+      .select(col("o_custkey"), col("o_totalprice"))
+      .as[(Long, Double)].groupByKey(_._1)
+    custs.cogroup(ords) { (key, cs, os) =>
+      val cList = cs.toSeq
+      if (cList.isEmpty) Iterator.empty // orders with no customer row: drop (inner semantics)
+      else {
+        val prices = os.map(_._2).toSeq
+        Iterator((key, cList.head._2, prices.size.toLong,
+          if (prices.isEmpty) 0.0 else prices.max))
+      }
+    }.toDF("c_custkey", "c_acctbal", "n_orders", "max_price")
+      .orderBy("c_custkey")
+  }
+
   /** J7: cross join (5 regions × distinct order statuses). */
   def joinCross(s: SparkSession, dir: String): DataFrame =
     region(s, dir)
@@ -750,6 +779,7 @@ object Relational {
     "sink_sorted_layout"  -> sinkSortedLayout _,
     "sink_json_roundtrip" -> sinkJsonRoundtrip _,
     "join_range_binned"   -> joinRangeBinned _,
+    "cogroup_merge"       -> cogroupMerge _,
     "agg_hll_sketch_merge" -> aggHllSketchMerge _,
     "subquery_scalar"     -> subqueryScalar _,
     "subquery_correlated" -> subqueryCorrelated _,
@@ -837,6 +867,13 @@ object Relational {
         |FROM customer JOIN (VALUES (-100000.0, 2500.0, 'low'),
         |  (2500.0, 5000.0, 'mid'), (5000.0, 100000.0, 'high')) t(lo, hi, tier)
         |ON c_acctbal >= lo AND c_acctbal < hi
+        |ORDER BY c_custkey""".stripMargin,
+    "cogroup_merge" ->
+      """SELECT c_custkey, c_acctbal,
+        |  COUNT(o_orderkey) AS n_orders,
+        |  COALESCE(MAX(o_totalprice), 0.0) AS max_price
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_acctbal
         |ORDER BY c_custkey""".stripMargin,
     "join_range_binned" ->
       """WITH bands AS (
