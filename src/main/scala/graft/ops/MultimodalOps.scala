@@ -62,7 +62,7 @@ object MultimodalOps {
     * mapPartitions → grouped fixed-size batches → decode → typed rows.
     * The `grouped(BatchSize)` is the batch boundary a columnar decoder
     * (Arrow batch / GPU kernel) would consume. */
-  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+  private def decoded(s: SparkSession, dir: String): DataFrame = {
     val sq = s; import sq.implicits._
     documents(s, dir)
       .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
@@ -71,12 +71,42 @@ object MultimodalOps {
         case (id, blob) => MediaDecode.decode(id, blob)
       }))
       .toDF("doc_id", "width", "height", "n_frames", "px")
+  }
+
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame =
+    decoded(s, dir).orderBy("doc_id")
+
+  /** Resize planning: fit each decoded frame inside a 224×224 box
+    * preserving aspect ratio, never upscaling — the standard vision-model
+    * preprocessing step. The decode runs in the batched partition-wise
+    * kernel; the geometry is pure column algebra after it (a real
+    * pipeline would pass out_w/out_h back into the next kernel batch). */
+  def mediaResize(s: SparkSession, dir: String): DataFrame = {
+    val scale = least(lit(1.0), lit(224.0) / col("width"), lit(224.0) / col("height"))
+    decoded(s, dir)
+      .select(col("doc_id"), col("width"), col("height"),
+        greatest(lit(1L), floor(col("width") * scale).cast("long")).as("out_w"),
+        greatest(lit(1L), floor(col("height") * scale).cast("long")).as("out_h"))
       .orderBy("doc_id")
   }
 
+  /** Frame sampling: ≤ 4 evenly-spaced frame indices per video
+    * (step = ceil(n_frames/4)), exploded to one row per sampled frame —
+    * the training-data shape where each frame becomes an example. The
+    * explode is map-side; nothing shuffles until a downstream agg. */
+  def mediaFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val step = ceil(col("n_frames") / lit(4.0)).cast("long")
+    decoded(s, dir)
+      .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+        explode(sequence(lit(0L), col("n_frames").cast("long") - 1, step)).as("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_meta" -> multimodalMeta _,
-    "media_features"  -> mediaFeatures _,
+    "multimodal_meta"    -> multimodalMeta _,
+    "media_features"     -> mediaFeatures _,
+    "media_resize"       -> mediaResize _,
+    "media_frame_sample" -> mediaFrameSample _,
   )
 
   /** hex-pair → int in DuckDB ('0x..'::INT). */
@@ -100,5 +130,22 @@ object MultimodalOps {
          |SELECT doc_id, width, height, n_frames,
          |  CAST(width AS BIGINT) * height * n_frames AS px
          |FROM d ORDER BY doc_id""".stripMargin,
+    "media_resize" ->
+      s"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |d AS (SELECT doc_id,
+         |    16 + ${hex("h", 1, 2)} AS width,
+         |    16 + ${hex("h", 3, 2)} AS height
+         |  FROM m),
+         |sc AS (SELECT *, least(1.0, 224.0 / width, 224.0 / height) AS scale FROM d)
+         |SELECT doc_id, width, height,
+         |  greatest(1, CAST(floor(width * scale) AS BIGINT)) AS out_w,
+         |  greatest(1, CAST(floor(height * scale) AS BIGINT)) AS out_h
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "media_frame_sample" ->
+      s"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |d AS (SELECT doc_id, CAST(1 + ${hex("h", 5, 1)} AS BIGINT) AS n_frames FROM m)
+         |SELECT doc_id, n_frames,
+         |  unnest(range(0, n_frames, CAST(ceil(n_frames / 4.0) AS BIGINT))) AS frame_idx
+         |FROM d ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }
