@@ -70,6 +70,62 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_quantize_i8(array<double>, double) -> array<int>`: symmetric
+  * int8 scalar quantization — `q_i = floor(x_i / scale + 0.5)` — as a
+  * codegen'd Catalyst expression (same rationale as [[DotProduct]]: the
+  * HOF `transform` form evaluates its lambda interpreted per element,
+  * off the whole-stage-codegen path). A zero scale (all-zero vector)
+  * quantizes to zeros instead of dividing by zero. Output stays `int`
+  * (not `byte`) so the DuckDB oracle can compare values directly; the
+  * range contract (|q| ≤ 127 when scale = maxabs/127) is asserted by
+  * VectorSpec, and a storage layer would pack to bytes at write time.
+  */
+case class QuantizeI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_quantize_i8 expects (array<double>, double), got (${l.simpleString}, ${r.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_quantize_i8"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val scale = b.asInstanceOf[Double]
+    val n = x.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (scale == 0.0) 0 else math.floor(x.getDouble(i) / scale + 0.5).toInt
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, scale) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $a.numElements();
+         |final int[] $out = new int[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = ($scale == 0.0) ? 0
+         |    : (int) java.lang.Math.floor($a.getDouble($i) / $scale + 0.5);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Optimizer rule: collapse nested applications of idempotent string
   * functions (`lower(lower(x))` → `lower(x)`, same for upper/trim) — the
   * duplicate-application shape that appears when independently-authored
@@ -100,6 +156,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_quantize_i8"),
+      new ExpressionInfo(classOf[QuantizeI8].getName, "graft_quantize_i8"),
+      (children: Seq[Expression]) => QuantizeI8(children.head, children(1))))
     ext.injectOptimizerRule(_ => CollapseIdempotentStringFns)
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
     ext.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)
@@ -110,4 +170,8 @@ object VectorFunctions {
   /** Column-API entry point for [[DotProduct]] (requires a session built
     * with [[GraftExtensions]]). */
   def graftDot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Column-API entry point for [[QuantizeI8]]. */
+  def graftQuantizeI8(v: Column, scale: Column): Column =
+    call_function("graft_quantize_i8", v, scale)
 }

@@ -225,6 +225,50 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** L13: test-set decontamination — flag training docs sharing any word
+    * 3-gram with the held-out eval slice (doc_id % 50 == 0 stands in for a
+    * benchmark suite). The real-world guard against benchmark leakage into
+    * training corpora.
+    *
+    * Scale shape: the eval side is tiny (benchmark suites are MBs against
+    * a 100 TB corpus) → its distinct shingle set BROADCASTS, the corpus
+    * side stays map-side through the probe, and the only shuffle is the
+    * output-scale per-doc overlap count. */
+  def decontamNgram(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(s, dir)
+    val evalSet = sh.filter(col("doc_id") % 50 === 0).select("x").distinct()
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(evalSet), "x") // shingleRows is distinct per (doc, x)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  /** L14: incremental MinHash dedup of a new batch against a stored corpus
+    * index — the steady-state form of [[simjoinLsh]]: the corpus's LSH
+    * band table is precomputed (here: docs < [[IncrementalCutoff]]), and
+    * only the incoming batch computes signatures; a batch doc is a dup if
+    * ANY of its band keys hits the index.
+    *
+    * Scale shape: the index is a stored table bucketed by band_key; the
+    * batch's band rows semi-join it co-partitioned (or broadcast when the
+    * batch is small) — the 100 TB corpus text is never re-read, and the
+    * per-batch cost is O(batch), not O(corpus). */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    retireCaches()
+    val bands = cache(bandTableFrom(shingleRows(s, dir)))
+    val index = bands.filter(col("doc_id") < IncrementalCutoff)
+      .select("band", "band_key").distinct()
+    val batch = bands.filter(col("doc_id") >= IncrementalCutoff)
+    val hits = batch.join(index, Seq("band", "band_key"), "left_semi")
+      .select("doc_id").distinct().withColumn("is_dup", lit(true))
+    batch.select("doc_id").distinct()
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  private val IncrementalCutoff = 400
+
   private val SimBits = 16
 
   /** SimHash (16-bit): per token-occurrence md5, bit j of the fingerprint
@@ -266,6 +310,8 @@ object DedupOps {
     "dedup_simhash"       -> dedupSimhash _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_clusters"      -> dedupClusters _,
+    "decontam_ngram"      -> decontamNgram _,
+    "dedup_incremental"   -> dedupIncremental _,
   )
 
   /** Shared SQL fragments (DuckDB): shingles + minhash bands, mirroring
@@ -359,6 +405,22 @@ object DedupOps {
          |  FROM tok GROUP BY doc_id)
          |SELECT doc_id, CAST($simhashFp AS BIGINT) AS simhash
          |FROM s ORDER BY doc_id""".stripMargin,
+    "decontam_ngram" ->
+      s"""WITH $shinglesCte,
+         |shr AS (SELECT doc_id, unnest(shingles) AS x FROM shf),
+         |ev AS (SELECT DISTINCT x FROM shr WHERE doc_id % 50 = 0)
+         |SELECT doc_id, count(*) AS n_overlap
+         |FROM shr JOIN ev USING (x)
+         |WHERE doc_id % 50 <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $shinglesCte,
+         |$bandsCte,
+         |idx AS (SELECT DISTINCT band, band_key FROM bands WHERE doc_id < $IncrementalCutoff),
+         |bt AS (SELECT * FROM bands WHERE doc_id >= $IncrementalCutoff),
+         |hit AS (SELECT DISTINCT bt.doc_id FROM bt JOIN idx USING (band, band_key))
+         |SELECT doc_id, (doc_id IN (SELECT doc_id FROM hit)) AS is_dup
+         |FROM (SELECT DISTINCT doc_id FROM bt) ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shinglesCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -139,12 +139,40 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** L15: corpus mixing with fractional epoch repeat — each language gets
+    * a target epoch factor (how many times its docs are seen in training);
+    * a factor of 2.5 repeats every doc twice and a deterministic
+    * hash-chosen half a third time, 0.5 downsamples to half. The standard
+    * "data mixture" step that rebalances web-heavy corpora before
+    * training.
+    *
+    * Scale shape: pure map-side — the repeat decision is a hash of the
+    * doc id (a backfill re-run emits identical copies; no RNG state), and
+    * the explode fans out ≤ ceil(factor) fixed-width rows per doc with no
+    * shuffle anywhere. */
+  def corpusMixEpochs(s: SparkSession, dir: String): DataFrame = {
+    val factor = element_at(
+      map(lit("en"), lit(2.5), lit("zh"), lit(3.0), lit("de"), lit(1.25),
+        lit("es"), lit(1.0), lit("fr"), lit(0.5)),
+      col("lang"))
+    val u = conv(substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    val copies = (floor(factor) + when(u < factor - floor(factor), 1).otherwise(0)).cast("long")
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"), copies.as("n_copies"))
+      .select(col("doc_id"), col("lang"),
+        explode(when(col("n_copies") >= 1L, sequence(lit(1L), col("n_copies")))
+          .otherwise(array().cast("array<long>"))).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_bloom_prefilter" -> joinBloomPrefilter _,
     "cdc_apply_changes"    -> cdcApplyChanges _,
     "sample_stratified"    -> sampleStratified _,
     "shard_pack_tokens"    -> shardPackTokens _,
     "docs_quality_filter"  -> docsQualityFilter _,
+    "corpus_mix_epochs"    -> corpusMixEpochs _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -206,5 +234,22 @@ object PipelineOps {
         |         THEN 'too_repetitive'
         |       ELSE 'keep' END AS reason
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "corpus_mix_epochs" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE lang WHEN 'en' THEN 2.5 WHEN 'zh' THEN 3.0
+        |      WHEN 'de' THEN 1.25 WHEN 'es' THEN 1.0 WHEN 'fr' THEN 0.5
+        |      END AS DOUBLE) AS factor,
+        |    CAST('0x' || substring(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) / 4294967296.0 AS u
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(factor) +
+        |      (CASE WHEN u < factor - floor(factor) THEN 1 ELSE 0 END) AS BIGINT) AS n
+        |  FROM f)
+        |SELECT doc_id, lang, unnest(range(1, n + 1)) AS epoch
+        |FROM c WHERE n >= 1
+        |ORDER BY doc_id, epoch""".stripMargin,
   )
 }

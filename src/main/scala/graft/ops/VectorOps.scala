@@ -131,8 +131,25 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Int8 scalar quantization — the 4× storage-compression pass an
+    * embedding store runs before indexing 100 TB of vectors: per-vector
+    * symmetric scale (maxabs/127), elementwise `floor(x/scale + 0.5)` via
+    * the codegen'd [[graft.functions.QuantizeI8]] expression. maxabs uses
+    * `greatest(array_max, -array_min)` — built-ins, so the whole operator
+    * stays inside whole-stage codegen with zero shuffles. */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = asD(col("embedding"))
+    val maxabs = greatest(array_max(e), -array_min(e))
+    embeddings(s, dir)
+      .select(col("vec_id"),
+        r6(maxabs).as("maxabs"),
+        graft.functions.VectorFunctions.graftQuantizeI8(e, maxabs / lit(127.0)).as("q"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_normalize" -> embedNormalize _,
+    "embed_quantize"  -> embedQuantize _,
     "knn_cosine"    -> knnCosine _,
     "knn_ivf"       -> knnIvf _,
     "knn_ivf_multiprobe" -> knnIvfMultiprobe _,
@@ -151,6 +168,17 @@ object VectorOps {
       "CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)"
 
   val oracleSql: Map[String, String] = Map(
+    "embed_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    greatest(list_aggregate(embedding::DOUBLE[], 'max'),
+        |             -list_aggregate(embedding::DOUBLE[], 'min')) AS ma
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  floor(ma * 1000000 + 0.5) / 1000000 AS maxabs,
+        |  list_transform(e, x -> CASE WHEN ma = 0 THEN 0
+        |    ELSE CAST(floor(x / (ma / 127.0) + 0.5) AS INTEGER) END) AS q
+        |FROM m ORDER BY vec_id""".stripMargin,
     "embed_normalize" ->
       """SELECT vec_id, label,
         |  floor(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))

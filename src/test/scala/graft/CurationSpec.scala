@@ -58,6 +58,26 @@ class CurationSpec extends AnyFunSuite {
     assert(kEn < kOther, s"en rate $kEn should be below others $kOther")
   }
 
+  test("corpus mix: copies bounded by factor, epochs contiguous, integral factors exact") {
+    val f = Map("en" -> 2.5, "zh" -> 3.0, "de" -> 1.25, "es" -> 1.0, "fr" -> 0.5)
+    val byDoc = ops.PipelineOps.corpusMixEpochs(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, rs) =>
+      val fac = f(rs.head.getString(1))
+      val n = rs.length
+      assert(n >= math.floor(fac) && n <= math.ceil(fac), s"$n copies for factor $fac")
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to n), "epochs must be 1..n")
+    }
+    // integral factor => exact copy count: every es doc appears exactly once
+    val esDocs = Tables.documents(spark, sf).filter(col("lang") === "es").count()
+    assert(byDoc.count(_._2.head.getString(1) == "es") == esDocs)
+    // fractional factors land between their bounds on average (hash-driven)
+    val enCopies = byDoc.collect { case (_, rs) if rs.head.getString(1) == "en" => rs.length }
+    val enMean = enCopies.sum.toDouble / enCopies.size
+    assert(enMean > 2.2 && enMean < 2.8, s"en mean copies $enMean far from 2.5")
+  }
+
   test("quality filter reasons match the rule boundaries") {
     val out = ops.PipelineOps.docsQualityFilter(spark, sf)
       .join(Tables.documents(spark, sf), "doc_id")

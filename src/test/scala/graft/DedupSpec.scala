@@ -71,6 +71,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("decontam flags only train docs, every overlap positive") {
+    val rows = DedupOps.decontamNgram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 50 != 0, s"eval doc ${r.getLong(0)} in output")
+      assert(r.getLong(1) >= 1)
+    }
+  }
+
+  test("incremental dedup flags every batch doc with a verified cross-cutoff near-dup") {
+    val flags = DedupOps.dedupIncremental(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags.nonEmpty && flags.keySet.forall(_ >= 400))
+    // a verified near-dup pair exists only because its docs shared a band
+    // key, so a (corpus, batch) pair forces is_dup on the batch side
+    val crossDups = DedupOps.simjoinLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .collect { case (a, b) if a < 400 && b >= 400 => b }
+    assert(crossDups.nonEmpty, "fixture should contain cross-cutoff near-dups")
+    crossDups.foreach(b => assert(flags(b), s"doc $b has a corpus near-dup but is not flagged"))
+  }
+
   test("simhash is stable and 16-bit bounded") {
     val fps = DedupOps.dedupSimhash(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -50,6 +50,24 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_quantize: int8 range and dequantization error bounded by scale/2") {
+    val src = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val rows = VectorOps.embedQuantize(spark, sf).collect()
+    assert(rows.length == src.size)
+    rows.foreach { r =>
+      val x = src(r.getLong(0))
+      val q = r.getSeq[Int](2)
+      assert(q.length == x.length)
+      val scale = x.map(math.abs).max / 127.0
+      q.foreach(v => assert(math.abs(v) <= 127, s"|$v| > 127"))
+      q.zip(x).foreach { case (qi, xi) =>
+        assert(math.abs(qi * scale - xi) <= scale / 2 + 1e-12,
+          s"dequant error for $xi at scale $scale")
+      }
+    }
+  }
+
   test("approx_count_distinct stays within 5% of exact (A3 tolerance)") {
     val approx = Relational.aggApproxDistinct(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
