@@ -635,6 +635,76 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** K9: ORC sink + re-scan round-trip — the same semantically-invisible
+    * layout contract as the parquet/JSON sinks, over Spark's second
+    * columnar format (ORC keeps doubles binary-exact, so the money column
+    * round-trips without a string detour). */
+  def sinkOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_orc_${dir.replaceAll("[^0-9.]", "")}"
+    lineitem(s, dir)
+      .select("l_orderkey", "l_returnflag", "l_extendedprice")
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** K10: CSV sink + schema'd re-read round-trip (header on, explicit
+    * schema back — never inferSchema, which would re-scan the data at
+    * 100 TB). Long/string columns only: CSV is a text format, and exact
+    * float round-trip contracts belong to the columnar sinks. */
+  def sinkCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_csv_${dir.replaceAll("[^0-9.]", "")}"
+    orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+      .write.mode("overwrite").option("header", "true").csv(path)
+    s.read.schema("o_orderkey long, o_custkey long, o_orderpriority string")
+      .option("header", "true").csv(path)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** J13: dynamic-partition-pruned join — the fact table is WRITTEN
+    * partitioned by month; the month-dim side carries a filter (Q2
+    * months) that is only knowable at runtime, so Catalyst inserts a
+    * `dynamicpruning` partition filter fed by the broadcast dim: the fact
+    * scan touches ONLY the 3-months-per-year partitions instead of all of
+    * them. At 100 TB this is the mechanism that turns a date-dim join
+    * into a 25%-of-the-data scan with zero query rewrite (PlansSpec
+    * asserts the dynamicpruning expression is present). Oracle = same
+    * join with the month derived on the fly — partitioning must be
+    * semantically invisible. */
+  def joinDpp(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_dpp_${dir.replaceAll("[^0-9.]", "")}"
+    orders(s, dir)
+      .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
+      .select("o_orderkey", "o_totalprice", "om")
+      .write.mode("overwrite").partitionBy("om").parquet(path)
+    val dim = orders(s, dir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m")).distinct()
+      .filter(split(col("m"), "-").getItem(1).cast("int").between(4, 6))
+    s.read.parquet(path)
+      .join(broadcast(dim), col("om") === col("m"))
+      .groupBy("om")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("om")
+  }
+
+  /** A7b: approximate percentiles (`percentile_approx`, the
+    * Greenwald–Khanna-style mergeable sketch) — the 100 TB quantile path:
+    * partial sketches combine map-side and across reruns, where exact
+    * percentile must shuffle every value per group. No DuckDB oracle
+    * (sketch internals are engine-specific) — rows-only gate plus a
+    * tolerance spec against the exact [[aggPercentile]]. */
+  def aggApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("ap95"))
+      .orderBy("l_returnflag")
+
   /** Q1: uncorrelated scalar subquery — lineitems above the global average
     * price. Catalyst plans the subquery once (ReusedSubquery/broadcast),
     * not per row. */
@@ -778,6 +848,10 @@ object Relational {
     "sink_parquet_roundtrip" -> sinkParquetRoundtrip _,
     "sink_sorted_layout"  -> sinkSortedLayout _,
     "sink_json_roundtrip" -> sinkJsonRoundtrip _,
+    "sink_orc_roundtrip"  -> sinkOrcRoundtrip _,
+    "sink_csv_roundtrip"  -> sinkCsvRoundtrip _,
+    "join_dpp"            -> joinDpp _,
+    "agg_approx_percentile" -> aggApproxPercentile _,
     "join_range_binned"   -> joinRangeBinned _,
     "cogroup_merge"       -> cogroupMerge _,
     "agg_hll_sketch_merge" -> aggHllSketchMerge _,
@@ -1006,6 +1080,25 @@ object Relational {
     "sink_json_roundtrip" ->
       """SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "sink_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sink_csv_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_dpp" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m') AS om
+        |  FROM orders),
+        |d AS (
+        |  SELECT DISTINCT om AS m FROM f
+        |  WHERE CAST(string_split(om, '-')[2] AS INT) BETWEEN 4 AND 6)
+        |SELECT om, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+        |FROM f JOIN d ON om = m
+        |GROUP BY om ORDER BY om""".stripMargin,
     "sink_sorted_layout" ->
       """SELECT l_orderkey % 7 AS g, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty

@@ -81,4 +81,12 @@ class PlansSpec extends AnyFunSuite {
     // 2 groups (0.0 merged with -0.0), not 3 — matching the window idiom
     assert(top1.count() == 2)
   }
+
+  test("join_dpp plans a dynamicpruning partition filter on the fact scan") {
+    val df = ops.Relational.joinDpp(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter in:\n$plan")
+  }
 }

@@ -68,6 +68,17 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("percentile_approx stays within 2% of exact interpolated percentiles") {
+    val approx = Relational.aggApproxPercentile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Relational.aggPercentile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (p50, p95)) =>
+      assert(math.abs(approx(k)._1 - p50) / p50 <= 0.02, s"$k p50: ${approx(k)._1} vs $p50")
+      assert(math.abs(approx(k)._2 - p95) / p95 <= 0.02, s"$k p95: ${approx(k)._2} vs $p95")
+    }
+  }
+
   test("approx_count_distinct stays within 5% of exact (A3 tolerance)") {
     val approx = Relational.aggApproxDistinct(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
