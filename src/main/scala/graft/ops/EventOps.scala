@@ -205,6 +205,7 @@ object EventOps {
     "upsert_latest_by_key" -> upsertLatestByKey _,
     "join_asof"            -> joinAsof _,
     "events_interval_join" -> eventsIntervalJoin _,
+    "events_interval_join_left" -> eventsIntervalJoinLeft _,
   )
 
   /** J11/§2.13: batch twin of the stream-stream interval join
@@ -213,6 +214,14 @@ object EventOps {
     * operator oracle-checkable at all. */
   def eventsIntervalJoin(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamingOps.viewPurchaseJoin(events(s, dir))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        tsFmt(col("v_ts")).as("v_ts_s"), tsFmt(col("p_ts")).as("p_ts_s"))
+      .orderBy("view_id", "purchase_id")
+
+  /** J11b: LEFT OUTER batch twin — every view appears; unconverted ones
+    * carry null purchase columns (the funnel-with-dropoff shape). */
+  def eventsIntervalJoinLeft(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.viewPurchaseJoinLeft(events(s, dir))
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         tsFmt(col("v_ts")).as("v_ts_s"), tsFmt(col("p_ts")).as("p_ts_s"))
       .orderBy("view_id", "purchase_id")
@@ -336,6 +345,16 @@ object EventOps {
         | AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
         | AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
         |ORDER BY view_id, purchase_id""".stripMargin,
+    "events_interval_join_left" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  strftime(CAST(v.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS v_ts_s,
+        |  strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS p_ts_s
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+        |ORDER BY view_id, purchase_id NULLS FIRST""".stripMargin,
     "join_asof" ->
       """SELECT p.event_id, p.user_id,
         |  strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_s,

@@ -681,6 +681,10 @@ object Relational {
     orders(s, dir)
       .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
       .select("o_orderkey", "o_totalprice", "om")
+      // co-locate each month before the partitioned write: one file per
+      // partition dir instead of (tasks × months) small files — at 100 TB
+      // the small-file spray is the classic partitioned-sink failure mode
+      .repartition(col("om"))
       .write.mode("overwrite").partitionBy("om").parquet(path)
     val dim = orders(s, dir)
       .select(date_format(col("o_orderdate"), "yyyy-MM").as("m")).distinct()

@@ -67,7 +67,19 @@ object StreamingOps {
     * passes v_ts + 30 min the row is dropped. Unbounded stream-stream
     * joins (no time bound) accumulate state forever — at 100 TB/day the
     * interval bound IS the operator. */
-  def viewPurchaseJoin(ev: DataFrame): DataFrame = {
+  def viewPurchaseJoin(ev: DataFrame): DataFrame =
+    viewPurchaseJoinOfType(ev, "inner")
+
+  /** LEFT OUTER form: views with no purchase within the interval emit a
+    * null-padded row — in streaming, only once the purchase-side
+    * watermark passes v_ts + 30 min (the state-closure point at which
+    * "no match" becomes definitive). StreamingSpec asserts exactly that:
+    * matched rows match the batch twin immediately, null rows appear
+    * precisely for watermark-closed views. */
+  def viewPurchaseJoinLeft(ev: DataFrame): DataFrame =
+    viewPurchaseJoinOfType(ev, "leftOuter")
+
+  private def viewPurchaseJoinOfType(ev: DataFrame, joinType: String): DataFrame = {
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("view_id"))
@@ -79,7 +91,8 @@ object StreamingOps {
     views.join(purchases,
       col("v_user") === col("p_user") &&
         col("p_ts") >= col("v_ts") &&
-        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+      joinType)
       .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
         col("v_ts"), col("p_ts"))
   }

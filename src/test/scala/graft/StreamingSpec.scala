@@ -136,6 +136,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("s_ssjoin").count() > 0)
   }
 
+  test("stream-stream LEFT OUTER interval join: null rows emit once the watermark closes state") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val all = eventsDs.collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).toSeq
+    // Far-future sentinel pair (user -1): drives the watermark past every
+    // real view's v_ts + 30 min so ALL real outer state is closed by the
+    // end — making the stream result exactly comparable to batch.
+    val far = all.map(_.ts.getTime).max + 24L * 3600 * 1000
+    val sentinels = Seq(
+      Ev(-1L, new java.sql.Timestamp(far), -1L, "view", 0.0, "{}"),
+      Ev(-2L, new java.sql.Timestamp(far + 60000), -1L, "purchase", 0.0, "{}"))
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.viewPurchaseJoinLeft(ms.toDF())
+      .writeStream.format("memory").queryName("s_ssjoin_left").outputMode("append").start()
+    try {
+      all.grouped(math.max(1, all.size / 4)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+      ms.addData(sentinels); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("s_ssjoin_left").filter("user_id != -1")
+    val batch = StreamingOps.viewPurchaseJoinLeft(Tables.events(spark, sf))
+    assert(rows(streamed) == rows(batch))
+    // the outer shape actually exercised: some views matched, some didn't
+    assert(streamed.filter("purchase_id IS NULL").count() > 0)
+    assert(streamed.filter("purchase_id IS NOT NULL").count() > 0)
+  }
+
   test("stream-static enrichment join == batch join, per micro-batch") {
     val sq = spark; import sq.implicits._
     implicit val ctx = spark.sqlContext
