@@ -617,6 +617,37 @@ object Relational {
       .orderBy("g")
   }
 
+  /** K8b: Z-ORDER layout sink — interleave the bits of TWO keys into a
+    * Morton code, range-partition + sort by it, and both dimensions get
+    * row-group min/max locality: a rectangle predicate on (orderkey,
+    * partkey) prunes files/row-groups on BOTH axes, where a plain sort
+    * only serves its leading column. This is the multi-dimensional
+    * clustering answer (Delta/Iceberg Z-ORDER BY) expressed with stock
+    * Spark: the morton expression is pure codegen'd bit algebra. The
+    * read-back filters a rectangle; oracle = same filter+agg on the raw
+    * table (layout must be semantically invisible). */
+  def sinkZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_zorder_${dir.replaceAll("[^0-9.]", "")}"
+    // 16-bit × 16-bit Morton interleave: bit i of x lands at 2i, of y at 2i+1
+    def morton(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (0 until 16).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }.reduce(_ + _)
+    lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .withColumn("z", morton(col("l_orderkey"), col("l_partkey")))
+      .repartitionByRange(8, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .filter(col("l_orderkey").between(1000, 3000) &&
+        col("l_partkey").between(100, 500))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_partkey")
+  }
+
   /** K1: JSON sink + re-scan round-trip (the reference's extract dump,
     * /root/reference/scripts/extract.py:76-78, minus the single-file
     * indent-2 cosmetics — a distributed sink writes one shard per
@@ -854,6 +885,7 @@ object Relational {
     "sink_json_roundtrip" -> sinkJsonRoundtrip _,
     "sink_orc_roundtrip"  -> sinkOrcRoundtrip _,
     "sink_csv_roundtrip"  -> sinkCsvRoundtrip _,
+    "sink_zorder_layout"  -> sinkZorderLayout _,
     "join_dpp"            -> joinDpp _,
     "agg_approx_percentile" -> aggApproxPercentile _,
     "join_range_binned"   -> joinRangeBinned _,
@@ -1088,6 +1120,12 @@ object Relational {
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sink_zorder_layout" ->
+      """SELECT l_partkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 3000 AND l_partkey BETWEEN 100 AND 500
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
     "sink_csv_roundtrip" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust

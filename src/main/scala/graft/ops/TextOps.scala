@@ -158,8 +158,34 @@ object TextOps {
           .as("url_chars_removed"))
       .orderBy("doc_id")
 
+  /** Unigram log-probability scoring — the oracle-checkable stand-in for
+    * perplexity filtering: score each document by its mean token
+    * log-probability under the corpus's own unigram model (low = rare/
+    * garbled tokens, the signal LM-based quality filters threshold on).
+    *
+    * Scale shape: the unigram vocab is Zipf-small relative to the corpus
+    * → BROADCAST to the token stream, which therefore never shuffles for
+    * scoring; the only corpus-scale shuffle is the per-doc aggregation of
+    * fixed-width (doc_id, logp) rows. Per-token logp is 6-dp-snapped
+    * before the decimal sum so the per-doc mean is partition-order
+    * independent (the [[graft.Tables.dsum]] determinism rule). */
+  def textLogprob(s: SparkSession, dir: String): DataFrame = {
+    val tok = documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val totals = vocab.agg(sum("cnt").as("tot"))
+    tok.join(broadcast(vocab), "w")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), r6(log(col("cnt").cast("double") / col("tot"))).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        r6(dsum(col("lp")) / count(lit(1))).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_scrub"      -> textScrub _,
+    "text_logprob"    -> textLogprob _,
     "text_tokenize"   -> textTokenize _,
     "text_termfreq"   -> textTermfreq _,
     "text_tfidf"      -> textTfidf _,
@@ -173,6 +199,20 @@ object TextOps {
   private val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "text_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |v AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+        |t AS (SELECT sum(cnt) AS tot FROM v),
+        |sc AS (
+        |  SELECT doc_id,
+        |    floor(ln(cnt::DOUBLE / tot) * 1000000 + 0.5) / 1000000 AS lp
+        |  FROM tok JOIN v USING (w) CROSS JOIN t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  floor((CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) / count(*))
+        |    * 1000000 + 0.5) / 1000000 AS avg_logprob
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(text,

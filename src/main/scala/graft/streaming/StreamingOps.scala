@@ -108,6 +108,21 @@ object StreamingOps {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("tier"), col("value"))
 
+  /** Idempotent `foreachBatch` parquet sink: every micro-batch overwrites
+    * ITS OWN batch_id partition (dynamic partition overwrite), so a
+    * replayed batch — Structured Streaming re-runs a batch after any
+    * failure between sink write and checkpoint commit — replaces its
+    * previous output instead of appending duplicates. This is the
+    * batch-level exactly-once recipe for non-transactional sinks, and at
+    * 100 TB/day it is also the layout you want anyway: one partition per
+    * batch makes retention drops and backfills partition-granular.
+    * StreamingSpec replays a batch explicitly and asserts no dupes. */
+  def idempotentBatchWriter(path: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(path)
+
   /** Closed session emitted by the custom sessionizer (epoch-µs bounds). */
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 

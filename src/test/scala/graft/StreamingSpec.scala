@@ -165,6 +165,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.filter("purchase_id IS NOT NULL").count() > 0)
   }
 
+  test("foreachBatch idempotent sink: a replayed batch does not duplicate rows") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val path = "/tmp/graft_feb_sink"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val all = eventsDs.collect().sortBy(_.event_id).toSeq
+    var lastBatch: Option[(Seq[Ev], Long)] = None
+    val ms = MemoryStream[Ev]
+    val writer = StreamingOps.idempotentBatchWriter(path) _
+    val q = ms.toDF().writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        writer(b, id)
+        lastBatch = Some((b.as[Ev].collect().toSeq, id))
+      }
+      .start()
+    try {
+      all.grouped(math.max(1, all.size / 3)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(spark.read.parquet(path).count() == all.size)
+    // replay the last batch exactly as the engine would after a failure
+    // between sink write and checkpoint commit
+    val (rows, id) = lastBatch.get
+    writer(rows.toDF(), id)
+    assert(spark.read.parquet(path).count() == all.size,
+      "replaying a batch must overwrite its partition, not append")
+  }
+
   test("stream-static enrichment join == batch join, per micro-batch") {
     val sq = spark; import sq.implicits._
     implicit val ctx = spark.sqlContext
