@@ -17,7 +17,11 @@ object Explain {
                   // round 3: native operator, runtime filter, two-pass
                   // prefix sum, interval join, sorted-layout read-back
                   "topk_native", "join_bloom_prefilter", "shard_pack_tokens",
-                  "events_interval_join", "sink_sorted_layout")) {
+                  "events_interval_join", "sink_sorted_layout",
+                  // round 3b: DPP, broadcast decontam, codegen quantize,
+                  // unigram-LM broadcast scoring, incremental dedup
+                  "join_dpp", "decontam_ngram", "embed_quantize",
+                  "text_logprob", "dedup_incremental")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
