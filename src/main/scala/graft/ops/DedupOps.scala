@@ -303,8 +303,28 @@ object DedupOps {
       .orderBy("doc_a")
   }
 
+  /** L2d: n-gram CONTAINMENT — the asymmetric cousin of Jaccard:
+    * |A∩B| / |A| detects doc A embedded inside a larger doc B (quotes,
+    * boilerplate wrapping, near-superset scrapes) that symmetric Jaccard
+    * dilutes below threshold. Same bounded adjacent-pair demonstration
+    * set as [[dedupNgramJaccard]]; in production it runs on the LSH
+    * candidate pairs, where high-containment/low-Jaccard is the
+    * subset-dup signal. */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    sh.as("a")
+      .join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        r6(size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+          size(col("a.shingles"))).as("containment_a"),
+        r6(size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+          size(col("b.shingles"))).as("containment_b"))
+      .orderBy("doc_a")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> dedupExact _,
+    "dedup_containment"   -> dedupContainment _,
     "dedup_minhash"       -> dedupMinhash _,
     "simjoin_lsh"         -> simjoinLsh _,
     "dedup_simhash"       -> dedupSimhash _,
@@ -421,6 +441,15 @@ object DedupOps {
          |hit AS (SELECT DISTINCT bt.doc_id FROM bt JOIN idx USING (band, band_key))
          |SELECT doc_id, (doc_id IN (SELECT doc_id FROM hit)) AS is_dup
          |FROM (SELECT DISTINCT doc_id FROM bt) ORDER BY doc_id""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $shinglesCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  floor((len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |    len(a.shingles)) * 1000000 + 0.5) / 1000000 AS containment_a,
+         |  floor((len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |    len(b.shingles)) * 1000000 + 0.5) / 1000000 AS containment_b
+         |FROM shf a JOIN shf b ON b.doc_id = a.doc_id + 1
+         |ORDER BY doc_a""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shinglesCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

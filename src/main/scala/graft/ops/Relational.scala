@@ -740,6 +740,29 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("ap95"))
       .orderBy("l_returnflag")
 
+  /** S6: schema-evolution scan — two write epochs with different schemas
+    * (epoch 2 adds a column), read back with `mergeSchema`: Spark unions
+    * the footers' schemas and nulls the missing column in old files. At
+    * 100 TB schema evolution happens in place — you cannot rewrite
+    * history when a column is added, so the scan layer must reconcile
+    * (and `mergeSchema` stays off by default because footer-merging every
+    * file has a cost: turn it on per-read, or register the merged schema
+    * in the catalog once). Oracle = the same split derived on the fly. */
+  def scanMergeSchema(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_evo_${dir.replaceAll("[^0-9.]", "")}"
+    val o = orders(s, dir)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$path/epoch=1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$path/epoch=2")
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>")).as("prio"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("prio")
+  }
+
   /** Q1: uncorrelated scalar subquery — lineitems above the global average
     * price. Catalyst plans the subquery once (ReusedSubquery/broadcast),
     * not per row. */
@@ -886,6 +909,7 @@ object Relational {
     "sink_orc_roundtrip"  -> sinkOrcRoundtrip _,
     "sink_csv_roundtrip"  -> sinkCsvRoundtrip _,
     "sink_zorder_layout"  -> sinkZorderLayout _,
+    "scan_merge_schema"   -> scanMergeSchema _,
     "join_dpp"            -> joinDpp _,
     "agg_approx_percentile" -> aggApproxPercentile _,
     "join_range_binned"   -> joinRangeBinned _,
@@ -1120,6 +1144,12 @@ object Relational {
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "scan_merge_schema" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+        |       ELSE '<pre-evolution>' END AS prio,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
     "sink_zorder_layout" ->
       """SELECT l_partkey, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty

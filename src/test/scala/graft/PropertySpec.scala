@@ -115,4 +115,29 @@ class PropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("QuantizeI8: |dequant - x| <= scale/2 and |q| <= 127 on generated vectors") {
+    val sq = spark; import sq.implicits._
+    import org.apache.spark.sql.functions.{col, greatest, array_max, array_min, lit}
+    val vecGen = org.scalacheck.Gen.choose(1, 16).flatMap(n =>
+      org.scalacheck.Gen.listOfN(n,
+        org.scalacheck.Gen.choose(-1e6, 1e6).map(x => math.round(x * 1e3) / 1e3)))
+    val prop = Prop.forAll(org.scalacheck.Gen.listOfN(30, vecGen)) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val e = col("v").cast("array<double>")
+      val scale = greatest(array_max(e), -array_min(e)) / lit(127.0)
+      val out = df.select(col("id"),
+          functions.VectorFunctions.graftQuantizeI8(e, scale).as("q"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      vecs.zipWithIndex.forall { case (v, i) =>
+        val s = v.map(math.abs).max / 127.0
+        val q = out(i.toLong)
+        q.size == v.size && q.forall(x => math.abs(x) <= 127) &&
+          (s == 0.0 || q.zip(v).forall { case (qi, xi) =>
+            math.abs(qi * s - xi) <= s / 2 + 1e-9 })
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
