@@ -237,9 +237,18 @@ object DedupOps {
   def decontamNgram(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleRows(s, dir)
     val evalSet = sh.filter(col("doc_id") % 50 === 0).select("x").distinct()
-    sh.filter(col("doc_id") % 50 =!= 0)
+    val train = sh.filter(col("doc_id") % 50 =!= 0)
+    val tot = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = train
       .join(broadcast(evalSet), "x") // shingleRows is distinct per (doc, x)
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    // contam_ratio = fraction of THIS doc's shingles seen in eval — with
+    // short n-grams a raw any-overlap rule over-fires on a small-vocab
+    // corpus (the 13-gram analog: rare enough that one hit is a signal);
+    // downstream consumers threshold the ratio (curation_pipeline: ≥ 0.3)
+    tot.join(hits, Seq("doc_id"))
+      .select(col("doc_id"), col("n_overlap"), col("n_shingles"),
+        r6(col("n_overlap").cast("double") / col("n_shingles")).as("contam_ratio"))
       .orderBy("doc_id")
   }
 
@@ -336,7 +345,7 @@ object DedupOps {
 
   /** Shared SQL fragments (DuckDB): shingles + minhash bands, mirroring
     * the Spark exprs above 1:1. */
-  private val shinglesCte =
+  private[ops] val shinglesCte =
     """sh AS (
       |  SELECT doc_id, list_distinct(
       |      CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t)-1),
@@ -353,7 +362,7 @@ object DedupOps {
     s"SELECT doc_id, $b AS band, md5($slots) AS band_key FROM sig"
   }.mkString("\n  UNION ALL\n  ")
 
-  private val bandsCte =
+  private[ops] val bandsCte =
     s"""ex AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM shf),
        |hp AS (SELECT doc_id,
        |    CAST('0x' || substring(h, 1, 8) AS BIGINT) AS a,
@@ -367,7 +376,7 @@ object DedupOps {
 
   /** Candidate generation + exact-Jaccard verify as CTEs (requires
     * shinglesCte + bandsCte in scope). */
-  private val pairsCte =
+  private[ops] val pairsCte =
     """cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
@@ -428,11 +437,17 @@ object DedupOps {
     "decontam_ngram" ->
       s"""WITH $shinglesCte,
          |shr AS (SELECT doc_id, unnest(shingles) AS x FROM shf),
-         |ev AS (SELECT DISTINCT x FROM shr WHERE doc_id % 50 = 0)
-         |SELECT doc_id, count(*) AS n_overlap
-         |FROM shr JOIN ev USING (x)
-         |WHERE doc_id % 50 <> 0
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |ev AS (SELECT DISTINCT x FROM shr WHERE doc_id % 50 = 0),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM shr
+         |        WHERE doc_id % 50 <> 0 GROUP BY doc_id),
+         |hit AS (SELECT doc_id, count(*) AS n_overlap
+         |        FROM shr JOIN ev USING (x)
+         |        WHERE doc_id % 50 <> 0 GROUP BY doc_id)
+         |SELECT t.doc_id, n_overlap, n_shingles,
+         |  floor(n_overlap::DOUBLE / n_shingles * 1000000 + 0.5) / 1000000
+         |    AS contam_ratio
+         |FROM tot t JOIN hit h ON t.doc_id = h.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "dedup_incremental" ->
       s"""WITH $shinglesCte,
          |$bandsCte,

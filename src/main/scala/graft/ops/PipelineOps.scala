@@ -166,8 +166,74 @@ object PipelineOps {
       .orderBy("doc_id", "epoch")
   }
 
+  /** L18: the FLAGSHIP composition — the full training-data curation job
+    * as ONE DataFrame pipeline, every stage an operator this engine
+    * already verifies in isolation:
+    *
+    *   1. rule-based quality filter (length bounds + token-repetition);
+    *   2. exact dedup (keep min doc_id per content hash);
+    *   3. near-dup collapse (keep only each MinHash-LSH cluster's
+    *      representative — [[DedupOps.dedupClusters]] min-label ids);
+    *   4. test-set decontamination (drop the eval slice AND train docs
+    *      with ≥ 30% of their 3-grams in it — [[DedupOps.decontamNgram]]
+    *      thresholded on contam_ratio);
+    *   5. token-budget shard packing of the survivors (the two-pass
+    *      prefix sum of [[shardPackTokens]], budget 2000).
+    *
+    * Dedup/decontam verdicts are computed on the FULL corpus (they are
+    * corpus-level index artifacts; a doc's near-dup is a dup even if the
+    * quality filter would drop it), then applied to the quality-kept set.
+    * Scale shape: stages 1/2/4 are map-side or one fixed-width shuffle;
+    * stage 3's iterative component collapse is bounded by near-dup
+    * component diameter; stage 5's only global window runs over bucket
+    * totals. The oracle chains the same five stages as one DuckDB WITH
+    * (including the recursive-CTE reachability for stage 3). */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val Budget = 2000L
+    val docs = documents(s, dir)
+    val toks = split(col("text"), " ")
+    // 1. quality keep
+    val quality = docs
+      .filter(col("n_chars") >= 150 && col("n_chars") <= 450 &&
+        size(toks).cast("double") / size(array_distinct(toks)) <= 2.5)
+      .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tokens"),
+        md5(col("text")).as("fp"))
+    // 2. exact-dedup keepers (within the quality-kept set)
+    val exactKeep = quality.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    // 3. near-dup cluster non-representatives (corpus-level artifact)
+    val clusterDrops = DedupOps.dedupClusters(s, dir)
+      .filter(col("cluster_id") =!= col("doc_id")).select("doc_id")
+    // 4. contaminated train docs (corpus-level artifact): ≥ 30% of the
+    //    doc's shingles seen in eval; eval slice itself is excluded by
+    //    the % 50 filter below
+    val contaminated = DedupOps.decontamNgram(s, dir)
+      .filter(col("contam_ratio") >= 0.3).select("doc_id")
+    val survivors = quality
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(clusterDrops, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("doc_id") / lit(100)).cast("long").as("bucket"))
+    // 5. two-pass prefix sum -> shard ids
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withPos = survivors
+      .withColumn("within", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+    val wB = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = survivors.groupBy("bucket").agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("offset", coalesce(sum(col("btot")).over(wB), lit(0L)))
+      .select(col("bucket").as("ob"), col("offset"))
+    withPos.join(broadcast(offsets), col("bucket") === col("ob"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        ((col("offset") + col("within")) / Budget).cast("long").as("shard"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_bloom_prefilter" -> joinBloomPrefilter _,
+    "curation_pipeline"    -> curationPipeline _,
     "cdc_apply_changes"    -> cdcApplyChanges _,
     "sample_stratified"    -> sampleStratified _,
     "shard_pack_tokens"    -> shardPackTokens _,
@@ -176,6 +242,50 @@ object PipelineOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "curation_pipeline" ->
+      s"""WITH RECURSIVE ${DedupOps.shinglesCte},
+         |${DedupOps.bandsCte},
+         |${DedupOps.pairsCte},
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(n, m) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT e.a, reach.m FROM e JOIN reach ON e.b = reach.n),
+         |cluster_drops AS (
+         |  SELECT n AS doc_id FROM reach GROUP BY n HAVING min(m) <> n),
+         |shr AS (SELECT doc_id, unnest(shingles) AS x FROM shf),
+         |ev AS (SELECT DISTINCT x FROM shr WHERE doc_id % 50 = 0),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM shr
+         |        WHERE doc_id % 50 <> 0 GROUP BY doc_id),
+         |hit AS (SELECT doc_id, count(*) AS n_overlap
+         |        FROM shr JOIN ev USING (x)
+         |        WHERE doc_id % 50 <> 0 GROUP BY doc_id),
+         |contaminated AS (
+         |  SELECT t.doc_id FROM tot t JOIN hit h ON t.doc_id = h.doc_id
+         |  WHERE floor(n_overlap::DOUBLE / n_shingles * 1000000 + 0.5)
+         |        / 1000000 >= 0.3),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |    len(string_split(text, ' '))::BIGINT AS n_tokens, md5(text) AS fp
+         |  FROM documents
+         |  WHERE n_chars BETWEEN 150 AND 450
+         |    AND len(string_split(text, ' '))::DOUBLE
+         |        / len(list_distinct(string_split(text, ' '))) <= 2.5),
+         |ek AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY fp),
+         |surv AS (
+         |  SELECT q.doc_id, lang, n_tokens FROM q
+         |  JOIN ek ON q.doc_id = ek.doc_id
+         |  WHERE q.doc_id NOT IN (SELECT doc_id FROM cluster_drops)
+         |    AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |    AND q.doc_id % 50 <> 0),
+         |c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM surv)
+         |SELECT doc_id, lang, n_tokens, CAST(cum // 2000 AS BIGINT) AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
     "join_bloom_prefilter" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price

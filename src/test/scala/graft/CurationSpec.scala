@@ -78,6 +78,30 @@ class CurationSpec extends AnyFunSuite {
     assert(enMean > 2.2 && enMean < 2.8, s"en mean copies $enMean far from 2.5")
   }
 
+  test("curation pipeline: survivors disjoint from every drop set, shards contiguous and budget-bounded") {
+    val out = ops.PipelineOps.curationPipeline(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getLong(0)).toSet
+    // disjoint from each drop set
+    assert(ids.forall(_ % 50 != 0), "eval docs must be dropped")
+    val contaminated = ops.DedupOps.decontamNgram(spark, sf)
+      .filter(col("contam_ratio") >= 0.3).collect()
+      .map(_.getLong(0)).toSet
+    assert(ids.intersect(contaminated).isEmpty, "contaminated docs must be dropped")
+    val clusterDrops = ops.DedupOps.dedupClusters(spark, sf).collect()
+      .collect { case r if r.getLong(1) != r.getLong(0) => r.getLong(0) }.toSet
+    assert(ids.intersect(clusterDrops).isEmpty, "near-dup non-representatives must be dropped")
+    // shards: contiguous from 0; each holds <= budget + one doc of slack
+    // (assignment is by starting offset)
+    val byShard = out.groupBy(_.getLong(3))
+    val shards = byShard.keySet
+    assert(shards == (0L until shards.size).toSet, s"non-contiguous shards: $shards")
+    val maxDoc = out.map(_.getLong(2)).max
+    byShard.foreach { case (sh, rs) =>
+      assert(rs.map(_.getLong(2)).sum <= 2000 + maxDoc, s"shard $sh over budget")
+    }
+  }
+
   test("quality filter reasons match the rule boundaries") {
     val out = ops.PipelineOps.docsQualityFilter(spark, sf)
       .join(Tables.documents(spark, sf), "doc_id")

@@ -76,7 +76,9 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getLong(0) % 50 != 0, s"eval doc ${r.getLong(0)} in output")
-      assert(r.getLong(1) >= 1)
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= r.getLong(2))
+      val ratio = r.getDouble(3)
+      assert(ratio > 0 && ratio <= 1, s"ratio out of range: $ratio")
     }
   }
 
