@@ -298,6 +298,21 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** L2b (decision half): SimHash Hamming distances on adjacent doc pairs
+    * — fingerprint XOR + popcount (`bit_count`, codegen'd built-ins), the
+    * O(1)-per-pair near-dup test that makes SimHash attractive at scale:
+    * the 100 TB form buckets fingerprints by 4-bit chunks (pigeonhole:
+    * distance ≤ 3 ⇒ one of 4 chunks identical) and compares only
+    * bucket-mates. Flag at distance ≤ 3 of 16 bits. */
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val fp = dedupSimhash(s, dir)
+    fp.as("a").join(fp.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
+      .withColumn("near_dup", col("hamming") <= 3)
+      .orderBy("doc_a")
+  }
+
   /** n-gram Jaccard on adjacent doc pairs — the exact-similarity kernel
     * (array_intersect/array_union set algebra) on a bounded O(n) pair set.
     * The unbounded version is [[simjoinLsh]]; this one demonstrates the
@@ -337,6 +352,7 @@ object DedupOps {
     "dedup_minhash"       -> dedupMinhash _,
     "simjoin_lsh"         -> simjoinLsh _,
     "dedup_simhash"       -> dedupSimhash _,
+    "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_clusters"      -> dedupClusters _,
     "decontam_ngram"      -> decontamNgram _,
@@ -464,6 +480,20 @@ object DedupOps {
          |  floor((len(list_intersect(a.shingles, b.shingles))::DOUBLE /
          |    len(b.shingles)) * 1000000 + 0.5) / 1000000 AS containment_b
          |FROM shf a JOIN shf b ON b.doc_id = a.doc_id + 1
+         |ORDER BY doc_a""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |    $simhashSums
+         |  FROM tok GROUP BY doc_id),
+         |fp AS (SELECT doc_id, CAST($simhashFp AS BIGINT) AS simhash
+         |       FROM s)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming,
+         |  bit_count(xor(a.simhash, b.simhash)) <= 3 AS near_dup
+         |FROM fp a JOIN fp b ON b.doc_id = a.doc_id + 1
          |ORDER BY doc_a""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shinglesCte

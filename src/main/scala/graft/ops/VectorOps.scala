@@ -147,9 +147,30 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Per-label centroid vectors in LONG form (label, dim, c) — the
+    * reduce half of a distributed k-means step (assignment is
+    * [[knnIvf]]'s cell math). posexplode → one partial+final hash-agg
+    * keyed (label, dim): shuffle rows are fixed-width triples, the mean
+    * never materializes per-executor vectors. Elements are 6-dp-snapped
+    * BEFORE the decimal sum ([[graft.Tables.dsum]] rule) so the centroid
+    * is partition-order independent — a re-run on different partitioning
+    * byte-matches, which is also what makes it oracle-checkable. Long
+    * form IS the scale layout (a 1M-cluster × 4k-dim centroid table is
+    * a DataFrame, not driver memory). */
+  def embedCentroids(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .select(col("label"), posexplode(asD(col("embedding"))))
+      .select(col("label"), col("pos").cast("long").as("dim"), r6(col("col")).as("v"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), dsum(col("v")).as("sv"))
+      .select(col("label"), col("dim"), col("n"),
+        r6(col("sv") / col("n")).as("centroid"))
+      .orderBy("label", "dim")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_normalize" -> embedNormalize _,
     "embed_quantize"  -> embedQuantize _,
+    "embed_centroids" -> embedCentroids _,
     "knn_cosine"    -> knnCosine _,
     "knn_ivf"       -> knnIvf _,
     "knn_ivf_multiprobe" -> knnIvfMultiprobe _,
@@ -168,6 +189,16 @@ object VectorOps {
       "CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)"
 
   val oracleSql: Map[String, String] = Map(
+    "embed_centroids" ->
+      """WITH ex AS (
+        |  SELECT label,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        |    floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) / 1000000 AS v
+        |  FROM embeddings)
+        |SELECT label, dim, count(*) AS n,
+        |  floor((CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) / count(*))
+        |    * 1000000 + 0.5) / 1000000 AS centroid
+        |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "embed_quantize" ->
       """WITH m AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e,
