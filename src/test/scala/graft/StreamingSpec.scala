@@ -194,6 +194,34 @@ class StreamingSpec extends AnyFunSuite {
       "replaying a batch must overwrite its partition, not append")
   }
 
+  test("file-source ingest resumes from checkpoint: restart processes only new files") {
+    val sq = spark; import sq.implicits._
+    val (src, out, ck) = ("/tmp/graft_ck_src", "/tmp/graft_ck_out", "/tmp/graft_ck_chk")
+    Seq(src, out, ck).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val all = eventsDs.collect().toSeq
+    val (a, b) = all.partition(_.event_id % 2 == 0)
+    def run(): Unit = {
+      val q = spark.readStream.schema(eventsDs.schema).json(src)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          StreamingOps.idempotentBatchWriter(out)(batch.toDF(), id)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    a.toDS().write.mode("append").json(src)
+    run()
+    assert(spark.read.parquet(out).count() == a.size)
+    // second epoch: new files land, the query restarts from the SAME
+    // checkpoint — committed files must not be reprocessed
+    b.toDS().write.mode("append").json(src)
+    run()
+    val result = spark.read.parquet(out)
+    assert(result.count() == all.size, "restart must process exactly the new files")
+    assert(result.select("event_id").distinct().count() == all.size)
+  }
+
   test("stream-static enrichment join == batch join, per micro-batch") {
     val sq = spark; import sq.implicits._
     implicit val ctx = spark.sqlContext
