@@ -825,6 +825,47 @@ object Relational {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
   }
 
+  /** SQL-3 (TPC-H Q1, the canonical pricing summary): filter-free scan +
+    * 8-measure grouped aggregation — the whole-stage-codegen benchmark
+    * query. Every money measure routes through DECIMAL(25,6) partials
+    * (the [[graft.Tables.dsum]] rule in SQL form): the products carry ≤ 6
+    * true decimal digits, so the decimal snap is exact and the aggregate
+    * is partition-order independent. */
+  def sqlPricingSummary(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+        |  floor(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS avg_qty,
+        |  floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS avg_price,
+        |  floor(CAST(sum(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * MATCH each other — the semantics a changelog/dimension merge needs
+    * when the business key is legitimately absent (plain `=` silently
+    * drops those rows). Spark plans `<=>` as a hash join (null-safe keys
+    * hash like values); derived NULLs via nullif so the corner actually
+    * executes on the fixtures. */
+  def joinNullSafe(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir)
+      .select(col("c_custkey"), nullif(col("c_nationkey") % 5, lit(4)).as("k"))
+    val n = nation(s, dir)
+      .select(col("n_nationkey"), nullif(col("n_nationkey") % 5, lit(4)).as("k"))
+    c.as("a").join(n.as("b"), col("a.k") <=> col("b.k"))
+      .groupBy(coalesce(col("a.k"), lit(-1)).as("k"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("n_nationkey")).as("sum_nk"))
+      .orderBy("k")
+  }
+
   /** SQL-2 (TPC-H Q5 shape): 5-way snowflake join through
     * customer→orders→lineitem→supplier→nation→region with a co-nation
     * constraint — the join-graph stress test. */
@@ -911,6 +952,8 @@ object Relational {
     "sink_zorder_layout"  -> sinkZorderLayout _,
     "scan_merge_schema"   -> scanMergeSchema _,
     "join_dpp"            -> joinDpp _,
+    "join_nullsafe"       -> joinNullSafe _,
+    "sql_pricing_summary" -> sqlPricingSummary _,
     "agg_approx_percentile" -> aggApproxPercentile _,
     "join_range_binned"   -> joinRangeBinned _,
     "cogroup_merge"       -> cogroupMerge _,
@@ -1160,6 +1203,27 @@ object Relational {
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "sql_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+        |  floor(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS avg_qty,
+        |  floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS avg_price,
+        |  floor(CAST(sum(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "join_nullsafe" ->
+      """WITH a AS (SELECT c_custkey, nullif(c_nationkey % 5, 4) AS k FROM customer),
+        |b AS (SELECT n_nationkey, nullif(n_nationkey % 5, 4) AS k FROM nation)
+        |SELECT COALESCE(a.k, -1) AS k, count(*) AS n_pairs,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS sum_nk
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |GROUP BY 1 ORDER BY k""".stripMargin,
     "join_dpp" ->
       """WITH f AS (
         |  SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m') AS om
