@@ -31,13 +31,21 @@ object DedupOps {
 
   /** Caches from the PREVIOUS dedup invocation. Lazy results can't be
     * unpersisted before their consumer's action runs, so lifecycle is
-    * generational: each new dedup query first retires everything the last
-    * one cached — a long-lived session (Bench warm-up + repeated timed
-    * runs) holds at most one generation of blocks instead of accumulating
-    * one per invocation. */
+    * generational: each new TOP-LEVEL query first retires everything the
+    * last one cached — a long-lived session (Bench warm-up + repeated
+    * timed runs) holds at most one generation of blocks instead of
+    * accumulating one per invocation.
+    *
+    * The retire lives at QUERY ENTRY ([[freshGen]], called by the
+    * `queries`-map wrappers and by composite pipelines like
+    * `PipelineOps.curationPipeline`), NOT inside the leaf operators:
+    * a composite that chains dedupClusters + decontamNgram must keep
+    * both operators' caches alive until its own action runs — a
+    * leaf-level retire would unpersist the cluster frames mid-plan and
+    * silently recompute the whole iterative chain uncached. */
   private val cachedGen = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-  private def retireCaches(): Unit = synchronized {
+  private[ops] def freshGen(): Unit = synchronized {
     cachedGen.foreach(_.unpersist(false)); cachedGen.clear()
   }
 
@@ -141,7 +149,7 @@ object DedupOps {
     // verify sides); Spark plans each branch independently, so materialize
     // once. At cluster scale this is a checkpoint/intermediate table, not
     // an executor cache.
-    retireCaches()
+
     val shRows = cache(shingleRows(s, dir))
     val cand = bandTableFrom(shRows)
       .groupBy("band", "band_key")
@@ -235,7 +243,8 @@ object DedupOps {
     * side stays map-side through the probe, and the only shuffle is the
     * output-scale per-doc overlap count. */
   def decontamNgram(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(s, dir)
+    // three consumers (eval set, totals, hits) — materialize once
+    val sh = cache(shingleRows(s, dir))
     val evalSet = sh.filter(col("doc_id") % 50 === 0).select("x").distinct()
     val train = sh.filter(col("doc_id") % 50 =!= 0)
     val tot = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
@@ -263,7 +272,7 @@ object DedupOps {
     * batch is small) — the 100 TB corpus text is never re-read, and the
     * per-batch cost is O(batch), not O(corpus). */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    retireCaches()
+
     val bands = cache(bandTableFrom(shingleRows(s, dir)))
     val index = bands.filter(col("doc_id") < IncrementalCutoff)
       .select("band", "band_key").distinct()
@@ -346,6 +355,9 @@ object DedupOps {
       .orderBy("doc_a")
   }
 
+  /** Every entry opens a fresh cache generation (retiring the previous
+    * query's persisted intermediates) — see [[freshGen]]. Composite
+    * pipelines that call the ops directly manage the bracket themselves. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> dedupExact _,
     "dedup_containment"   -> dedupContainment _,
@@ -357,7 +369,9 @@ object DedupOps {
     "dedup_clusters"      -> dedupClusters _,
     "decontam_ngram"      -> decontamNgram _,
     "dedup_incremental"   -> dedupIncremental _,
-  )
+  ).map { case (k, fn) =>
+    k -> ((s: SparkSession, d: String) => { freshGen(); fn(s, d) })
+  }
 
   /** Shared SQL fragments (DuckDB): shingles + minhash bands, mirroring
     * the Spark exprs above 1:1. */

@@ -189,6 +189,10 @@ object PipelineOps {
     * totals. The oracle chains the same five stages as one DuckDB WITH
     * (including the recursive-CTE reachability for stage 3). */
   def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    // one cache generation for the WHOLE composite: dedupClusters' and
+    // decontamNgram's persisted intermediates must all stay alive until
+    // this pipeline's own action runs (DedupOps.freshGen scaladoc)
+    DedupOps.freshGen()
     val Budget = 2000L
     val docs = documents(s, dir)
     val toks = split(col("text"), " ")
