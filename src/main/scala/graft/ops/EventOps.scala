@@ -192,7 +192,27 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** §2.13: cohort retention — users grouped by first-seen day, counted
+    * distinct per (cohort day, days-since-cohort). The product-analytics
+    * companion of [[funnelConversion]]. The cohort date is a window `min`
+    * over the user partition (ONE shuffle on user_id — a groupBy+join-back
+    * would shuffle twice), and the final agg only carries
+    * (cohort, offset, partial-distinct) rows. */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy("user_id")
+    events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .withColumn("cohort_d", min(col("d")).over(wU))
+      .groupBy(col("cohort_d"),
+        datediff(col("d"), col("cohort_d")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(dateFmt(col("cohort_d")).as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_retention"     -> eventsRetention _,
     "funnel_conversion"    -> funnelConversion _,
     "json_extract"         -> jsonExtract _,
     "rating_scale"         -> ratingScale _,
@@ -227,6 +247,16 @@ object EventOps {
       .orderBy("view_id", "purchase_id")
 
   val oracleSql: Map[String, String] = Map(
+    "events_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |c AS (
+        |  SELECT user_id, d, MIN(d) OVER (PARTITION BY user_id) AS cohort_d FROM e)
+        |SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
+        |  CAST(datediff('day', cohort_d, d) AS BIGINT) AS day_offset,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM c GROUP BY 1, 2
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     "funnel_conversion" ->
       """WITH su AS (
         |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS signup_ts

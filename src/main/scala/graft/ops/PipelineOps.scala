@@ -235,7 +235,54 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** L10b: deterministic fixed-size per-group sample — at most 20 docs per
+    * language, chosen by md5-of-id order. The "inspect a stable handful
+    * from every slice" primitive (eval panels, annotation batches,
+    * debugging spot-checks): hash order makes the draw uniform-ish yet a
+    * backfill re-run selects IDENTICAL rows, unlike `TABLESAMPLE`/`rand`.
+    * Written as the rank-filter idiom, which
+    * [[graft.plans.TopKRewrite]] rewrites to the native bounded-buffer
+    * top-k operator — each map task forwards ≤ 20 rows per language, so
+    * the shuffle carries O(groups × 20), not the corpus. */
+  def samplePerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+      .orderBy("lang", "rn")
+  }
+
+  /** L20: global stable row index — every order numbered by
+    * (o_orderdate, o_orderkey) across the WHOLE table, the "assign
+    * sample ids once, stable under re-runs" step before sharding.
+    * A naive `row_number() OVER (ORDER BY …)` funnels 100 TB through a
+    * single task; this is the two-pass form (same pattern as
+    * [[shardPackTokens]]): per-month partitions number themselves in
+    * parallel, a month-count scan (tiny: one row per month) prefix-sums
+    * into offsets, and index = offset + within. The oracle IS the naive
+    * global window — proving the decomposition exact. */
+  def rowGlobalIndex(s: SparkSession, dir: String): DataFrame = {
+    val ords = orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+      .withColumn("bucket", date_format(col("o_orderdate"), "yyyy-MM"))
+    val wIn = Window.partitionBy("bucket")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wB = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ords.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum(col("n")).over(wB), lit(0L)))
+      .select(col("bucket").as("ob"), col("offset"))
+    ords
+      .withColumn("within", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), col("bucket") === col("ob"))
+      .select(col("o_orderkey"), (col("offset") + col("within")).as("global_idx"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_per_group"     -> samplePerGroup _,
+    "row_global_index"     -> rowGlobalIndex _,
     "join_bloom_prefilter" -> joinBloomPrefilter _,
     "curation_pipeline"    -> curationPipeline _,
     "cdc_apply_changes"    -> cdcApplyChanges _,
@@ -246,6 +293,18 @@ object PipelineOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sample_per_group" ->
+      """SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) q
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+    // The oracle is the single-task global window the two-pass form replaces.
+    "row_global_index" ->
+      """SELECT o_orderkey,
+        |  row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS global_idx
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "curation_pipeline" ->
       s"""WITH RECURSIVE ${DedupOps.shinglesCte},
          |${DedupOps.bandsCte},

@@ -929,6 +929,80 @@ object Relational {
         translate(col("p_type"), "AEIOU", "aeiou").as("lower_vowels"))
       .orderBy("p_partkey")
 
+  /** A13: skew-safe two-stage aggregation — the aggregation twin of
+    * `join_skew_salted`. With only 3 return-flag groups, a plain groupBy
+    * funnels a 100 TB table's combine output through 3 reducer tasks; the
+    * salted form aggregates on (key, salt) first — 32-way parallel final
+    * combine per hot key — then collapses the ≤ `key×32` partials in a
+    * second, trivially small shuffle. The salt column is derived (crc32 of
+    * the row key), so a backfill re-run lands rows on identical salts.
+    * Decimal partials keep both stages exact and order-independent; the
+    * oracle is the UNsalted aggregation, proving the salt is semantically
+    * transparent. */
+  def aggSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val partial = lineitem(s, dir)
+      .withColumn("salt", pmod(crc32(col("l_orderkey").cast("string")), lit(32)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_extendedprice").cast("decimal(25,6)")).as("psum"),
+        count(lit(1)).as("pcnt"))
+    partial.groupBy("l_returnflag")
+      .agg(sum(col("psum")).cast("double").as("sum_price"),
+        sum(col("pcnt")).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A14: arg-max / arg-min — which row carries the extreme, not just the
+    * extreme itself (`max_by`/`min_by`, one hash-agg pass; the two-scan
+    * join-back idiom this replaces reads the table twice). Ties broken by
+    * custkey via lexicographic struct ordering so both engines pick the
+    * same row deterministically. */
+  def aggArgMinmax(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        max_by(col("c_custkey"), struct(col("c_acctbal"), col("c_custkey")))
+          .as("richest_cust"),
+        max(col("c_acctbal")).as("max_bal"),
+        min_by(col("c_custkey"), struct(col("c_acctbal"), col("c_custkey")))
+          .as("poorest_cust"),
+        min(col("c_acctbal")).as("min_bal"))
+      .orderBy("c_nationkey")
+
+  /** A15: deterministic mode (most frequent value per group) — two
+    * hash-aggs: count per (group, value), then lexicographic struct-max
+    * picks (highest count, highest value), so ties resolve identically in
+    * both engines where a built-in `mode()` is free to pick arbitrarily.
+    * Both shuffles carry only group×distinct-value rows — at 100 TB the
+    * map-side partial count does the data reduction. */
+  def aggMode(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("l_returnflag")
+      .agg(max(struct(col("cnt"), col("l_quantity"))).as("m"))
+      .select(col("l_returnflag"),
+        col("m.l_quantity").as("mode_qty"),
+        col("m.cnt").as("mode_n"))
+      .orderBy("l_returnflag")
+
+  /** W6: edge-of-partition window values — first / last / nth order price
+    * per customer over an explicit UNBOUNDED..UNBOUNDED rows frame. The
+    * explicit frame matters twice: semantically, the default frame stops
+    * at CURRENT ROW so `last_value` would echo the current row; at scale,
+    * a full frame is computed once per partition rather than per row.
+    * (o_orderdate, o_orderkey) is a unique sort key → deterministic. */
+  def windowFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy("o_orderkey")
+  }
+
   // ------------------------------------------------------------- inventory
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -997,6 +1071,10 @@ object Relational {
     "unpivot_melt"        -> unpivotMelt _,
     "agg_stats"           -> aggStats _,
     "doc_length_histogram" -> docLengthHistogram _,
+    "agg_skew_salted"     -> aggSkewSalted _,
+    "agg_arg_minmax"      -> aggArgMinmax _,
+    "agg_mode"            -> aggMode _,
+    "window_first_last"   -> windowFirstLast _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1370,5 +1448,35 @@ object Relational {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    // The salt is semantically transparent: the oracle is the UNsalted agg.
+    "agg_skew_salted" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_arg_minmax" ->
+      """SELECT c_nationkey,
+        |  (array_agg(c_custkey ORDER BY c_acctbal DESC, c_custkey DESC))[1] AS richest_cust,
+        |  max(c_acctbal) AS max_bal,
+        |  (array_agg(c_custkey ORDER BY c_acctbal ASC, c_custkey ASC))[1] AS poorest_cust,
+        |  min(c_acctbal) AS min_bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag,
+        |  (array_agg(l_quantity ORDER BY cnt DESC, l_quantity DESC))[1] AS mode_qty,
+        |  MAX(cnt) AS mode_n
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "window_first_last" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -183,7 +183,39 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** L7b: BM25 term scoring (k1=1.2, b=0.75) — the retrieval-grade upgrade
+    * of [[textTfidf]]: term saturation (tf stops mattering past ~k1
+    * occurrences) and document-length normalization, the scoring used to
+    * mine training positives/hard negatives from a corpus. Same dataflow
+    * shape as TF-IDF: per-doc TF, corpus DF (term-cardinality-sized →
+    * broadcast), plus two corpus scalars (N, avg doc length) cross-joined
+    * as a 1-row broadcast literal. avgdl routes through a decimal sum so
+    * re-runs are bit-identical; constants are written as plain literals on
+    * both sides so the arithmetic trees match the oracle's exactly. */
+  def textBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("double").as("dl"))
+    val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      (sum(size(tokens(col("text"))).cast("decimal(25,6)")).cast("double") /
+        count(lit(1))).as("avgdl"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfT), "word")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("word"), col("tf"),
+        r6(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("bm25"))
+      .orderBy("doc_id", "word")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25"       -> textBm25 _,
     "text_scrub"      -> textScrub _,
     "text_logprob"    -> textLogprob _,
     "text_tokenize"   -> textTokenize _,
@@ -199,6 +231,26 @@ object TextOps {
   private val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "text_bm25" ->
+      """WITH tf AS (
+        |  SELECT doc_id, word, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |    FROM documents) q GROUP BY doc_id, word),
+        |dl AS (SELECT doc_id,
+        |    CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+        |st AS (SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(CAST(len(string_split(lower(text), ' ')) AS DECIMAL(25,6))) AS DOUBLE)
+        |      / COUNT(*) AS avgdl
+        |  FROM documents)
+        |SELECT tf.doc_id, tf.word, tf.tf,
+        |  floor((ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |    (tf.tf * 2.2) /
+        |    (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) * 1000000 + 0.5)
+        |    / 1000000 AS bm25
+        |FROM tf JOIN dl USING (doc_id) JOIN df USING (word) CROSS JOIN st
+        |ORDER BY tf.doc_id, tf.word""".stripMargin,
     "text_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
