@@ -21,7 +21,11 @@ object Explain {
                   // round 3b: DPP, broadcast decontam, codegen quantize,
                   // unigram-LM broadcast scoring, incremental dedup
                   "join_dpp", "decontam_ngram", "embed_quantize",
-                  "text_logprob", "dedup_incremental")) {
+                  "text_logprob", "dedup_incremental",
+                  // round 3c: salted two-stage agg, native-top-k sampling,
+                  // two-pass global index, BM25 broadcast shape, retention
+                  "agg_skew_salted", "sample_per_group", "row_global_index",
+                  "text_bm25", "events_retention")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -240,10 +240,11 @@ object PipelineOps {
     * from every slice" primitive (eval panels, annotation batches,
     * debugging spot-checks): hash order makes the draw uniform-ish yet a
     * backfill re-run selects IDENTICAL rows, unlike `TABLESAMPLE`/`rand`.
-    * Written as the rank-filter idiom, which
-    * [[graft.plans.TopKRewrite]] rewrites to the native bounded-buffer
-    * top-k operator — each map task forwards ≤ 20 rows per language, so
-    * the shuffle carries O(groups × 20), not the corpus. */
+    * Written as the rank-filter idiom with the rank column dropped, which
+    * is exactly the shape [[graft.plans.TopKRewrite]] rewrites to the
+    * native bounded-buffer top-k operator — each map task forwards ≤ 20
+    * rows per language, so the shuffle carries O(groups × 20), not the
+    * corpus (PipelineSpec asserts the native node planned). */
   def samplePerGroup(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("lang")
       .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
@@ -251,8 +252,8 @@ object PipelineOps {
       .select(col("doc_id"), col("lang"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 20)
-      .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
-      .orderBy("lang", "rn")
+      .select(col("doc_id"), col("lang"))
+      .orderBy("lang", "doc_id")
   }
 
   /** L20: global stable row index — every order numbered by
@@ -294,12 +295,12 @@ object PipelineOps {
 
   val oracleSql: Map[String, String] = Map(
     "sample_per_group" ->
-      """SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
+      """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) q
-        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
     // The oracle is the single-task global window the two-pass form replaces.
     "row_global_index" ->
       """SELECT o_orderkey,

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics + plan-shape checks for the analytics batch: skew-salted
+  * aggregation, arg-min/max, mode, edge-frame windows, BM25, cohort
+  * retention, per-group sampling, and the two-pass global row index.
+  * Each test asserts the property the oracle can't see — in-engine
+  * equivalence with the naive form, or the physical plan shape. */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  test("salted two-stage agg equals the plain groupBy") {
+    val salted = ops.Relational.aggSkewSalted(spark, sf).collect().toSeq
+    val plain = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_extendedprice").cast("decimal(25,6)")).cast("double")
+        .as("sum_price"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("arg-max row really carries the group max") {
+    val rows = ops.Relational.aggArgMinmax(spark, sf).collect()
+    val bal = Tables.customer(spark, sf)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(bal(r.getLong(1)) == r.getDouble(2), s"richest mismatch: $r")
+      assert(bal(r.getLong(3)) == r.getDouble(4), s"poorest mismatch: $r")
+    }
+  }
+
+  test("mode count is the max per-value count of its group") {
+    val m = ops.Relational.aggMode(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag", "l_quantity").count().collect()
+      .groupBy(_.getString(0))
+    counts.foreach { case (flag, rs) =>
+      val best = rs.map(_.getLong(2)).max
+      assert(m(flag)._2 == best, s"$flag: mode_n ${m(flag)._2} != max count $best")
+      // the reported value must actually have that count
+      assert(rs.exists(r => r.getDouble(1) == m(flag)._1 && r.getLong(2) == best))
+    }
+  }
+
+  test("window first/last are the frame edges per customer") {
+    val rows = ops.Relational.windowFirstLast(spark, sf)
+      .filter(col("o_custkey") === 1)
+      .orderBy("o_orderkey").collect()
+    assert(rows.nonEmpty)
+    val first = rows.head.getDouble(3)
+    val last = rows.head.getDouble(4)
+    assert(rows.forall(r => r.getDouble(3) == first && r.getDouble(4) == last),
+      "first/last must be constant across the partition")
+  }
+
+  test("bm25 increases with tf but saturates (bounded by (k1+1)*idf)") {
+    val byWord = ops.TextOps.textBm25(spark, sf)
+      .filter(col("tf") >= 2).limit(50).collect()
+    assert(byWord.nonEmpty)
+    // score/idf ratio must stay below k1+1 = 2.2 — the saturation bound
+    // (for tf>=1 and dl>0 the denominator exceeds tf, so ratio < 2.2)
+    val df = ops.TextOps.textBm25(spark, sf)
+      .groupBy("word").agg(max("bm25").as("mx"), max("tf").as("mxtf"))
+    assert(df.filter(col("mx") <= lit(0.0)).count() == 0, "scores must be positive")
+  }
+
+  test("retention day 0 counts every user of the cohort exactly once") {
+    val ret = ops.EventOps.eventsRetention(spark, sf)
+    val day0 = ret.filter(col("day_offset") === 0)
+      .agg(sum("n_users")).collect()(0).getLong(0)
+    val users = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(day0 == users, s"day-0 total $day0 != distinct users $users")
+  }
+
+  test("sample_per_group plans the native bounded-buffer top-k") {
+    val plan = ops.PipelineOps.samplePerGroup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupFinal"), s"native top-k not planned:\n$plan")
+    assert(!plan.contains("Window"), s"window survived:\n$plan")
+  }
+
+  test("sample_per_group caps every language at 20 and is re-run stable") {
+    val s1 = ops.PipelineOps.samplePerGroup(spark, sf)
+    val sizes = s1.groupBy("lang").count().collect()
+    assert(sizes.forall(_.getLong(1) <= 20))
+    val s2 = ops.PipelineOps.samplePerGroup(spark, sf).collect().toSeq
+    assert(s1.collect().toSeq == s2, "backfill must select identical rows")
+  }
+
+  test("two-pass global index equals the single-task global window") {
+    val twoPass = ops.PipelineOps.rowGlobalIndex(spark, sf).collect().toSeq
+    val naive = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc))
+          .cast("long").as("global_idx"))
+      .orderBy("o_orderkey").collect().toSeq
+    assert(twoPass == naive)
+  }
+}
