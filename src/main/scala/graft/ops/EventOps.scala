@@ -211,7 +211,32 @@ object EventOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** §2.13: z-score anomaly flagging — each event scored against its
+    * type's mean/σ, |z| > 3 flagged. The moments come from DECIMAL sums
+    * (Σv, Σv², n — exact, partition-order-independent; a stock
+    * `stddev_samp` merges double partials in nondeterministic order), so
+    * mean/σ/z are bit-identical across re-runs and engines. The per-type
+    * stats table is group-cardinality-sized → broadcasts back onto the
+    * stream; the event rows themselves never shuffle. */
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+    val stats = ev.groupBy("event_type")
+      .agg(dsum(col("value")).as("sv"),
+        dsum(col("value") * col("value")).as("svv"),
+        count(lit(1)).as("n"))
+      .select(col("event_type").as("et"),
+        (col("sv") / col("n")).as("mean"),
+        sqrt((col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - lit(1)))
+          .as("sd"))
+    ev.join(broadcast(stats), col("event_type") === col("et"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        r6((col("value") - col("mean")) / col("sd")).as("z"),
+        (abs((col("value") - col("mean")) / col("sd")) > lit(3.0)).as("is_outlier"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anomaly"       -> eventsAnomaly _,
     "events_retention"     -> eventsRetention _,
     "funnel_conversion"    -> funnelConversion _,
     "json_extract"         -> jsonExtract _,
@@ -247,6 +272,22 @@ object EventOps {
       .orderBy("view_id", "purchase_id")
 
   val oracleSql: Map[String, String] = Map(
+    "events_anomaly" ->
+      """WITH st AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sv,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE) AS svv,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, sv / n AS mean,
+        |    sqrt((svv - sv * sv / n) / (n - 1)) AS sd
+        |  FROM st)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  floor(((e.value - m.mean) / m.sd) * 1000000 + 0.5) / 1000000 AS z,
+        |  abs((e.value - m.mean) / m.sd) > 3.0 AS is_outlier
+        |FROM events e JOIN m USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
     "events_retention" ->
       """WITH e AS (
         |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),

@@ -48,7 +48,12 @@ object TextOps {
     * term-cardinality-sized so it broadcasts back onto the TF table. The
     * doc count is a scalar cross-joined literal (computed once, not per
     * row). */
-  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+  def textTfidf(s: SparkSession, dir: String): DataFrame =
+    tfidfFrame(s, dir).orderBy("doc_id", "word")
+
+  /** Unordered TF-IDF frame shared by [[textTfidf]] and [[docKeyterms]]
+    * (no trailing sort, so downstream operators plan their own shape). */
+  private def tfidfFrame(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
@@ -60,6 +65,22 @@ object TextOps {
       .select(col("doc_id"), col("word"), col("tf"),
         round(col("tf") * log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))), 6)
           .as("tfidf"))
+  }
+
+  /** L7c: key-term extraction — the 3 highest-TF-IDF terms per document
+    * (cheap extractive keywording for corpus browsing / weak labels).
+    * Composition story: the TF-IDF frame feeds the rank-filter idiom with
+    * the rank dropped, so the optimizer plans the native bounded-buffer
+    * top-k — the per-doc term lists never fully sort or shuffle, each map
+    * task forwards ≤ 3 terms per doc. 6-dp-snapped scores tie-break by
+    * word so both engines pick the same terms. */
+  def docKeyterms(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("word").asc)
+    tfidfFrame(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("word"), col("tfidf"))
       .orderBy("doc_id", "word")
   }
 
@@ -215,6 +236,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_keyterms"    -> docKeyterms _,
     "text_bm25"       -> textBm25 _,
     "text_scrub"      -> textScrub _,
     "text_logprob"    -> textLogprob _,
@@ -231,6 +253,21 @@ object TextOps {
   private val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "doc_keyterms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, word, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |    FROM documents) q GROUP BY doc_id, word),
+        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.word,
+        |    round(tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df)), 6) AS tfidf
+        |  FROM tf JOIN df USING (word) CROSS JOIN n)
+        |SELECT doc_id, word, tfidf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, word) AS rn FROM sc) q
+        |WHERE rn <= 3 ORDER BY doc_id, word""".stripMargin,
     "text_bm25" ->
       """WITH tf AS (
         |  SELECT doc_id, word, COUNT(*) AS tf FROM (

@@ -93,6 +93,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(s1.collect().toSeq == s2, "backfill must select identical rows")
   }
 
+  test("doc_keyterms plans the native top-k and caps at 3 terms per doc") {
+    val kt = ops.TextOps.docKeyterms(spark, sf)
+    val plan = kt.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupFinal"), s"native top-k not planned:\n$plan")
+    assert(kt.groupBy("doc_id").count().filter(col("count") > 3).count() == 0)
+  }
+
+  test("anomaly flag agrees with the z column and both outcomes occur") {
+    val an = ops.EventOps.eventsAnomaly(spark, sf)
+    // r6-snapped z vs raw-|z| flag can only disagree within 1e-6 of the
+    // 3.0 threshold; assert agreement outside that band
+    val disagree = an.filter(
+      (abs(col("z")) > 3.000001 && !col("is_outlier")) ||
+      (abs(col("z")) < 2.999999 && col("is_outlier"))).count()
+    assert(disagree == 0)
+    assert(an.filter(col("is_outlier")).count() > 0, "no outliers in fixture")
+  }
+
   test("two-pass global index equals the single-task global window") {
     val twoPass = ops.PipelineOps.rowGlobalIndex(spark, sf).collect().toSeq
     val naive = Tables.orders(spark, sf)
