@@ -235,7 +235,23 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** §2.13: per-user running spend in exact integer cents — batch twin of
+    * the `transformWithState` processor
+    * ([[graft.streaming.StreamingOps.runningTotalTws]]; StreamingSpec
+    * asserts stream == batch). Decimal window sum → cents stay exact;
+    * one shuffle on user_id. */
+  def eventsRunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        (sum(col("value").cast("decimal(12,2)")).over(w) * lit(100))
+          .cast("long").as("total_cents"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_running_total" -> eventsRunningTotal _,
     "events_anomaly"       -> eventsAnomaly _,
     "events_retention"     -> eventsRetention _,
     "funnel_conversion"    -> funnelConversion _,
@@ -272,6 +288,13 @@ object EventOps {
       .orderBy("view_id", "purchase_id")
 
   val oracleSql: Map[String, String] = Map(
+    "events_running_total" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2)))
+        |    OVER (PARTITION BY user_id
+        |          ORDER BY CAST(ts AS TIMESTAMP), event_id) * 100 AS BIGINT)
+        |    AS total_cents
+        |FROM events ORDER BY event_id""".stripMargin,
     "events_anomaly" ->
       """WITH st AS (
         |  SELECT event_type,

@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Typed event row for the streaming surface (schema = the `events` table
   * after [[graft.Tables.events]] µs normalization). */
@@ -165,6 +166,43 @@ object StreamingOps {
           val tail = if (!streaming) open.toSeq else Nil
           (closed.result() ++ tail).iterator
       }
+  }
+
+  /** Output row of [[runningTotalTws]]: cumulative spend per user in
+    * exact integer cents (no FP accumulation drift in state). */
+  final case class RunningTotal(event_id: Long, user_id: Long, total_cents: Long)
+
+  /** Per-user running total on the `transformWithState` arbitrary-state
+    * API (Spark 4's successor to `mapGroupsWithState`: typed state
+    * handles, TTL, timers, RocksDB-backed). State = ONE long per user —
+    * cents, not doubles, so replay/re-run accumulate bit-identically.
+    * Rows within a micro-batch are processed in (ts, event_id) order;
+    * with an event-time-ordered feed the stream output equals the batch
+    * cumulative-sum window ([[graft.ops.EventOps.eventsRunningTotal]],
+    * the oracle-checked twin). Batch execution runs the same processor
+    * with each group arriving complete. */
+  class RunningTotalProcessor extends StatefulProcessor[Long, Ev, RunningTotal] {
+    @transient private var total: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      total = getHandle.getValueState[Long]("total",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[RunningTotal] = {
+      var acc = if (total.exists()) total.get() else 0L
+      val out = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
+        acc += math.round(e.value * 100)
+        RunningTotal(e.event_id, uid, acc)
+      }
+      total.update(acc)
+      out.iterator
+    }
+  }
+
+  def runningTotalTws(ev: Dataset[Ev]): Dataset[RunningTotal] = {
+    val sq = ev.sparkSession; import sq.implicits._
+    ev.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   private val byRecency: Ordering[Ev] =

@@ -243,4 +243,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("s_enrich").count() == all.size)
     tiers.unpersist(); ()
   }
+
+  test("transformWithState running total == oracle-checked batch window twin") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    // transformWithState requires the RocksDB state store; scope the
+    // provider override to this query and restore the default after.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamingOps.runningTotalTws(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("s_tws")
+        .outputMode("append").start()
+      try {
+        // event-TIME-ordered feed: each user's events cross micro-batch
+        // boundaries in ts order, the running-total contract
+        val all = eventsDs.collect()
+          .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).toSeq
+        all.grouped(math.max(1, all.size / 4)).foreach { chunk =>
+          ms.addData(chunk); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val batch = ops.EventOps.eventsRunningTotal(spark, sf)
+      assert(rows(spark.table("s_tws")
+        .select("event_id", "user_id", "total_cents")) == rows(batch))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
