@@ -74,6 +74,50 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** §2.13: session concurrency — how many user sessions are open at each
+    * session boundary (capacity planning / load-curve analytics). Sessions
+    * (the [[eventsSession]] gaps-and-islands definition) emit +1 at start
+    * and -1 at end; concurrency is the running sum over the GLOBAL
+    * boundary timeline. The global running sum uses the same two-pass
+    * decomposition as `row_global_index`: hour buckets prefix-sum their
+    * deltas in parallel, bucket totals (one row per hour) prefix-sum into
+    * offsets, concurrency = offset + within-bucket running sum — no
+    * single-task global window. Start sorts before end at equal ts
+    * (delta DESC), so a back-to-back handoff counts both sessions. */
+  def sessionsConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val sess = events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+    val bounds = sess
+      .select(col("user_id"), col("start_ts").as("bts"), lit(1L).as("delta"))
+      .unionAll(sess.select(col("user_id"), col("end_ts").as("bts"),
+        lit(-1L).as("delta")))
+      .withColumn("bucket",
+        date_format(date_trunc("hour", col("bts")), "yyyy-MM-dd HH"))
+    val wIn = Window.partitionBy("bucket")
+      .orderBy(col("bts").asc, col("delta").desc, col("user_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wB = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bounds.groupBy("bucket").agg(sum(col("delta")).as("dsum"))
+      .withColumn("offset", coalesce(sum(col("dsum")).over(wB), lit(0L)))
+      .select(col("bucket").as("ob"), col("offset"))
+    bounds.join(broadcast(offsets), col("bucket") === col("ob"))
+      .withColumn("within", sum(col("delta")).over(wIn))
+      .select(tsFmt(col("bts")).as("bts_s"), col("user_id"), col("delta"),
+        (col("offset") + col("within")).as("concurrency"))
+      .orderBy(col("bts_s").asc, col("delta").desc, col("user_id").asc)
+  }
+
   /** C4b: Spark 4 VARIANT — the engine-native analogue of the reference's
     * Snowflake VARIANT columns (/root/reference/dags/db_to_snowflake.py:82-85):
     * `parse_json` → binary variant → typed `variant_get` extraction.
@@ -171,6 +215,30 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** J6b: FORWARD as-of join — for each purchase, the user's next error
+    * event at ts >= purchase ts (support/abuse triage: "what broke right
+    * after they paid"). Mirror of [[joinAsof]]: one union timeline per
+    * user, `first(ignoreNulls)` over a CURRENT ROW..UNBOUNDED FOLLOWING
+    * frame — one shuffle on user_id, no self-join, no per-row subquery
+    * (the oracle's correlated `min(ts >= …)` IS that per-row scan). Equal
+    * timestamps count as "after": errors sort behind purchases at the
+    * same ts and the frame starts at the current row. */
+  def joinAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc,
+        when(col("event_type") === "error", 1).otherwise(0).asc,
+        col("event_id").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    events(s, dir)
+      .withColumn("error_ts",
+        when(col("event_type") === "error", col("ts")))
+      .withColumn("next_error", first(col("error_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), tsFmt(col("ts")).as("ts_s"),
+        tsFmt(col("next_error")).as("next_error_s"))
+      .orderBy("event_id")
+  }
+
   /** Funnel conversion: per user, first signup → first subsequent
     * purchase, converted iff within 7 days. One conditional-agg pass for
     * signups, one filtered agg for purchases, broadcast-joined — no
@@ -251,6 +319,8 @@ object EventOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof_forward"    -> joinAsofForward _,
+    "sessions_concurrency" -> sessionsConcurrency _,
     "events_running_total" -> eventsRunningTotal _,
     "events_anomaly"       -> eventsAnomaly _,
     "events_retention"     -> eventsRetention _,
@@ -288,6 +358,45 @@ object EventOps {
       .orderBy("view_id", "purchase_id")
 
   val oracleSql: Map[String, String] = Map(
+    "sessions_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER
+        |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |      OR epoch(date_trunc('second', ts)) - epoch(date_trunc('second', prev_ts)) > 1800
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM s),
+        |sess AS (
+        |  SELECT user_id, session_id, min(ts) AS start_ts, max(ts) AS end_ts
+        |  FROM g GROUP BY user_id, session_id),
+        |b AS (
+        |  SELECT user_id, start_ts AS bts, CAST(1 AS BIGINT) AS delta FROM sess
+        |  UNION ALL
+        |  SELECT user_id, end_ts, CAST(-1 AS BIGINT) FROM sess)
+        |SELECT strftime(bts, '%Y-%m-%d %H:%M:%S.%f') AS bts_s, user_id, delta,
+        |  CAST(SUM(delta) OVER (ORDER BY bts ASC, delta DESC, user_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS concurrency
+        |FROM b ORDER BY bts_s ASC, delta DESC, user_id ASC""".stripMargin,
+    "join_asof_forward" ->
+      """SELECT p.event_id, p.user_id,
+        |  strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  strftime((SELECT min(CAST(e.ts AS TIMESTAMP)) FROM events e
+        |     WHERE e.user_id = p.user_id AND e.event_type = 'error'
+        |       AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)),
+        |    '%Y-%m-%d %H:%M:%S.%f') AS next_error_s
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
     "events_running_total" ->
       """SELECT event_id, user_id,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2)))

@@ -111,6 +111,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(an.filter(col("is_outlier")).count() > 0, "no outliers in fixture")
   }
 
+  test("session concurrency closes at zero and actually overlaps") {
+    val c = ops.EventOps.sessionsConcurrency(spark, sf)
+    // every +1 has its -1: the timeline's last running value is 0
+    val last = c.orderBy(col("bts_s").desc, col("delta").asc, col("user_id").desc)
+      .limit(1).collect()(0).getLong(3)
+    assert(last == 0, s"timeline must close at 0, got $last")
+    val peak = c.agg(max("concurrency")).collect()(0).getLong(0)
+    assert(peak > 1, "fixture should have overlapping sessions")
+    assert(c.filter(col("concurrency") < 0).count() == 0)
+  }
+
+  test("forward as-of: the matched error is at or after the purchase") {
+    val f = ops.EventOps.joinAsofForward(spark, sf)
+      .filter(col("next_error_s").isNotNull)
+    assert(f.count() > 0)
+    assert(f.filter(col("next_error_s") < col("ts_s")).count() == 0)
+  }
+
   test("two-pass global index equals the single-task global window") {
     val twoPass = ops.PipelineOps.rowGlobalIndex(spark, sf).collect().toSeq
     val naive = Tables.orders(spark, sf)
