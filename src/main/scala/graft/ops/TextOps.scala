@@ -235,7 +235,58 @@ object TextOps {
       .orderBy("doc_id", "word")
   }
 
+  /** L17b: bigram conditional log-prob — mean ln P(wᵢ | wᵢ₋₁) per doc
+    * under the corpus's own bigram model, the next-quality-rung above
+    * [[textLogprob]]'s unigram (repetitive docs score HIGH here, fluent
+    * ones near the corpus average — a perplexity-filter axis unigram
+    * can't see). Bigrams stream out of posexplode + a per-doc `lead`
+    * window (codegen; no HOFs). The bigram count table is
+    * corpus-bigram-cardinality-sized → co-partitioned shuffle join on the
+    * bigram key; the context (first-token) counts are vocab-sized →
+    * broadcast. Per-position log-probs 6-dp-snapped before the decimal
+    * mean, so the per-doc score is partition-order independent. */
+  def textBigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val tok = documents(s, dir)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+      .toDF("doc_id", "pos", "w")
+    val big = tok.withColumn("wn", lead("w", 1).over(w))
+      .filter(col("wn").isNotNull)
+      .select(col("doc_id"), concat_ws("|", col("w"), col("wn")).as("b"),
+        col("w"))
+    val bc = big.groupBy("b").agg(count(lit(1)).as("bc"))
+    val cx = big.groupBy("w").agg(count(lit(1)).as("cxc"))
+    big.join(bc, "b").join(broadcast(cx), "w")
+      .select(col("doc_id"),
+        r6(log(col("bc").cast("double") / col("cxc"))).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        r6(dsum(col("lp")) / count(lit(1))).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** A16: count-min-sketch heavy hitters — CMS term counts (ε=0.001,
+    * δ=0.01, fixed seed) reported against the exact top-20. The sketch is
+    * the mergeable fixed-width alternative to an exact term count when the
+    * term space won't fit (billions of n-grams): partial sketches combine
+    * associatively map-side, exactly like the HLL rollup. No DuckDB
+    * oracle (sketch internals are engine-specific); AnalyticsOpsSpec
+    * asserts the CMS guarantee: true ≤ est ≤ true + ε·N. */
+  def aggCmsTopk(s: SparkSession, dir: String): DataFrame = {
+    val tok = documents(s, dir).select(explode(tokens(col("text"))).as("w"))
+    val cms = tok.stat.countMinSketch("w", 0.001, 0.99, 42)
+    val topExact = tok.groupBy("w").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("w").asc).limit(20)
+    val est = udf((w: String) => cms.estimateCount(w))
+    topExact
+      .select(col("w"), col("exact_n"), est(col("w")).as("cms_n"))
+      .orderBy(col("exact_n").desc, col("w").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_logprob" -> textBigramLogprob _,
+    "agg_cms_topk"    -> aggCmsTopk _,
     "doc_keyterms"    -> docKeyterms _,
     "text_bm25"       -> textBm25 _,
     "text_scrub"      -> textScrub _,
@@ -253,6 +304,24 @@ object TextOps {
   private val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "text_bigram_logprob" ->
+      """WITH bg AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)),
+        |      i -> t[i] || '|' || t[i+1]) ELSE [] END) AS b
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
+        |bc AS (SELECT b, COUNT(*) AS bc FROM bg GROUP BY b),
+        |cx AS (SELECT split_part(b, '|', 1) AS w, COUNT(*) AS cxc
+        |  FROM bg GROUP BY 1),
+        |sc AS (
+        |  SELECT bg.doc_id,
+        |    floor(ln(bc.bc::DOUBLE / cx.cxc) * 1000000 + 0.5) / 1000000 AS lp
+        |  FROM bg JOIN bc USING (b)
+        |    JOIN cx ON split_part(bg.b, '|', 1) = cx.w)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  floor((CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*))
+        |    * 1000000 + 0.5) / 1000000 AS avg_logprob
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_keyterms" ->
       """WITH tf AS (
         |  SELECT doc_id, word, COUNT(*) AS tf FROM (

@@ -111,6 +111,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(an.filter(col("is_outlier")).count() > 0, "no outliers in fixture")
   }
 
+  test("count-min estimates obey the CMS guarantee: true <= est <= true + eps*N") {
+    val rows = ops.TextOps.aggCmsTopk(spark, sf).collect()
+    assert(rows.length == 20)
+    val n = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " "))).count()
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS underestimated ${r.getString(0)}")
+      assert(est <= exact + (0.001 * n).toLong + 1, s"CMS bound blown: $r")
+    }
+  }
+
+  test("bigram logprob: repetitive docs score higher than the corpus median") {
+    val lp = ops.TextOps.textBigramLogprob(spark, sf)
+    assert(lp.count() == Tables.documents(spark, sf).count())
+    // all log-probs are <= 0 (probabilities <= 1); none NaN/null
+    assert(lp.filter(col("avg_logprob") > 0 || col("avg_logprob").isNull).count() == 0)
+  }
+
   test("session concurrency closes at zero and actually overlaps") {
     val c = ops.EventOps.sessionsConcurrency(spark, sf)
     // every +1 has its -1: the timeline's last running value is 0
