@@ -167,7 +167,31 @@ object VectorOps {
         r6(col("sv") / col("n")).as("centroid"))
       .orderBy("label", "dim")
 
+  /** L3d: BATCHED kNN — top-5 neighbours for a whole query SET in one
+    * pass (the production retrieval shape: nightly "nearest corpus items
+    * for every eval prompt" jobs, not one query at a time). The query set
+    * broadcasts; every (query, vector) pair is scored map-side with the
+    * codegen'd dot product; the rank-filter (rank dropped) plans as the
+    * native bounded-buffer top-k, so the exchange carries ≤ 5 rows per
+    * (query × map task) — scoring N queries costs one corpus scan, not N. */
+  def knnBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), asD(col("embedding")).as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(asD(col("embedding")), col("qv")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .orderBy(col("query_id").asc, col("cos").desc, col("vec_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_batch"       -> knnBatch _,
     "embed_normalize" -> embedNormalize _,
     "embed_quantize"  -> embedQuantize _,
     "embed_centroids" -> embedCentroids _,
@@ -189,6 +213,18 @@ object VectorOps {
       "CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)"
 
   val oracleSql: Map[String, String] = Map(
+    "knn_batch" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 3),
+         |sc AS (
+         |  SELECT q.query_id, e.vec_id, ${sqlCos("e.embedding", "q.qv")} AS cos
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+         |SELECT query_id, vec_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id ASC) AS rn FROM sc) t
+         |WHERE rn <= 5
+         |ORDER BY query_id ASC, cos DESC, vec_id ASC""".stripMargin,
     "embed_centroids" ->
       """WITH ex AS (
         |  SELECT label,

@@ -111,6 +111,20 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(an.filter(col("is_outlier")).count() > 0, "no outliers in fixture")
   }
 
+  test("batched kNN plans the native top-k and never returns the query itself") {
+    val kb = ops.VectorOps.knnBatch(spark, sf)
+    val plan = kb.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupFinal"), s"native top-k not planned:\n$plan")
+    val rows = kb.collect()
+    assert(rows.length == 15, s"3 queries x 5 neighbours, got ${rows.length}")
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    // each query's neighbour list is sorted by descending cosine
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val cs = g.map(_.getDouble(2)).toSeq
+      assert(cs == cs.sorted.reverse)
+    }
+  }
+
   test("count-min estimates obey the CMS guarantee: true <= est <= true + eps*N") {
     val rows = ops.TextOps.aggCmsTopk(spark, sf).collect()
     assert(rows.length == 20)
