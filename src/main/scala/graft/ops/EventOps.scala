@@ -318,7 +318,24 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** §2.13: DAU / MAU / stickiness — distinct actives per day and per
+    * month, joined so each day carries its month's MAU and the DAU/MAU
+    * ratio (the standard engagement metric). Two distinct-aggs over the
+    * same scan; the month-level side is tiny → broadcast back. */
+  def eventsDauMau(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"),
+      to_date(col("ts")).as("d"),
+      date_format(col("ts"), "yyyy-MM").as("m"))
+    val dau = ev.groupBy("d", "m").agg(countDistinct("user_id").as("dau"))
+    val mau = ev.groupBy("m").agg(countDistinct("user_id").as("mau"))
+    dau.join(broadcast(mau), "m")
+      .select(dateFmt(col("d")).as("day"), col("dau"), col("mau"),
+        r6(col("dau").cast("double") / col("mau")).as("stickiness"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_dau_mau"       -> eventsDauMau _,
     "join_asof_forward"    -> joinAsofForward _,
     "sessions_concurrency" -> sessionsConcurrency _,
     "events_running_total" -> eventsRunningTotal _,
@@ -358,6 +375,17 @@ object EventOps {
       .orderBy("view_id", "purchase_id")
 
   val oracleSql: Map[String, String] = Map(
+    "events_dau_mau" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS m
+        |  FROM events),
+        |dau AS (SELECT d, m, COUNT(DISTINCT user_id) AS dau FROM e GROUP BY d, m),
+        |mau AS (SELECT m, COUNT(DISTINCT user_id) AS mau FROM e GROUP BY m)
+        |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+        |  floor((dau.dau::DOUBLE / mau.mau) * 1000000 + 0.5) / 1000000
+        |    AS stickiness
+        |FROM dau JOIN mau USING (m) ORDER BY day""".stripMargin,
     "sessions_concurrency" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

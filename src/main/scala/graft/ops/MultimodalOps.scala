@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators (SURVEY.md §2.12 L9): media as opaque
@@ -102,7 +103,27 @@ object MultimodalOps {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** L9d: media dedup by leading-chunk fingerprint — blobs whose first
+    * 64 bytes hash identically collapse to their group's min doc_id
+    * (derivatives of one source — re-encodes, truncations, appended
+    * variants — share their head; the sub-blob hash is the deterministic
+    * stand-in for a perceptual/chunk hash). The window min shuffles
+    * (16-byte fp, doc_id) pairs only — bytes never move; dedup,
+    * replication checks, and cache keys all run on the fingerprint, not
+    * the blob. `keep = false` rows are the reclaimable storage. */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame = {
+    val m = documents(s, dir)
+      .select(col("doc_id"),
+        md5(encode(substring(col("text"), 1, 64), "utf-8")).as("fp"))
+    val w = Window.partitionBy("fp")
+    m.withColumn("canonical_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("fp"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_dedup"        -> mediaDedup _,
     "multimodal_meta"    -> multimodalMeta _,
     "media_features"     -> mediaFeatures _,
     "media_resize"       -> mediaResize _,
@@ -114,6 +135,13 @@ object MultimodalOps {
     s"CAST('0x' || substring($expr, $from, $len) AS INTEGER)"
 
   val oracleSql: Map[String, String] = Map(
+    "media_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id, md5(substring(text, 1, 64)) AS fp FROM documents)
+        |SELECT doc_id, fp,
+        |  min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+        |  doc_id = min(doc_id) OVER (PARTITION BY fp) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1003,6 +1003,64 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Attach a GLOBAL 1-based position ordered by (`value`, `tie`) using
+    * the two-pass prefix-sum decomposition (same shape as
+    * `PipelineOps.rowGlobalIndex`): `bucket` must be monotone in `value`;
+    * buckets rank in parallel, bucket counts prefix-sum into offsets.
+    * No single-task global window anywhere. */
+  private def withGlobalPos(df: DataFrame, value: Column, bucket: Column,
+      tie: Column, posName: String): DataFrame = {
+    val d = df.withColumn("_b", bucket)
+    val wIn = Window.partitionBy("_b").orderBy(value.asc, tie.asc)
+    val wB = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    val off = d.groupBy("_b").agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(wB), lit(0L)))
+      .select(col("_b").as("_ob"), col("_off"))
+    d.join(broadcast(off), col("_b") === col("_ob"))
+      .withColumn(posName, col("_off") + row_number().over(wIn).cast("long"))
+      .drop("_b", "_ob", "_off")
+  }
+
+  /** SQL ntile(4) from a global position: first (n mod 4) buckets take
+    * ceil(n/4) rows — the closed form of the window function, computable
+    * from (pos, n) alone. Long division via double is exact (n < 2^53). */
+  private def quartileOf(pos: Column, n: Column): Column = {
+    val size = (n / 4).cast("long")
+    val rem = (n % 4).cast("long")
+    val cut = (size + 1) * rem
+    when(pos <= cut, ((pos - 1) / (size + 1)).cast("long") + 1)
+      .otherwise(rem + ((pos - 1 - cut) / size).cast("long") + 1)
+  }
+
+  /** A17: RFM segmentation — recency / frequency / monetary quartiles per
+    * customer, the classic CRM scoring. The per-customer aggregate is one
+    * orders-table pass; each quartile needs a GLOBAL rank, which here is
+    * the two-pass prefix-sum position ([[withGlobalPos]]) plus the
+    * closed-form ntile ([[quartileOf]]) — the oracle's three global
+    * `ntile(4)` windows are each a single-task sort at scale, this is
+    * none. The as-of date is pinned so re-runs are reproducible. */
+  def ordersRfm(s: SparkSession, dir: String): DataFrame = {
+    val per = orders(s, dir).groupBy("o_custkey")
+      .agg(datediff(lit("1998-12-31").cast("date"), max(col("o_orderdate")))
+        .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        dsum(col("o_totalprice")).as("monetary"))
+    val pos = Seq[(String, Column, Column)](
+      ("r_pos", col("recency_days"), col("recency_days")),
+      ("f_pos", col("frequency"), col("frequency")),
+      ("m_pos", col("monetary"), floor(col("monetary") / 100000).cast("long")))
+      .foldLeft(per) { case (d, (name, v, b)) =>
+        withGlobalPos(d, v, b, col("o_custkey"), name)
+      }
+    pos.crossJoin(broadcast(per.agg(count(lit(1)).as("n_cust"))))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        quartileOf(col("r_pos"), col("n_cust")).as("r_quartile"),
+        quartileOf(col("f_pos"), col("n_cust")).as("f_quartile"),
+        quartileOf(col("m_pos"), col("n_cust")).as("m_quartile"))
+      .orderBy("o_custkey")
+  }
+
   // ------------------------------------------------------------- inventory
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1075,6 +1133,7 @@ object Relational {
     "agg_arg_minmax"      -> aggArgMinmax _,
     "agg_mode"            -> aggMode _,
     "window_first_last"   -> windowFirstLast _,
+    "orders_rfm"          -> ordersRfm _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1469,6 +1528,21 @@ object Relational {
         |  (array_agg(l_quantity ORDER BY cnt DESC, l_quantity DESC))[1] AS mode_qty,
         |  MAX(cnt) AS mode_n
         |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Oracle uses the three single-task ntile windows the two-pass
+    // decomposition replaces — matching them proves the decomposition.
+    "orders_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(datediff('day', max(o_orderdate), DATE '1998-12-31') AS BIGINT)
+        |      AS recency_days,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        |  CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_quartile,
+        |  CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_quartile,
+        |  CAST(ntile(4) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_quartile
+        |FROM per ORDER BY o_custkey""".stripMargin,
     "window_first_last" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |  first_value(o_totalprice) OVER w AS first_price,

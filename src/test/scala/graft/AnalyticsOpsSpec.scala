@@ -111,6 +111,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(an.filter(col("is_outlier")).count() > 0, "no outliers in fixture")
   }
 
+  test("RFM quartiles are balanced: sizes differ by at most one") {
+    val rfm = ops.Relational.ordersRfm(spark, sf)
+    for (qcol <- Seq("r_quartile", "f_quartile", "m_quartile")) {
+      val sizes = rfm.groupBy(qcol).count().collect().map(_.getLong(1))
+      assert(sizes.length == 4, s"$qcol: expected 4 buckets")
+      assert(sizes.max - sizes.min <= 1, s"$qcol sizes: ${sizes.toSeq}")
+    }
+  }
+
+  test("media dedup: canonical ids are self-canonical and groups collapse") {
+    val d = ops.MultimodalOps.mediaDedup(spark, sf)
+    val keepers = d.filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(d.filter(!col("keep")).count() > 0, "fixture has head-sharing derivatives")
+    d.collect().foreach { r =>
+      assert(keepers.contains(r.getLong(2)), s"canonical not a keeper: $r")
+      assert((r.getLong(0) == r.getLong(2)) == r.getBoolean(3))
+    }
+  }
+
   test("batched kNN plans the native top-k and never returns the query itself") {
     val kb = ops.VectorOps.knnBatch(spark, sf)
     val plan = kb.queryExecution.executedPlan.toString
