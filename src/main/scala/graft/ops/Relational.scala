@@ -1061,6 +1061,120 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** A18: 7-day trailing moving average of daily revenue — the canonical
+    * time-series smoothing query. The raw table collapses to ONE row per
+    * calendar day first (partial agg map-side, exchange carries days, not
+    * rows), so the subsequent global range-frame window runs over a frame
+    * bounded by the calendar (~2.5k rows for 7 years) — single-task by
+    * construction but on kilobytes, the right trade at any scale. The
+    * frame sums exact DECIMALs; the divide-then-round happens once per
+    * day, identically in the oracle. */
+  def ordersRevenueMa7(s: SparkSession, dir: String): DataFrame = {
+    val daily = orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(25,6)")).as("rev_dec"))
+      .withColumn("dn", datediff(col("d"), lit("1992-01-01").cast("date")))
+    val w = Window.orderBy("dn").rangeBetween(-6, 0)
+    daily
+      .select(dateFmt(col("d")).as("day"),
+        col("rev_dec").cast("double").as("revenue"),
+        r6(sum(col("rev_dec")).over(w).cast("double") / count(lit(1)).over(w))
+          .as("ma7"))
+      .orderBy("day")
+  }
+
+  /** A19: market-basket co-occurrence with lift — which part pairs ship
+    * together more often than independence predicts. Pairs are enumerated
+    * IN PLACE per order (posexplode + slice over the order's sorted item
+    * array — bounded by TPC-H's ≤7 lines/order), never via a self-join:
+    * the classic `items a JOIN items b ON same order` doubles the shuffle
+    * and explodes skewed orders quadratically; the array form shuffles each
+    * order once and fans out only the pairs themselves. Item frequencies
+    * are a parts-cardinality side — broadcast here; at a scale where the
+    * part dim outgrows broadcast, the two enrichment joins shuffle on the
+    * pair columns instead (pairs ≫ parts either way). lift =
+    * (pair_n · n_orders) / (n_a · n_b), exact-integer numerator first so
+    * one double divide is the only FP step. */
+  def basketPairs(s: SparkSession, dir: String): DataFrame = {
+    val items = lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
+    val baskets = items.groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
+    val pairs = baskets.filter(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "part_a")))
+      .select(col("part_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
+          .as("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= 2)
+    val freq = items.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    val total = baskets.agg(count(lit(1)).as("n_orders"))
+    pairs
+      .join(broadcast(freq.select(col("l_partkey").as("part_a"), col("n").as("n_a"))), "part_a")
+      .join(broadcast(freq.select(col("l_partkey").as("part_b"), col("n").as("n_b"))), "part_b")
+      .crossJoin(broadcast(total))
+      .select(col("part_a"), col("part_b"), col("pair_n"),
+        r6((col("pair_n") * col("n_orders")).cast("double") / (col("n_a") * col("n_b")))
+          .as("lift"))
+      .orderBy("part_a", "part_b")
+  }
+
+  /** K7: SCD Type-2 period build — collapse each customer's order-priority
+    * history into contiguous validity periods (valid_from inclusive,
+    * valid_to exclusive, open-ended for the current run). Gaps-and-islands:
+    * a lag-change flag prefix-sums into a run id (one window pass), runs
+    * aggregate to periods, and a second lead window chains each period to
+    * its successor's start. Both windows partition by customer — the data
+    * never leaves its per-customer partition after the first shuffle. */
+  def scd2Priority(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val runs = orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"), col("o_orderpriority").as("prio"))
+      .withColumn("chg",
+        when(lag(col("prio"), 1).over(w).isNull ||
+          lag(col("prio"), 1).over(w) =!= col("prio"), 1L).otherwise(0L))
+      .withColumn("run", sum(col("chg")).over(w))
+    val wp = Window.partitionBy("o_custkey").orderBy("run")
+    runs.groupBy("o_custkey", "run", "prio")
+      .agg(min(col("d")).as("from_d"), count(lit(1)).as("n_orders"))
+      .withColumn("next_from", lead(col("from_d"), 1).over(wp))
+      .select(col("o_custkey"), col("run").as("period_seq"),
+        col("prio").as("priority"), col("n_orders"),
+        dateFmt(col("from_d")).as("valid_from"),
+        dateFmt(col("next_from")).as("valid_to"),
+        col("next_from").isNull.as("is_current"))
+      .orderBy("o_custkey", "period_seq")
+  }
+
+  /** D1: one-pass table profiler — per-column null count, exact distinct,
+    * min/max (stringified) for the orders table. All six columns profile in
+    * a SINGLE scan: one multi-count-distinct aggregate (Catalyst's Expand
+    * handles the distinct fan-out with partial aggregation), then the 1-row
+    * result explodes into one row per column driver-side-free. Numerics
+    * stringify through DECIMAL so both engines print identically. */
+  def profileOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    def p(name: String, c: Column, minS: Column, maxS: Column): Column =
+      struct(lit(name).as("column_name"),
+        (count(lit(1)) - count(c)).as("n_nulls"),
+        countDistinct(c).as("n_distinct"), minS.as("min_val"), maxS.as("max_val"))
+    def dec2(c: Column): Column = c.cast("decimal(18,2)").cast("string")
+    val one = o.agg(array(
+      p("o_custkey", col("o_custkey"),
+        min(col("o_custkey")).cast("string"), max(col("o_custkey")).cast("string")),
+      p("o_orderdate", col("o_orderdate"),
+        dateFmt(min(to_date(col("o_orderdate")))), dateFmt(max(to_date(col("o_orderdate"))))),
+      p("o_orderkey", col("o_orderkey"),
+        min(col("o_orderkey")).cast("string"), max(col("o_orderkey")).cast("string")),
+      p("o_orderpriority", col("o_orderpriority"),
+        min(col("o_orderpriority")), max(col("o_orderpriority"))),
+      p("o_orderstatus", col("o_orderstatus"),
+        min(col("o_orderstatus")), max(col("o_orderstatus"))),
+      p("o_totalprice", col("o_totalprice"),
+        dec2(min(col("o_totalprice"))), dec2(max(col("o_totalprice"))))).as("cols"))
+    one.select(explode(col("cols")).as("c")).select("c.*").orderBy("column_name")
+  }
+
   // ------------------------------------------------------------- inventory
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1134,6 +1248,10 @@ object Relational {
     "agg_mode"            -> aggMode _,
     "window_first_last"   -> windowFirstLast _,
     "orders_rfm"          -> ordersRfm _,
+    "orders_revenue_ma7"  -> ordersRevenueMa7 _,
+    "basket_pairs"        -> basketPairs _,
+    "scd2_priority"       -> scd2Priority _,
+    "profile_orders"      -> profileOrders _,
   )
 
   val oracleSql: Map[String, String] = Map(
