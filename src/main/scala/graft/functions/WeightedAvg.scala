@@ -20,8 +20,18 @@ import org.apache.spark.sql.expressions.Aggregator
   * at petabyte row counts.
   */
 object WeightedAvg extends Aggregator[(Double, Double), (JBD, JBD), Double] {
-  /** Snap a double to an exact 6-dp decimal (half-up, like SQL round). */
-  private def d6(x: Double): JBD = JBD.valueOf(math.round(x * 1e6), 6)
+  /** Snap a double to an exact 6-dp decimal (half-up, like SQL round).
+    * NaN/Infinity and values outside the scaled-long range fail loudly —
+    * `math.round` alone would map NaN to an exact 0 contribution and
+    * silently saturate at ±Long.MaxValue, diverging from SQL aggregate
+    * semantics (NaN poisons; overflow errors under ANSI). */
+  private def d6(x: Double): JBD = {
+    require(!x.isNaN && !x.isInfinity, s"weighted_avg: non-finite input $x")
+    val scaled = x * 1e6
+    require(math.abs(scaled) < Long.MaxValue.toDouble,
+      s"weighted_avg: |$x| exceeds the 6-dp scaled-long range (~9.2e12)")
+    JBD.valueOf(math.round(scaled), 6)
+  }
 
   override def zero: (JBD, JBD) = (JBD.ZERO, JBD.ZERO)
 

@@ -334,7 +334,27 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** E10: behavioral transition matrix — counts and probabilities of
+    * consecutive event-type pairs per user (the first-order Markov model
+    * product analytics builds funnels from). One shuffle on user_id for
+    * the `lag` window (ties broken by event_id — total order), then an
+    * output-scale agg on the 5×5 type-pair space; the per-prev-type
+    * normalizing sum runs over that tiny output, never the event stream. */
+  def eventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wp = Window.partitionBy("prev_type")
+    events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", r6(col("n").cast("double") / sum(col("n")).over(wp)))
+      .orderBy("prev_type", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_transitions"   -> eventsTransitions _,
     "events_dau_mau"       -> eventsDauMau _,
     "join_asof_forward"    -> joinAsofForward _,
     "sessions_concurrency" -> sessionsConcurrency _,
@@ -375,6 +395,19 @@ object EventOps {
       .orderBy("view_id", "purchase_id")
 
   val oracleSql: Map[String, String] = Map(
+    "events_transitions" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        |  FROM events),
+        |g AS (
+        |  SELECT prev_type, event_type, COUNT(*) AS n
+        |  FROM e WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        |  floor((n::DOUBLE / SUM(n) OVER (PARTITION BY prev_type))
+        |    * 1000000 + 0.5) / 1000000 AS p
+        |FROM g ORDER BY prev_type, event_type""".stripMargin,
     "events_dau_mau" ->
       """WITH e AS (
         |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,

@@ -1126,7 +1126,7 @@ object Relational {
     * its successor's start. Both windows partition by customer — the data
     * never leaves its per-customer partition after the first shuffle. */
   def scd2Priority(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("d"), col("o_orderkey"))
     val runs = orders(s, dir)
       .select(col("o_custkey"), col("o_orderkey"),
         to_date(col("o_orderdate")).as("d"), col("o_orderpriority").as("prio"))
@@ -1173,6 +1173,73 @@ object Relational {
       p("o_totalprice", col("o_totalprice"),
         dec2(min(col("o_totalprice"))), dec2(max(col("o_totalprice"))))).as("cols"))
     one.select(explode(col("cols")).as("c")).select("c.*").orderBy("column_name")
+  }
+
+  /** SQL-4 (TPC-H Q6 shape): the forecast-revenue-change single-row
+    * aggregate — a pure scan+filter+agg with NO join and NO groupBy keys,
+    * the canonical predicate-pushdown / whole-stage-codegen microbench. At
+    * scale the shipdate range predicate prunes row groups via parquet
+    * min/max stats before any row is materialized; the revenue product
+    * carries ≤ 4 true decimal digits so the DECIMAL(25,6) snap is exact
+    * (same argument as [[sqlPricingSummary]]). */
+  def sqlForecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6)))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)
+  }
+
+  /** A18: Pearson correlation per group from EXACT moment sums — n, Σx,
+    * Σy, Σxy, Σx², Σy² accumulate as DECIMALs (one hash-agg pass,
+    * partition-order-independent) and the closed-form r is a single
+    * double expression over the six exact sums, written identically in
+    * the oracle. Stock `corr()` merges double co-moment partials in
+    * nondeterministic order — fine statistically, but not byte-stable
+    * across re-runs/backfills, which the moment-sum form is. */
+  def aggCorrelation(s: SparkSession, dir: String): DataFrame = {
+    def d(c: Column): Column = sum(c.cast("decimal(25,6)")).cast("double")
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), d(x).as("sx"), d(y).as("sy"),
+        d(x * y).as("sxy"), d(x * x).as("sxx"), d(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+               (col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A20: cohort LTV curve — customers grouped by first-order month,
+    * revenue accumulated by months-since-acquisition. The cohort month is
+    * a window `min` over the customer partition (ONE shuffle on custkey,
+    * same trick as events_retention), the (cohort × month-offset) agg is
+    * output-scale, and the cumulative sum runs per cohort over exact
+    * DECIMAL revenue — at 100 TB the running-sum window partitions by
+    * cohort (≤ a few hundred rows each), never globally. */
+  def ordersCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val wc = Window.partitionBy("o_custkey")
+    val monthIdx = (c: Column) => year(c) * 12 + month(c)
+    val cum = Window.partitionBy("cohort_month").orderBy("m_since")
+    orders(s, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        col("o_totalprice"))
+      .withColumn("cohort_d", min(col("d")).over(wc))
+      .groupBy(date_format(col("cohort_d"), "yyyy-MM").as("cohort_month"),
+        (monthIdx(col("d")) - monthIdx(col("cohort_d"))).cast("long").as("m_since"))
+      .agg(sum(col("o_totalprice").cast("decimal(25,6)")).as("rev_dec"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .select(col("cohort_month"), col("m_since"), col("n_cust"),
+        col("rev_dec").cast("double").as("revenue"),
+        sum(col("rev_dec")).over(cum).cast("double").as("cum_revenue"))
+      .orderBy("cohort_month", "m_since")
   }
 
   // ------------------------------------------------------------- inventory
@@ -1252,6 +1319,9 @@ object Relational {
     "basket_pairs"        -> basketPairs _,
     "scd2_priority"       -> scd2Priority _,
     "profile_orders"      -> profileOrders _,
+    "sql_forecast_revenue" -> sqlForecastRevenue _,
+    "agg_correlation"     -> aggCorrelation _,
+    "orders_cohort_ltv"   -> ordersCohortLtv _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1670,5 +1740,127 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+    "orders_revenue_ma7" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS rev_dec
+        |  FROM orders GROUP BY 1)
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  floor((CAST(SUM(rev_dec) OVER w AS DOUBLE) / (COUNT(*) OVER w))
+        |    * 1000000 + 0.5) / 1000000 AS ma7
+        |FROM daily
+        |WINDOW w AS (ORDER BY datediff('day', DATE '1992-01-01', d)
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+    // The in-place per-order pair enumeration is semantically the i<j
+    // self-join — the oracle uses the join form it replaces.
+    "basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS pair_n
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |freq AS (SELECT l_partkey, COUNT(*) AS n FROM items GROUP BY 1),
+        |total AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items)
+        |SELECT part_a, part_b, pair_n,
+        |  floor((CAST(pair_n * n_orders AS DOUBLE) / (fa.n * fb.n))
+        |    * 1000000 + 0.5) / 1000000 AS lift
+        |FROM pairs
+        |  JOIN freq fa ON pairs.part_a = fa.l_partkey
+        |  JOIN freq fb ON pairs.part_b = fb.l_partkey
+        |  CROSS JOIN total
+        |ORDER BY part_a, part_b""".stripMargin,
+    "scd2_priority" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |    o_orderpriority AS prio FROM orders),
+        |c AS (SELECT *, CASE WHEN lag(prio) OVER w IS NULL
+        |    OR lag(prio) OVER w <> prio THEN 1 ELSE 0 END AS chg
+        |  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)),
+        |r AS (SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+        |    ORDER BY d, o_orderkey) AS run FROM c),
+        |p AS (SELECT o_custkey, CAST(run AS BIGINT) AS period_seq, prio,
+        |    MIN(d) AS from_d, COUNT(*) AS n_orders
+        |  FROM r GROUP BY 1, 2, 3),
+        |f AS (SELECT *, lead(from_d) OVER (PARTITION BY o_custkey
+        |    ORDER BY period_seq) AS next_from FROM p)
+        |SELECT o_custkey, period_seq, prio AS priority, n_orders,
+        |  strftime(from_d, '%Y-%m-%d') AS valid_from,
+        |  strftime(next_from, '%Y-%m-%d') AS valid_to,
+        |  next_from IS NULL AS is_current
+        |FROM f ORDER BY o_custkey, period_seq""".stripMargin,
+    "profile_orders" ->
+      """SELECT * FROM (
+        |  SELECT 'o_custkey' AS column_name,
+        |    COUNT(*) - COUNT(o_custkey) AS n_nulls,
+        |    COUNT(DISTINCT o_custkey) AS n_distinct,
+        |    CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+        |    CAST(MAX(o_custkey) AS VARCHAR) AS max_val FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
+        |    COUNT(DISTINCT o_orderdate),
+        |    strftime(MIN(o_orderdate), '%Y-%m-%d'),
+        |    strftime(MAX(o_orderdate), '%Y-%m-%d') FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey', COUNT(*) - COUNT(o_orderkey),
+        |    COUNT(DISTINCT o_orderkey),
+        |    CAST(MIN(o_orderkey) AS VARCHAR),
+        |    CAST(MAX(o_orderkey) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+        |    COUNT(DISTINCT o_orderpriority),
+        |    MIN(o_orderpriority), MAX(o_orderpriority) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+        |    COUNT(DISTINCT o_orderstatus),
+        |    MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+        |    COUNT(DISTINCT o_totalprice),
+        |    CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+        |    CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) FROM orders
+        |) ORDER BY column_name""".stripMargin,
+    "sql_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6)))
+        |    AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "agg_correlation" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  floor(((n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+        |    * 1000000 + 0.5) / 1000000 AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "orders_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_totalprice,
+        |    MIN(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey) AS cohort_d
+        |  FROM orders),
+        |g AS (
+        |  SELECT strftime(cohort_d, '%Y-%m') AS cohort_month,
+        |    CAST((year(d) * 12 + month(d))
+        |      - (year(cohort_d) * 12 + month(cohort_d)) AS BIGINT) AS m_since,
+        |    SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS rev_dec,
+        |    COUNT(DISTINCT o_custkey) AS n_cust
+        |  FROM o GROUP BY 1, 2)
+        |SELECT cohort_month, m_since, n_cust,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(SUM(rev_dec) OVER (PARTITION BY cohort_month ORDER BY m_since)
+        |    AS DOUBLE) AS cum_revenue
+        |FROM g ORDER BY cohort_month, m_since""".stripMargin,
   )
 }

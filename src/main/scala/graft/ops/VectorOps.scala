@@ -140,10 +140,15 @@ object VectorOps {
   def embedQuantize(s: SparkSession, dir: String): DataFrame = {
     val e = asD(col("embedding"))
     val maxabs = greatest(array_max(e), -array_min(e))
+    // q ships as a comma-joined string: the oracle harness hashes scalar
+    // cells only (array cells are unhashable pandas-side), so arrays are
+    // always emitted joined — same convention as aggCollectList.
     embeddings(s, dir)
       .select(col("vec_id"),
         r6(maxabs).as("maxabs"),
-        graft.functions.VectorFunctions.graftQuantizeI8(e, maxabs / lit(127.0)).as("q"))
+        array_join(
+          graft.functions.VectorFunctions.graftQuantizeI8(e, maxabs / lit(127.0))
+            .cast("array<string>"), ",").as("q"))
       .orderBy("vec_id")
   }
 
@@ -190,7 +195,33 @@ object VectorOps {
       .orderBy(col("query_id").asc, col("cos").desc, col("vec_id").asc)
   }
 
+  /** L3e: binary-hash ANN — each vector collapses to a 60-bit sign
+    * signature (one bit per leading dimension: the degenerate form of
+    * signed-random-projection LSH, kept deterministic so a SQL oracle can
+    * reproduce it), and search ranks by Hamming distance `bit_count(sig ^
+    * qsig)`. This is the integer-only search modality: after the one-time
+    * signature pass the float-vector table is out of the loop entirely —
+    * 8 bytes/vector, XOR+popcount per candidate (both single codegen'd
+    * instructions), and at 100 TB the signature column is what ships to
+    * the index while full vectors stay at rest for the rerank stage.
+    * Top-10 by (hamming, vec_id) — the tie space is large by design at
+    * 60 bits; vec_id makes the cut deterministic. */
+  def knnHamming(s: SparkSession, dir: String): DataFrame = {
+    val sig = (1 to 60)
+      .map(j => when(element_at(col("embedding"), j) > 0f, lit(1L << (j - 1)))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
+    val e = embeddings(s, dir).withColumn("sig", sig)
+    val q = e.filter(col("vec_id") === 0).select(col("sig").as("qsig"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("long").as("hamming"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+      .limit(K)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_hamming"     -> knnHamming _,
     "knn_batch"       -> knnBatch _,
     "embed_normalize" -> embedNormalize _,
     "embed_quantize"  -> embedQuantize _,
@@ -212,7 +243,20 @@ object VectorOps {
     "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END + " +
       "CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)"
 
+  /** 60-bit sign signature, mirrored from [[knnHamming]]. */
+  private val sqlSig: String = (1 to 60)
+    .map(j => s"CASE WHEN embedding[$j] > 0 THEN ${1L << (j - 1)} ELSE 0 END")
+    .mkString("(", " + ", ")")
+
   val oracleSql: Map[String, String] = Map(
+    "knn_hamming" ->
+      s"""WITH s AS (
+         |  SELECT vec_id, label, CAST($sqlSig AS BIGINT) AS sig FROM embeddings),
+         |q AS (SELECT sig AS qsig FROM s WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  CAST(bit_count(xor(sig, qsig)) AS BIGINT) AS hamming
+         |FROM s CROSS JOIN q
+         |ORDER BY hamming ASC, vec_id ASC LIMIT $K""".stripMargin,
     "knn_batch" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
@@ -243,8 +287,8 @@ object VectorOps {
         |  FROM embeddings)
         |SELECT vec_id,
         |  floor(ma * 1000000 + 0.5) / 1000000 AS maxabs,
-        |  list_transform(e, x -> CASE WHEN ma = 0 THEN 0
-        |    ELSE CAST(floor(x / (ma / 127.0) + 0.5) AS INTEGER) END) AS q
+        |  array_to_string(list_transform(e, x -> CASE WHEN ma = 0 THEN 0
+        |    ELSE CAST(floor(x / (ma / 127.0) + 0.5) AS INTEGER) END), ',') AS q
         |FROM m ORDER BY vec_id""".stripMargin,
     "embed_normalize" ->
       """SELECT vec_id, label,

@@ -79,6 +79,7 @@ case class TopKPerGroupExec(
     val o = order
     val kk = k
     val isPartial = partial
+    val budget = TopKPerGroup.partialBufferRowBudget
     child.execute().mapPartitions({ it =>
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val keyProj = UnsafeProjection.create(g, childOutput)
@@ -86,30 +87,77 @@ case class TopKPerGroupExec(
       // overflow-safe amortized-truncation threshold (2k, clamped)
       val trunc = math.min(2L * kk, (Int.MaxValue - 8).toLong).toInt
       val groups = new java.util.HashMap[UnsafeRow, ArrayBuffer[UnsafeRow]]()
-      while (it.hasNext) {
-        val u = toUnsafe(it.next())
-        var buf = groups.get(keyProj(u))
-        if (buf == null) {
-          buf = new ArrayBuffer[UnsafeRow]
-          groups.put(keyProj(u).copy(), buf)
+      val rowOrd = ord.on((r: UnsafeRow) => r: InternalRow)
+
+      if (isPartial) {
+        // Streaming partial: per-group memory is bounded at 2k by the
+        // amortized truncation, but the number of LIVE GROUPS is not — a
+        // high-group-cardinality partition would grow the map without
+        // bound where the window idiom's sort would have spilled. Guard:
+        // once totalBuffered hits the row budget, further rows PASS
+        // THROUGH unbuffered (each row is either buffered or emitted,
+        // never both) — the partial cut is only an optimization, the
+        // final instance merges exactly either way.
+        new Iterator[InternalRow] {
+          private var pending: InternalRow = null
+          private var flush: Iterator[UnsafeRow] = null
+          private var totalBuffered = 0L
+          private def advance(): Unit = {
+            while (pending == null && it.hasNext) {
+              val u = toUnsafe(it.next())
+              val key = keyProj(u)
+              var buf = groups.get(key)
+              if (buf == null && totalBuffered < budget) {
+                buf = new ArrayBuffer[UnsafeRow]
+                groups.put(key.copy(), buf)
+              }
+              if (buf == null || totalBuffered >= budget) {
+                pending = u.copy() // budget exhausted: degrade to pass-through
+              } else {
+                buf += u.copy()
+                totalBuffered += 1
+                if (buf.length >= trunc) {
+                  val kept = buf.sorted(rowOrd).take(kk)
+                  totalBuffered -= (buf.length - kept.length)
+                  buf.clear()
+                  buf ++= kept
+                }
+              }
+            }
+            if (pending == null && flush == null)
+              flush = groups.values.asScala.iterator.flatMap(_.sorted(rowOrd).take(kk))
+          }
+          override def hasNext: Boolean = {
+            advance()
+            pending != null || flush.hasNext
+          }
+          override def next(): InternalRow = {
+            advance()
+            if (pending != null) { val r = pending; pending = null; r }
+            else flush.next()
+          }
         }
-        buf += u.copy()
-        // amortized truncation: sort+cut at 2k keeps per-group memory and
-        // comparison count bounded without a heap's per-row overhead
-        if (buf.length >= trunc) {
-          val kept = buf.sorted(ord.on((r: UnsafeRow) => r: InternalRow)).take(kk)
-          buf.clear()
-          buf ++= kept
+      } else {
+        // Final instance: exact merge — must see every surviving row of a
+        // group, so no pass-through; memory here is OUTPUT-scale (≤ k rows
+        // per group survive the partial, truncation keeps ≤ 2k buffered).
+        while (it.hasNext) {
+          val u = toUnsafe(it.next())
+          var buf = groups.get(keyProj(u))
+          if (buf == null) {
+            buf = new ArrayBuffer[UnsafeRow]
+            groups.put(keyProj(u).copy(), buf)
+          }
+          buf += u.copy()
+          if (buf.length >= trunc) {
+            val kept = buf.sorted(rowOrd).take(kk)
+            buf.clear()
+            buf ++= kept
+          }
         }
-      }
-      val perGroup = groups.values.asScala.iterator.flatMap { buf =>
-        buf.sorted(ord.on((r: UnsafeRow) => r: InternalRow)).take(kk)
-      }
-      if (isPartial) perGroup
-      else {
-        // final instance: restore the window idiom's observable
-        // within-partition order (group asc nulls first, then the user
-        // order) — output-sized, ≤ k rows per group
+        val perGroup = groups.values.asScala.iterator.flatMap(_.sorted(rowOrd).take(kk))
+        // restore the window idiom's observable within-partition order
+        // (group asc nulls first, then the user order) — output-sized
         val groupOrd = g.map(SortOrder(_, Ascending))
         val outOrd = RowOrdering.create(groupOrd ++ o, childOutput)
         perGroup.toIndexedSeq.sorted(outOrd.on((r: UnsafeRow) => r: InternalRow)).iterator
@@ -133,6 +181,14 @@ class TopKStrategy extends SparkStrategy {
 }
 
 object TopKPerGroup {
+
+  /** Partial-side buffered-row budget per task (guards total map size
+    * across groups, not per group — see the pass-through note in
+    * doExecute). 1M rows ≈ low hundreds of MB of UnsafeRow copies at
+    * typical widths, comfortably inside an executor's task share; beyond
+    * it the partial degrades gracefully to a pass-through. @volatile var
+    * so the spec can shrink it to force the degraded path. */
+  @volatile var partialBufferRowBudget: Long = 1L << 20
 
   /** Grouping keys must be normalized the way Window/Aggregate keys are
     * (NormalizeFloatingNumbers): raw UnsafeRow grouping would split

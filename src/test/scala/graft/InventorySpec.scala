@@ -40,7 +40,7 @@ class InventorySpec extends AnyFunSuite {
     // hash-compare is order-sensitive; an oracle without ORDER BY must be
     // a 1-row aggregate (count_star / scan_rest_pages shapes).
     val noOrder = SparkEntry.oracleSql.filterNot(_._2.toUpperCase.contains("ORDER BY"))
-    val allowed = Set("count_star", "scan_rest_pages")
+    val allowed = Set("count_star", "scan_rest_pages", "sql_forecast_revenue")
     assert((noOrder.keySet -- allowed).isEmpty,
       s"oracles missing ORDER BY: ${noOrder.keySet -- allowed}")
   }

@@ -74,6 +74,20 @@ class PlansSpec extends AnyFunSuite {
     assert(s.contains("Window") && !s.contains("TopKPerGroup"))
   }
 
+  test("partial buffer budget exhaustion degrades to pass-through, result unchanged") {
+    val saved = plans.TopKPerGroup.partialBufferRowBudget
+    try {
+      // a 4-row budget on a ~1.5k-group input forces the pass-through path
+      plans.TopKPerGroup.partialBufferRowBudget = 4L
+      val viaWindow = ops.Relational.topkPerGroup(spark, sf)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+        .collect().toSeq
+      val viaNative = native().orderBy("o_custkey", "o_orderkey").collect().toSeq
+      assert(viaNative == viaWindow)
+    } finally plans.TopKPerGroup.partialBufferRowBudget = saved
+  }
+
   test("float grouping keys: -0.0 and 0.0 land in ONE group (normalized like Window)") {
     val sq = spark; import sq.implicits._
     val df = Seq((0.0, 1L), (-0.0, 2L), (1.5, 3L)).toDF("g", "uid")

@@ -57,7 +57,7 @@ class VectorSpec extends AnyFunSuite {
     assert(rows.length == src.size)
     rows.foreach { r =>
       val x = src(r.getLong(0))
-      val q = r.getSeq[Int](2)
+      val q = r.getString(2).split(",").map(_.toInt).toSeq
       assert(q.length == x.length)
       val scale = x.map(math.abs).max / 127.0
       q.foreach(v => assert(math.abs(v) <= 127, s"|$v| > 127"))
