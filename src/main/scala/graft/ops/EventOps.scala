@@ -353,7 +353,30 @@ object EventOps {
       .orderBy("prev_type", "event_type")
   }
 
+  /** E11: rolling 7-day active users — for each calendar day, the distinct
+    * users active in [day-6, day] plus same-day DAU and the DAU/WAU ratio
+    * (trailing-window engagement, the workhorse next to [[eventsDauMau]]'s
+    * calendar months). The (user, day) stream first collapses to distinct
+    * pairs (event-volume → user-day scale), then fans out over the TINY
+    * broadcast calendar via a bounded range join (≤ 7 days match each pair)
+    * — the distinct-count never sees raw events, and no COUNT(DISTINCT …)
+    * OVER window (which Spark lacks and single-tasks elsewhere) is needed. */
+  def eventsRollingActive(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val days = ud.select(col("d").as("day")).distinct()
+    ud.join(broadcast(days),
+        col("d").between(date_sub(col("day"), 6), col("day")))
+      .groupBy("day")
+      .agg(countDistinct(when(col("d") === col("day"), col("user_id"))).as("dau"),
+        countDistinct(col("user_id")).as("wau7"))
+      .select(dateFmt(col("day")).as("day"), col("dau"), col("wau7"),
+        r6(col("dau").cast("double") / col("wau7")).as("stickiness7"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_rolling_active" -> eventsRollingActive _,
     "events_transitions"   -> eventsTransitions _,
     "events_dau_mau"       -> eventsDauMau _,
     "join_asof_forward"    -> joinAsofForward _,
@@ -395,6 +418,19 @@ object EventOps {
       .orderBy("view_id", "purchase_id")
 
   val oracleSql: Map[String, String] = Map(
+    "events_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM ud),
+        |j AS (SELECT days.day, ud.user_id, ud.d
+        |  FROM days JOIN ud ON ud.d BETWEEN days.day - 6 AND days.day)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  COUNT(DISTINCT CASE WHEN d = day THEN user_id END) AS dau,
+        |  COUNT(DISTINCT user_id) AS wau7,
+        |  floor((COUNT(DISTINCT CASE WHEN d = day THEN user_id END)::DOUBLE
+        |    / COUNT(DISTINCT user_id)) * 1000000 + 0.5) / 1000000 AS stickiness7
+        |FROM j GROUP BY day ORDER BY day""".stripMargin,
     "events_transitions" ->
       """WITH e AS (
         |  SELECT event_type,

@@ -1242,6 +1242,55 @@ object Relational {
       .orderBy("cohort_month", "m_since")
   }
 
+  /** A18c: per-group OLS fit (slope/intercept) from the same exact DECIMAL
+    * moment sums as [[aggCorrelation]] — one hash-agg pass, byte-stable.
+    * The raw slope is computed ONCE and reused unrounded inside the
+    * intercept (identical expression tree in the oracle) so both derived
+    * measures are bit-identical before the defensive 6-dp snap. */
+  def aggLinregress(s: SparkSession, dir: String): DataFrame = {
+    def d(c: Column): Column = sum(c.cast("decimal(25,6)")).cast("double")
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), d(x).as("sx"), d(y).as("sy"),
+        d(x * y).as("sxy"), d(x * x).as("sxx"))
+      .withColumn("slope_raw",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("l_returnflag"), col("n"),
+        r6(col("slope_raw")).as("slope"),
+        r6((col("sy") - col("slope_raw") * col("sx")) / col("n")).as("intercept"))
+      .orderBy("l_returnflag")
+  }
+
+  /** SQL-5 (TPC-H Q10 shape): returned-item revenue ranking — 4-way join
+    * (customer ⋈ orders ⋈ lineitem ⋈ nation) + quarter filter + group +
+    * top-20. Exercises Catalyst join reordering and pushdown through the
+    * SQL path: the orderdate range and returnflag predicates reach their
+    * scans, nation broadcasts, and the final sort is
+    * TakeOrderedAndProject — never a global sort. Revenue snaps exactly
+    * (≤ 4 true decimal digits, see [[sqlPricingSummary]]); c_custkey
+    * tiebreaks the revenue order so the cut is deterministic. */
+  def sqlReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |    AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        |  c.c_acctbal, n.n_name
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin)
+  }
+
   // ------------------------------------------------------------- inventory
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1322,6 +1371,8 @@ object Relational {
     "sql_forecast_revenue" -> sqlForecastRevenue _,
     "agg_correlation"     -> aggCorrelation _,
     "orders_cohort_ltv"   -> ordersCohortLtv _,
+    "agg_linregress"      -> aggLinregress _,
+    "sql_returned_items"  -> sqlReturnedItems _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1862,5 +1913,34 @@ object Relational {
         |  CAST(SUM(rev_dec) OVER (PARTITION BY cohort_month ORDER BY m_since)
         |    AS DOUBLE) AS cum_revenue
         |FROM g ORDER BY cohort_month, m_since""".stripMargin,
+    "agg_linregress" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag),
+        |s AS (SELECT *,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw FROM m)
+        |SELECT l_returnflag, n,
+        |  floor(slope_raw * 1000000 + 0.5) / 1000000 AS slope,
+        |  floor(((sy - slope_raw * sx) / n) * 1000000 + 0.5) / 1000000 AS intercept
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "sql_returned_items" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |    AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        |  c.c_acctbal, n.n_name
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
   )
 }

@@ -284,7 +284,34 @@ object TextOps {
       .orderBy(col("exact_n").desc, col("w").asc)
   }
 
+  /** L12b: intra-doc repetition scoring — the Gopher "repetition" family's
+    * thresholdable core: what fraction of a document's bigrams is its single
+    * most frequent bigram (templated/boilerplate/looping text scores high,
+    * natural prose low). Bigrams via the same posexplode + per-doc `lead`
+    * codegen shape as [[textBigramLogprob]]; both aggs are per-doc (the
+    * heavy one partial-aggregates map-side), nothing global. Docs with
+    * fewer than 2 tokens have no bigrams and drop out, mirrored by the
+    * oracle's inner joins. */
+  def docsRepetition(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val tok = documents(s, dir)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+      .toDF("doc_id", "pos", "w")
+    tok.withColumn("wn", lead("w", 1).over(w))
+      .filter(col("wn").isNotNull)
+      .select(col("doc_id"), concat_ws("|", col("w"), col("wn")).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_n"),
+        r6(col("top_n").cast("double") / col("n_bigrams")).as("rep_ratio"))
+      .withColumn("is_repetitive", col("rep_ratio") > 0.1)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_repetition"     -> docsRepetition _,
     "text_bigram_logprob" -> textBigramLogprob _,
     "agg_cms_topk"    -> aggCmsTopk _,
     "doc_keyterms"    -> docKeyterms _,
@@ -304,6 +331,19 @@ object TextOps {
   private val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "docs_repetition" ->
+      """WITH bg AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)),
+        |      i -> t[i] || '|' || t[i+1]) ELSE [] END) AS b
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
+        |c AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |    MAX(c) AS top_n FROM c GROUP BY 1),
+        |r AS (SELECT *, floor((top_n::DOUBLE / n_bigrams) * 1000000 + 0.5)
+        |    / 1000000 AS rep_ratio FROM a)
+        |SELECT doc_id, n_bigrams, top_n, rep_ratio, rep_ratio > 0.1 AS is_repetitive
+        |FROM r ORDER BY doc_id""".stripMargin,
     "text_bigram_logprob" ->
       """WITH bg AS (
         |  SELECT doc_id, unnest(
