@@ -25,7 +25,11 @@ object Explain {
                   // round 3c: salted two-stage agg, native-top-k sampling,
                   // two-pass global index, BM25 broadcast shape, retention
                   "agg_skew_salted", "sample_per_group", "row_global_index",
-                  "text_bm25", "events_retention")) {
+                  "text_bm25", "events_retention",
+                  // round 4: hamming ANN, transition matrix, rolling WAU,
+                  // Q10 SQL path, moment-sum OLS
+                  "knn_hamming", "events_transitions", "events_rolling_active",
+                  "sql_returned_items", "agg_linregress")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

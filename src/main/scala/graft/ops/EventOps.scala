@@ -375,7 +375,64 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** E12: calendar gap-fill + forward-fill — per-type daily value sums
+    * reindexed onto the full date spine (missing days materialize as
+    * rows) with last-observation-carried-forward, the standard
+    * time-series regularization before any rolling/diff analytics. The
+    * spine is generated (`sequence` over the global min/max date — a
+    * 1-row broadcast), the left join is spine-sized, and the LOCF window
+    * partitions by event_type — bounded partitions (types × days), never
+    * a global single-task window. */
+  def eventsGapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("value"))
+    val daily = ev.groupBy("event_type", "d").agg(dsum(col("value")).as("v"))
+    val spine = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .crossJoin(daily.select("event_type").distinct())
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.as("s")
+      .join(daily.as("g"),
+        col("s.day") === col("g.d") && col("s.event_type") === col("g.event_type"),
+        "left")
+      .select(col("s.event_type").as("event_type"), col("s.day").as("day"),
+        col("g.v").as("v"))
+      .withColumn("observed", col("v").isNotNull)
+      .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("event_type"), dateFmt(col("day")).as("day"), col("observed"),
+        r6(coalesce(col("v"), lit(0.0))).as("v_day"),
+        r6(col("v_filled")).as("v_filled"))
+      .orderBy("event_type", "day")
+  }
+
+  /** J6c: tolerance-bounded as-of join — [[joinAsof]] with a max-staleness
+    * bound: a purchase only attributes to a signup at most 24 h older
+    * (stale matches null out, the attribution-window semantics ad/conversion
+    * pipelines need). Same one-shuffle union-timeline plan; the bound is a
+    * post-window column test, free. */
+  def joinAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc,
+        when(col("event_type") === "signup", 0).otherwise(1).asc,
+        col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("signup_ts",
+        when(col("event_type") === "signup", col("ts")))
+      .withColumn("last_signup", last(col("signup_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("matched",
+        when(col("last_signup") >= col("ts") - expr("INTERVAL 24 HOURS"),
+          col("last_signup")))
+      .select(col("event_id"), col("user_id"), tsFmt(col("ts")).as("ts_s"),
+        tsFmt(col("matched")).as("signup_ts_s"), col("matched").isNotNull.as("attributed"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_gap_fill"      -> eventsGapFill _,
+    "join_asof_tolerance"  -> joinAsofTolerance _,
     "events_rolling_active" -> eventsRollingActive _,
     "events_transitions"   -> eventsTransitions _,
     "events_dau_mau"       -> eventsDauMau _,
@@ -418,6 +475,43 @@ object EventOps {
       .orderBy("view_id", "purchase_id")
 
   val oracleSql: Map[String, String] = Map(
+    "events_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, value
+        |  FROM events),
+        |daily AS (
+        |  SELECT event_type, d,
+        |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS v
+        |  FROM ev GROUP BY 1, 2),
+        |b AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ev),
+        |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |    AS DATE) AS day FROM b),
+        |spine AS (SELECT day, event_type
+        |  FROM days CROSS JOIN (SELECT DISTINCT event_type FROM daily)),
+        |j AS (SELECT spine.event_type, spine.day, daily.v
+        |  FROM spine LEFT JOIN daily
+        |    ON daily.d = spine.day AND daily.event_type = spine.event_type)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  v IS NOT NULL AS observed,
+        |  floor(coalesce(v, 0.0) * 1000000 + 0.5) / 1000000 AS v_day,
+        |  floor((last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |    * 1000000 + 0.5) / 1000000 AS v_filled
+        |FROM j ORDER BY event_type, day""".stripMargin,
+    "join_asof_tolerance" ->
+      """WITH m AS (
+        |  SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS pts,
+        |    (SELECT max(CAST(s.ts AS TIMESTAMP)) FROM events s
+        |     WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+        |       AND CAST(s.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |       AND CAST(s.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+        |         - INTERVAL 24 HOUR) AS matched
+        |  FROM events p WHERE p.event_type = 'purchase')
+        |SELECT event_id, user_id,
+        |  strftime(pts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  strftime(matched, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts_s,
+        |  matched IS NOT NULL AS attributed
+        |FROM m ORDER BY event_id""".stripMargin,
     "events_rolling_active" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d

@@ -122,7 +122,34 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** L9e: perceptual-hash near-dup pairs — a 16-bit pHash stand-in (md5
+    * head, deterministic like the rest of the decode stub) compared by
+    * Hamming distance ≤ 2, the visually-similar-media analogue of
+    * [[mediaDedup]]'s exact match. Pairs enumerate only within an 8-bit
+    * bucket (the hash's high byte — the pigeonhole trick from SimHash
+    * pairs: distance-≤2 pairs agreeing on the high byte are found; a full
+    * recall pass would union a second bucketing on the low byte), so the
+    * candidate set is bucket-local and the 2^8 buckets shard evenly —
+    * never a global n² self-join; bytes never move, only (bucket, 16-bit
+    * hash, id). */
+  def mediaPhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val m = documents(s, dir)
+      .select(col("doc_id"),
+        conv(substring(md5(encode(col("text"), "utf-8")), 1, 4), 16, 10)
+          .cast("int").as("ph"))
+      .withColumn("bucket", floor(col("ph") / lit(256)).cast("int"))
+    m.as("a")
+      .join(m.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.ph").as("ph_a"), col("b.ph").as("ph_b"),
+        bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_phash_pairs"  -> mediaPhashPairs _,
     "media_dedup"        -> mediaDedup _,
     "multimodal_meta"    -> multimodalMeta _,
     "media_features"     -> mediaFeatures _,
@@ -135,6 +162,19 @@ object MultimodalOps {
     s"CAST('0x' || substring($expr, $from, $len) AS INTEGER)"
 
   val oracleSql: Map[String, String] = Map(
+    "media_phash_pairs" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(text), 1, 4) AS INTEGER) AS ph
+        |  FROM documents),
+        |k AS (SELECT doc_id, ph,
+        |    CAST(floor(ph / 256.0) AS INTEGER) AS bucket FROM m)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  a.ph AS ph_a, b.ph AS ph_b,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+        |FROM k a JOIN k b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "media_dedup" ->
       """WITH m AS (
         |  SELECT doc_id, md5(substring(text, 1, 64)) AS fp FROM documents)
