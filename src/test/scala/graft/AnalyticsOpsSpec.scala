@@ -191,4 +191,95 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .orderBy("o_orderkey").collect().toSeq
     assert(twoPass == naive)
   }
+
+  test("transition probabilities sum to ~1 per prev_type and counts to total") {
+    val rows = ops.EventOps.eventsTransitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (prev, rs) =>
+      val pSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"$prev: probabilities sum to $pSum")
+    }
+    // total transitions = events - one first-event per user with >=1 event
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == expected)
+  }
+
+  test("gap-fill: full spine, exact on observed days, LOCF on gaps") {
+    val rows = ops.EventOps.eventsGapFill(spark, sf)
+      .orderBy("event_type", "day").collect()
+    val types = rows.map(_.getString(0)).distinct
+    val days = rows.map(_.getString(1)).distinct
+    assert(rows.length == types.length * days.length, "spine must be complete")
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      var lastSeen: Option[Double] = None
+      rs.sortBy(_.getString(1)).foreach { r =>
+        if (r.getBoolean(2)) {
+          assert(r.getDouble(4) == r.getDouble(3), "observed day must carry its own value")
+          lastSeen = Some(r.getDouble(3))
+        } else lastSeen.foreach { v =>
+          assert(r.getDouble(4) == v, "gap day must carry the last observed value")
+        }
+      }
+    }
+  }
+
+  test("OLS slope/intercept match a local recomputation") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .groupBy(_.getString(0))
+    val got = ops.Relational.aggLinregress(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    li.foreach { case (flag, rs) =>
+      val n = rs.length.toDouble
+      val xs = rs.map(_.getDouble(1)); val ys = rs.map(_.getDouble(2))
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val icept = (sy - slope * sx) / n
+      assert(math.abs(got(flag)._1 - slope) < 1e-3, s"$flag slope")
+      assert(math.abs(got(flag)._2 - icept) < 1e-1, s"$flag intercept")
+    }
+  }
+
+  test("hamming ANN: query vector ranks first at distance zero") {
+    val rows = ops.VectorOps.knnHamming(spark, sf).collect()
+    assert(rows.head.getLong(0) == 0L && rows.head.getLong(2) == 0L,
+      "vec 0 must match itself at hamming 0")
+    val ds = rows.map(_.getLong(2))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a <= b }, "ranking must be by distance")
+  }
+
+  test("phash pairs: bucket-local, ordered, within the hamming threshold") {
+    val rows = ops.MultimodalOps.mediaPhashPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "doc_a < doc_b")
+      assert(r.getLong(4) <= 2, "hamming bound")
+      assert(r.getInt(2) / 256 == r.getInt(3) / 256, "pairs share the high-byte bucket")
+    }
+  }
+
+  test("as-of tolerance: attributed matches are within 24h, stale ones nulled") {
+    val rows = ops.EventOps.joinAsofTolerance(spark, sf).collect()
+    val base = ops.EventOps.joinAsof(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    rows.foreach { r =>
+      val ts = java.time.LocalDateTime.parse(r.getString(2), fmt)
+      if (r.getBoolean(4)) {
+        val m = java.time.LocalDateTime.parse(r.getString(3), fmt)
+        assert(!m.isBefore(ts.minusHours(24)) && !m.isAfter(ts), s"window violated: $r")
+        assert(base(r.getLong(0)) == r.getString(3), "attributed match must equal the unbounded as-of")
+      } else {
+        assert(r.getString(3) == null)
+        // unbounded as-of either found nothing or something older than 24h
+        Option(base(r.getLong(0))).foreach { s =>
+          assert(java.time.LocalDateTime.parse(s, fmt).isBefore(ts.minusHours(24)))
+        }
+      }
+    }
+  }
 }
