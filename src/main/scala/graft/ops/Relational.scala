@@ -1291,6 +1291,56 @@ object Relational {
         |LIMIT 20""".stripMargin)
   }
 
+  /** §2.14: typed arbitrary per-group logic — `KeyValueGroupedDataset
+    * .mapGroups` computing each customer's inter-order gap profile
+    * (count, max gap, mean gap in days). The group's dates arrive as one
+    * iterator after a single co-partitioned shuffle (same physical shape
+    * as [[cogroupMerge]]); logic deliberately re-derivable as a lag
+    * window so the typed path itself is oracle-checked. Dates travel as
+    * epoch-day ints (computed IN the frame, so the JVM default zone never
+    * touches them); the mean snaps half-up like [[graft.Tables.r6]]. */
+  def mapgroupsOrderGaps(s: SparkSession, dir: String): DataFrame = {
+    val sq = s; import sq.implicits._
+    orders(s, dir)
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date")).as("ed"))
+      .as[(Long, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val ds = it.map(_._2).toArray.sorted
+        val gaps = ds.iterator.zip(ds.iterator.drop(1)).map { case (a, b) => (b - a).toLong }.toArray
+        val avg = if (gaps.isEmpty) 0.0
+          else math.floor(gaps.sum.toDouble / gaps.length * 1e6 + 0.5) / 1e6
+        (k, ds.length.toLong, if (gaps.isEmpty) 0L else gaps.max, avg)
+      }
+      .toDF("o_custkey", "n_orders", "max_gap_days", "avg_gap_days")
+      .filter(col("n_orders") >= 2)
+      .orderBy("o_custkey")
+  }
+
+  /** SQL-6 (TPC-H Q7 shape, full matrix): bilateral trade-flow revenue by
+    * (supplier nation, customer nation, ship year) — a 6-way star join
+    * where both nation dims broadcast and the fact tables join on their
+    * natural keys; output is dimension-bounded (nations² × years), so
+    * everything after the joins is output-scale. */
+  def sqlVolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |    AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM supplier s
+        |JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
   // ------------------------------------------------------------- inventory
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1373,6 +1423,8 @@ object Relational {
     "orders_cohort_ltv"   -> ordersCohortLtv _,
     "agg_linregress"      -> aggLinregress _,
     "sql_returned_items"  -> sqlReturnedItems _,
+    "mapgroups_order_gaps" -> mapgroupsOrderGaps _,
+    "sql_volume_shipping" -> sqlVolumeShipping _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1942,5 +1994,36 @@ object Relational {
         |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
         |ORDER BY revenue DESC, c_custkey ASC
         |LIMIT 20""".stripMargin,
+    "mapgroups_order_gaps" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+        |g AS (SELECT o_custkey,
+        |    datediff('day', lag(d) OVER (PARTITION BY o_custkey ORDER BY d), d)
+        |      AS gap
+        |  FROM o),
+        |a AS (SELECT o_custkey, COUNT(*) AS n_orders FROM o GROUP BY 1),
+        |gg AS (SELECT o_custkey, MAX(gap) AS max_gap,
+        |    SUM(gap) AS sgap, COUNT(gap) AS ngap
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT a.o_custkey, a.n_orders,
+        |  CAST(gg.max_gap AS BIGINT) AS max_gap_days,
+        |  floor((gg.sgap::DOUBLE / gg.ngap) * 1000000 + 0.5) / 1000000
+        |    AS avg_gap_days
+        |FROM a JOIN gg USING (o_custkey)
+        |WHERE a.n_orders >= 2 ORDER BY o_custkey""".stripMargin,
+    "sql_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |    AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM supplier s
+        |JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
   )
 }

@@ -220,7 +220,34 @@ object VectorOps {
       .limit(K)
   }
 
+  /** L3f: two-stage retrieval — the production ANN pattern [[knnHamming]]
+    * and [[knnCosine]] are halves of: a cheap integer Hamming prefilter
+    * (signature distance ≤ 20 of 60 bits ≈ keeps candidates within ~60°)
+    * prunes the corpus FIRST, then exact cosine reranks only the
+    * survivors and keeps the top-10. At 100 TB the float vectors are
+    * fetched only for rows passing the signature gate — the expensive
+    * dot product runs on a fraction of the table, and both stages stay
+    * map-side against the broadcast query. */
+  def knnRerank(s: SparkSession, dir: String): DataFrame = {
+    val sig = (1 to 60)
+      .map(j => when(element_at(col("embedding"), j) > 0f, lit(1L << (j - 1)))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
+    val e = embeddings(s, dir).withColumn("sig", sig)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("sig").as("qsig"), asD(col("embedding")).as("qv"))
+    e.crossJoin(broadcast(q))
+      .withColumn("hamming",
+        bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("long"))
+      .filter(col("hamming") <= 20)
+      .select(col("vec_id"), col("label"), col("hamming"),
+        cosine(asD(col("embedding")), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(K)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_rerank"      -> knnRerank _,
     "knn_hamming"     -> knnHamming _,
     "knn_batch"       -> knnBatch _,
     "embed_normalize" -> embedNormalize _,
@@ -249,6 +276,19 @@ object VectorOps {
     .mkString("(", " + ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    "knn_rerank" ->
+      s"""WITH s AS (
+         |  SELECT vec_id, label, embedding,
+         |    CAST($sqlSig AS BIGINT) AS sig FROM embeddings),
+         |q AS (SELECT sig AS qsig, embedding AS qv FROM s WHERE vec_id = 0),
+         |c AS (
+         |  SELECT s.vec_id, s.label,
+         |    CAST(bit_count(xor(s.sig, q.qsig)) AS BIGINT) AS hamming,
+         |    ${sqlCos("s.embedding", "q.qv")} AS cos
+         |  FROM s CROSS JOIN q
+         |  WHERE bit_count(xor(s.sig, q.qsig)) <= 20)
+         |SELECT vec_id, label, hamming, cos FROM c
+         |ORDER BY cos DESC, vec_id ASC LIMIT $K""".stripMargin,
     "knn_hamming" ->
       s"""WITH s AS (
          |  SELECT vec_id, label, CAST($sqlSig AS BIGINT) AS sig FROM embeddings),
