@@ -246,7 +246,35 @@ object VectorOps {
       .limit(K)
   }
 
+  /** L19b: one distributed power-iteration step toward the corpus's top
+    * principal direction — w = Σᵢ xᵢ·(xᵢ·v₀) (i.e. (XᵀX)v₀) then
+    * normalize, with v₀ = 1⃗ (deterministic start). The per-row inner
+    * product runs through the codegen'd [[graft.functions.DotProduct]];
+    * per-(row, dim) contributions are 6-dp-snapped BEFORE the DECIMAL
+    * per-dim sum (the [[embedCentroids]] determinism rule), so the step
+    * is partition-order independent and oracle-checkable. Scale shape:
+    * ONE pass over the vectors, fixed-width (dim, contribution) pairs
+    * into a 64-key hash-agg — the matmul never materializes; iterating
+    * k steps is k passes (driver loop is control-plane only), exactly
+    * how distributed PCA/ALS implementations schedule. */
+  def embedPowerIter(s: SparkSession, dir: String): DataFrame = {
+    val e = asD(col("embedding"))
+    val ones = array_repeat(lit(1.0), 64)
+    val w = embeddings(s, dir)
+      .select(posexplode(e).as(Seq("pos", "x")),
+        dot(e, ones).as("s"))
+      .select(col("pos").cast("long").as("dim"), r6(col("x") * col("s")).as("c"))
+      .groupBy("dim")
+      .agg(dsum(col("c")).as("w"))
+    val norm2 = w.agg(dsum(r6(col("w") * col("w"))).as("n2"))
+    w.crossJoin(broadcast(norm2))
+      .select(col("dim"), r6(col("w")).as("w"),
+        r6(col("w") / sqrt(col("n2"))).as("v1"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_power_iter" -> embedPowerIter _,
     "knn_rerank"      -> knnRerank _,
     "knn_hamming"     -> knnHamming _,
     "knn_batch"       -> knnBatch _,
@@ -276,6 +304,24 @@ object VectorOps {
     .mkString("(", " + ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    "embed_power_iter" ->
+      """WITH ex AS (
+        |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        |    unnest(embedding)::DOUBLE AS x,
+        |    list_dot_product(embedding::DOUBLE[],
+        |      list_transform(range(1, 65), i -> 1.0)) AS s
+        |  FROM embeddings),
+        |w AS (
+        |  SELECT dim, CAST(SUM(CAST(
+        |      floor(x * s * 1000000 + 0.5) / 1000000
+        |    AS DECIMAL(25,6))) AS DOUBLE) AS w
+        |  FROM ex GROUP BY dim),
+        |n AS (
+        |  SELECT CAST(SUM(CAST(floor(w * w * 1000000 + 0.5) / 1000000
+        |    AS DECIMAL(25,6))) AS DOUBLE) AS n2 FROM w)
+        |SELECT dim, floor(w * 1000000 + 0.5) / 1000000 AS w,
+        |  floor((w / sqrt(n2)) * 1000000 + 0.5) / 1000000 AS v1
+        |FROM w CROSS JOIN n ORDER BY dim""".stripMargin,
     "knn_rerank" ->
       s"""WITH s AS (
          |  SELECT vec_id, label, embedding,
