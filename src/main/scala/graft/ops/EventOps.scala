@@ -430,7 +430,25 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** E13: inactivity churn flags — each user's event count, last active
+    * day, days idle versus the corpus's observation horizon (its max
+    * date, a 1-row broadcast), and a churned flag at > 7 idle days. One
+    * hash-agg on user_id; the horizon join is broadcast — the standard
+    * retention-risk labeling pass feeding win-back campaigns and churn
+    * models. */
+  def eventsChurn(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+    ev.groupBy("user_id")
+      .agg(max(col("d")).as("last_d"), count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(ev.agg(max(col("d")).as("max_d"))))
+      .select(col("user_id"), col("n_events"), dateFmt(col("last_d")).as("last_day"),
+        datediff(col("max_d"), col("last_d")).cast("long").as("days_inactive"))
+      .withColumn("churned", col("days_inactive") > 7)
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_churn"         -> eventsChurn _,
     "events_gap_fill"      -> eventsGapFill _,
     "join_asof_tolerance"  -> joinAsofTolerance _,
     "events_rolling_active" -> eventsRollingActive _,
@@ -475,6 +493,17 @@ object EventOps {
       .orderBy("view_id", "purchase_id")
 
   val oracleSql: Map[String, String] = Map(
+    "events_churn" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |per AS (
+        |  SELECT user_id, MAX(d) AS last_d, COUNT(*) AS n_events
+        |  FROM ev GROUP BY 1),
+        |h AS (SELECT MAX(d) AS max_d FROM ev)
+        |SELECT user_id, n_events, strftime(last_d, '%Y-%m-%d') AS last_day,
+        |  CAST(datediff('day', last_d, max_d) AS BIGINT) AS days_inactive,
+        |  datediff('day', last_d, max_d) > 7 AS churned
+        |FROM per CROSS JOIN h ORDER BY user_id""".stripMargin,
     "events_gap_fill" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, value

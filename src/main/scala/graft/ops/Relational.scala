@@ -1341,6 +1341,48 @@ object Relational {
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
   }
 
+  /** SQL-7 (TPC-H Q14 shape): promo-revenue share per ship month —
+    * CONDITIONAL aggregation (CASE inside SUM): both the promo and total
+    * revenue accumulate in ONE pass over the joined rows, part broadcasts,
+    * and the ratio is one double divide per output month. */
+  def sqlPromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT date_format(l_shipdate, 'yyyy-MM') AS month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))
+        |    ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(25,6))) AS DOUBLE) AS total_revenue,
+        |  floor((100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))
+        |      ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(25,6))) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY date_format(l_shipdate, 'yyyy-MM')
+        |ORDER BY month""".stripMargin)
+  }
+
+  /** SQL-8 (TPC-H Q12 shape): line counts split by order priority class —
+    * the canonical CASE-count aggregation (urgent/high vs rest) over the
+    * orders⋈lineitem join, grouped by line status with a ship-year filter
+    * that pushes to the lineitem scan. */
+  def sqlPrioritySplit(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin)
+  }
+
   // ------------------------------------------------------------- inventory
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1425,6 +1467,8 @@ object Relational {
     "sql_returned_items"  -> sqlReturnedItems _,
     "mapgroups_order_gaps" -> mapgroupsOrderGaps _,
     "sql_volume_shipping" -> sqlVolumeShipping _,
+    "sql_promo_revenue"   -> sqlPromoRevenue _,
+    "sql_priority_split"  -> sqlPrioritySplit _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2025,5 +2069,32 @@ object Relational {
         |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
         |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "sql_promo_revenue" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))
+        |    ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(25,6))) AS DOUBLE) AS total_revenue,
+        |  floor((100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))
+        |      ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(25,6))) AS DOUBLE)) * 1000000 + 0.5) / 1000000
+        |    AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY strftime(l_shipdate, '%Y-%m')
+        |ORDER BY month""".stripMargin,
+    "sql_priority_split" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
   )
 }
