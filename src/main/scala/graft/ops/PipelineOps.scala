@@ -281,7 +281,28 @@ object PipelineOps {
       .orderBy("o_orderkey")
   }
 
+  /** L10c: deterministic WEIGHTED sampling — each document keeps with
+    * probability proportional to its length (capped at 1): u(doc) is a
+    * uniform md5-derived deviate, w(doc) = min(1, n_chars/4000), keep iff
+    * u < w. Pure map pass, zero shuffle; the hash-not-rand rule from
+    * [[sampleStratified]] means a backfill re-selects the identical rows,
+    * and the (u, w) columns ship so downstream can audit/re-threshold
+    * without recomputation — the length-proportional mix pass of a
+    * training-data pipeline. Both sides compare the SNAPPED u and w so
+    * the boolean can't straddle a rounding edge between engines. */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val w = least(lit(1.0), col("n_chars") / lit(4000.0))
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        r6(u).as("u"), r6(w).as("w"))
+      .withColumn("kept", col("u") < col("w"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_weighted"      -> sampleWeighted _,
     "sample_per_group"     -> samplePerGroup _,
     "row_global_index"     -> rowGlobalIndex _,
     "join_bloom_prefilter" -> joinBloomPrefilter _,
@@ -294,6 +315,15 @@ object PipelineOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sample_weighted" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    floor((CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |        AS BIGINT) AS DOUBLE) / 4294967296.0) * 1000000 + 0.5) / 1000000 AS u,
+        |    floor(least(1.0, n_chars / 4000.0) * 1000000 + 0.5) / 1000000 AS w
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, u, w, u < w AS kept
+        |FROM m ORDER BY doc_id""".stripMargin,
     "sample_per_group" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

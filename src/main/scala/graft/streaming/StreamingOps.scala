@@ -205,6 +205,35 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** One behavioral transition emitted by [[transitionsStream]]. */
+  final case class Transition(user_id: Long, prev_type: String, event_type: String)
+
+  /** E10's streaming form — stateful PAIRWISE emission: state is the
+    * user's single most recent event; every arriving event emits the
+    * (prev_type, event_type) pair and replaces the state, so a
+    * micro-batch boundary between two events of one user loses nothing.
+    * Downstream, the append stream of pairs feeds the same count/
+    * probability aggregation as the batch matrix
+    * ([[graft.ops.EventOps.eventsTransitions]] — StreamingSpec asserts
+    * the aggregated equality). O(1) state per user, same discipline as
+    * [[latestByUser]]. */
+  def transitionsStream(ev: Dataset[Ev]): Dataset[Transition] = {
+    val sq = ev.sparkSession; import sq.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Option[Ev], Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[Option[Ev]]) =>
+          var prev: Option[Ev] = state.getOption.flatten
+          val out = Seq.newBuilder[Transition]
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            prev.foreach(p => out += Transition(uid, p.event_type, e.event_type))
+            prev = Some(e)
+          }
+          state.update(prev)
+          out.result().iterator
+      }
+  }
+
   private val byRecency: Ordering[Ev] =
     Ordering.by(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
 

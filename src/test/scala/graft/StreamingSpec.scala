@@ -68,6 +68,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("s_dedup").count() == all.size)
   }
 
+  test("stateful streaming transitions aggregate to the batch transition matrix") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    // feed in global event-time order so per-user order holds across batches
+    val all = eventsDs.collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).toSeq
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.transitionsStream(ms.toDS())
+      .writeStream.format("memory").queryName("s_transitions")
+      .outputMode("append").start()
+    try {
+      all.grouped(math.max(1, all.size / 4)).foreach { chunk =>
+        ms.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("s_transitions")
+      .groupBy("prev_type", "event_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = ops.EventOps.eventsTransitions(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      "aggregated streaming pairs must equal the batch matrix counts")
+  }
+
   test("flatMapGroupsWithState sessionizer matches an independent local model") {
     def us(t: java.sql.Timestamp): Long = (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
     val gap = 30L * 60 * 1000000
