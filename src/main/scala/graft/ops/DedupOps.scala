@@ -343,6 +343,33 @@ object DedupOps {
     * set as [[dedupNgramJaccard]]; in production it runs on the LSH
     * candidate pairs, where high-containment/low-Jaccard is the
     * subset-dup signal. */
+  /** L2f: MinHash calibration audit — the signature-agreement Jaccard
+    * estimate (fraction of the 8 min-hash slots that agree: the unbiased
+    * MinHash estimator) against the exact set Jaccard, on consecutive-doc
+    * pairs. This is the report a pipeline runs before trusting an LSH
+    * threshold at scale: signatures are output-scale (8 longs per doc),
+    * so the audit joins 16-byte rows and never re-reads text — exact
+    * Jaccard is computed here only for the audited pair sample. */
+  def dedupMinhashEst(s: SparkSession, dir: String): DataFrame = {
+    val sig = signaturesFrom(shingleRows(s, dir))
+    val sh = shingled(s, dir)
+    val agree = (1 to NumHashes)
+      .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = sig.as("a").join(sig.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (agree.cast("double") / NumHashes).as("e"))
+    val exact = sh.as("x").join(sh.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+      .select(col("x.doc_id").as("doc_a"),
+        (size(array_intersect(col("x.shingles"), col("y.shingles"))).cast("double") /
+          size(array_union(col("x.shingles"), col("y.shingles")))).as("x"))
+    est.join(exact, "doc_a")
+      .select(col("doc_a"), col("doc_b"), r6(col("e")).as("est_jaccard"),
+        r6(col("x")).as("exact_jaccard"),
+        r6(abs(col("e") - col("x"))).as("abs_err"))
+      .orderBy("doc_a")
+  }
+
   def dedupContainment(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir)
     sh.as("a")
@@ -366,6 +393,7 @@ object DedupOps {
     "dedup_simhash"       -> dedupSimhash _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_minhash_est"   -> dedupMinhashEst _,
     "dedup_clusters"      -> dedupClusters _,
     "decontam_ngram"      -> decontamNgram _,
     "dedup_incremental"   -> dedupIncremental _,
@@ -517,5 +545,21 @@ object DedupOps {
          |    / 1000000 AS jaccard
          |FROM shf a JOIN shf b ON b.doc_id = a.doc_id + 1
          |ORDER BY doc_a""".stripMargin,
+    "dedup_minhash_est" ->
+      s"""WITH $shinglesCte,
+         |$bandsCte,
+         |est AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+         |    (${(1 to NumHashes).map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")})::DOUBLE
+         |      / $NumHashes AS e
+         |  FROM sig sa JOIN sig sb ON sb.doc_id = sa.doc_id + 1),
+         |exact AS (SELECT a.doc_id AS doc_a,
+         |    len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |      len(list_distinct(list_concat(a.shingles, b.shingles))) AS x
+         |  FROM shf a JOIN shf b ON b.doc_id = a.doc_id + 1)
+         |SELECT est.doc_a, est.doc_b,
+         |  floor(e * 1000000 + 0.5) / 1000000 AS est_jaccard,
+         |  floor(x * 1000000 + 0.5) / 1000000 AS exact_jaccard,
+         |  floor(abs(e - x) * 1000000 + 0.5) / 1000000 AS abs_err
+         |FROM est JOIN exact USING (doc_a) ORDER BY est.doc_a""".stripMargin,
   )
 }

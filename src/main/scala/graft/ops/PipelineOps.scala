@@ -117,6 +117,21 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** L11b: shard manifest — the per-shard summary written alongside packed
+    * training shards (doc count, token total, language spread, id range)
+    * so loaders size reads and mixing audits run without opening a single
+    * data file. Builds on [[shardPackTokens]]'s assignment; the lang
+    * lookup is a co-keyed join on doc_id and the manifest itself is one
+    * output-scale hash-agg (rows = number of shards). */
+  def shardManifest(s: SparkSession, dir: String): DataFrame =
+    shardPackTokens(s, dir)
+      .join(documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tot_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("shard")
+
   /** L12: rule-based quality filter — the curation decision step: each
     * document gets keep/drop with the FIRST failing rule as the reason
     * (too short / too long / too repetitive — the token-repetition rule
@@ -310,6 +325,7 @@ object PipelineOps {
     "cdc_apply_changes"    -> cdcApplyChanges _,
     "sample_stratified"    -> sampleStratified _,
     "shard_pack_tokens"    -> shardPackTokens _,
+    "shard_manifest"       -> shardManifest _,
     "docs_quality_filter"  -> docsQualityFilter _,
     "corpus_mix_epochs"    -> corpusMixEpochs _,
   )
@@ -429,6 +445,30 @@ object PipelineOps {
         |SELECT doc_id, n_tokens, CAST((off + within) // 10000 AS BIGINT) AS shard
         |FROM pos JOIN offs USING (bucket)
         |ORDER BY doc_id""".stripMargin,
+    "shard_manifest" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id // 100 AS bucket,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, bucket, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS within
+        |  FROM toks),
+        |offs AS (
+        |  SELECT bucket,
+        |    COALESCE(SUM(SUM(n_tokens)) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM toks GROUP BY bucket),
+        |asg AS (
+        |  SELECT doc_id, n_tokens, CAST((off + within) // 10000 AS BIGINT) AS shard
+        |  FROM pos JOIN offs USING (bucket))
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(SUM(a.n_tokens) AS BIGINT) AS tot_tokens,
+        |  CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+        |  MIN(a.doc_id) AS min_doc, MAX(a.doc_id) AS max_doc
+        |FROM asg a JOIN documents d USING (doc_id)
+        |GROUP BY shard ORDER BY shard""".stripMargin,
     "docs_quality_filter" ->
       """SELECT doc_id,
         |  CASE WHEN n_chars < 150 THEN 'too_short'

@@ -1383,6 +1383,189 @@ object Relational {
         |ORDER BY l_linestatus""".stripMargin)
   }
 
+  /** SQL-9 (TPC-H Q4 shape): order counts by priority where EXISTS a late
+    * lineitem (shipped > 60 days after the order date). Catalyst rewrites
+    * the correlated EXISTS into a LEFT SEMI join on o_orderkey — one
+    * shuffle, no per-row subquery execution; the quarter filter pushes to
+    * the orders scan so only 3 months of orders drive the semi-join. */
+  def sqlOrderPriority(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** SQL-10 (TPC-H Q8 shape): one nation's revenue share within a region's
+    * market by order year. Six-way star join — both nation dims and region
+    * broadcast; the share is conditional-aggregation over ONE pass of the
+    * joined rows (numerator and denominator accumulate together, never two
+    * scans), ratio = one double divide per output year. */
+  def sqlMarketShare(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """WITH eur AS (
+        |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,6)) AS rev,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |  JOIN region r ON n1.n_regionkey = r.r_regionkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |  WHERE r.r_name = 'EUROPE')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+        |    ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE) AS nation_rev,
+        |  CAST(sum(rev) AS DOUBLE) AS total_rev,
+        |  floor((CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+        |      ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+        |    / CAST(sum(rev) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mkt_share
+        |FROM eur GROUP BY o_year ORDER BY o_year""".stripMargin)
+  }
+
+  /** SQL-11 (TPC-H Q13 shape): distribution of customers by order count —
+    * LEFT OUTER join so zero-order customers land in the c_count=0 bucket,
+    * then a second (tiny, output-scale) aggregation over the per-customer
+    * counts. Two shuffles: one on custkey, one on the count value. */
+  def sqlCustOrderDist(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
+  /** SQL-12 (TPC-H Q15 shape): the quarter's top revenue supplier(s) via a
+    * scalar MAX subquery over a shared CTE. Revenue totals go through
+    * DECIMAL so the `= max` equality is bit-exact on both engines (a
+    * double-summed total could differ in the last ulp and drop the row).
+    * Supplier dim broadcasts; the CTE is output-scale (one row/supplier). */
+  def sqlTopSupplier(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(25,6))) AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_rev
+        |FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+        |WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin)
+  }
+
+  /** SQL-13 (TPC-H Q17 shape): revenue lost to small-quantity lines — the
+    * correlated "below half this part's average quantity" predicate.
+    * Catalyst decorrelates the per-part average into ONE aggregate over
+    * lineitem joined back on partkey (never a per-row rescan). The average
+    * is an exact decimal sum ÷ count so the `<` threshold comparison can't
+    * flip on summation order. */
+  def sqlSmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT p.p_brand,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+        |    AS small_qty_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |  AND l.l_quantity < (
+        |    SELECT 0.5 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(25,6)))
+        |      AS DOUBLE) / count(*))
+        |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin)
+  }
+
+  /** SQL-14 (TPC-H Q18 shape): large-volume orders — group-HAVING subquery
+    * names the qualifying orderkeys (sum qty > 250), outer join re-attaches
+    * customer + order detail. The IN-subquery plans as a LEFT SEMI join fed
+    * by a partial+final hash-agg on orderkey; quantity sums are DECIMAL so
+    * the HAVING threshold is partition-order-independent. */
+  def sqlLargeOrders(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |  CAST(o.o_orderdate AS STRING) AS o_orderdate, o.o_totalprice,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(25,6))) > 250)
+        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  /** SQL-15 (TPC-H Q19 shape): disjunctive OR-of-ANDs join predicates —
+    * three (brand × size × quantity) windows in one pass. The equi half
+    * (p_partkey = l_partkey) still plans as a hash join; the disjunction
+    * stays a residual filter evaluated inside codegen, and per-branch
+    * revenue splits out via conditional aggregation keyed by returnflag. */
+  def sqlDisjunctiveJoin(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT l.l_returnflag,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |    AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        |    AND l.l_quantity BETWEEN 1 AND 11)
+        |  OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+        |    AND l.l_quantity BETWEEN 10 AND 20)
+        |  OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+        |    AND l.l_quantity BETWEEN 20 AND 30)
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin)
+  }
+
+  /** SQL-16 (TPC-H Q22 shape, idle-customer variant): well-funded customers
+    * with NO recent orders, by nation. The reference schema has no phone
+    * column and every customer has SOME order, so "idle" = no order since
+    * 2000-01-01 — same NOT EXISTS → LEFT ANTI join plan as Q22, with the
+    * date filter pushed into the anti-join's build side. The balance
+    * threshold is a scalar subquery (decimal-exact average over positive
+    * balances) broadcast to every row. */
+  def sqlIdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT n.n_name, count(*) AS numcust,
+        |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_acctbal > (
+        |    SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+        |      / count(*)
+        |    FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin)
+  }
+
   // ------------------------------------------------------------- inventory
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1469,6 +1652,14 @@ object Relational {
     "sql_volume_shipping" -> sqlVolumeShipping _,
     "sql_promo_revenue"   -> sqlPromoRevenue _,
     "sql_priority_split"  -> sqlPrioritySplit _,
+    "sql_order_priority"  -> sqlOrderPriority _,
+    "sql_market_share"    -> sqlMarketShare _,
+    "sql_cust_order_dist" -> sqlCustOrderDist _,
+    "sql_top_supplier"    -> sqlTopSupplier _,
+    "sql_small_qty_revenue" -> sqlSmallQtyRevenue _,
+    "sql_large_orders"    -> sqlLargeOrders _,
+    "sql_disjunctive_join" -> sqlDisjunctiveJoin _,
+    "sql_idle_customers"  -> sqlIdleCustomers _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2096,5 +2287,115 @@ object Relational {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin,
+    "sql_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "sql_market_share" ->
+      """WITH eur AS (
+        |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,6)) AS rev,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |  JOIN region r ON n1.n_regionkey = r.r_regionkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |  WHERE r.r_name = 'EUROPE')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+        |    ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE) AS nation_rev,
+        |  CAST(sum(rev) AS DOUBLE) AS total_rev,
+        |  floor((CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+        |      ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+        |    / CAST(sum(rev) AS DOUBLE)) * 1000000 + 0.5) / 1000000
+        |    AS mkt_share
+        |FROM eur GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "sql_cust_order_dist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "sql_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(25,6))) AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_rev
+        |FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+        |WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "sql_small_qty_revenue" ->
+      """SELECT p.p_brand,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+        |    AS small_qty_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |  AND l.l_quantity < (
+        |    SELECT 0.5 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(25,6)))
+        |      AS DOUBLE) / count(*))
+        |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin,
+    "sql_large_orders" ->
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |  CAST(o.o_orderdate AS VARCHAR) AS o_orderdate, o.o_totalprice,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(25,6))) > 250)
+        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |LIMIT 100""".stripMargin,
+    "sql_disjunctive_join" ->
+      """SELECT l.l_returnflag,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |    AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        |    AND l.l_quantity BETWEEN 1 AND 11)
+        |  OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+        |    AND l.l_quantity BETWEEN 10 AND 20)
+        |  OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+        |    AND l.l_quantity BETWEEN 20 AND 30)
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin,
+    "sql_idle_customers" ->
+      """SELECT n.n_name, count(*) AS numcust,
+        |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_acctbal > (
+        |    SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+        |      / count(*)
+        |    FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
   )
 }

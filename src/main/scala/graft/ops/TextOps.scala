@@ -310,7 +310,74 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** L21: fixed-size chunking with overlap — the context-window splitter
+    * every training/RAG pipeline runs before tokenization: 64-token
+    * chunks on a 48-token stride (16-token overlap keeps boundary
+    * context in both neighbours). Chunk starts come from `sequence` +
+    * posexplode — pure map-side column algebra, zero shuffles: a 100 TB
+    * corpus chunks at scan speed and the output is already partitioned
+    * like its input. Short docs (≤ 64 tokens) emit exactly one chunk. */
+  def docsChunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    val C = 64; val S = 48
+    documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n_toks") <= C, lit(1L))
+          .otherwise(expr(s"((n_toks - $C + ${S - 1}) div $S) + 1")))
+      .select(col("doc_id"), col("toks"), col("n_toks"),
+        posexplode(expr(s"sequence(0L, (n_chunks - 1) * $S, $S)")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"), col("n_toks"),
+        array_join(slice(col("toks"), (col("col") + 1).cast("int"), lit(C)), " ")
+          .as("chunk_text"),
+        size(slice(col("toks"), (col("col") + 1).cast("int"), lit(C)))
+          .cast("long").as("chunk_len"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** L22: BPE merge candidates — the first iteration of byte-pair-encoding
+    * vocabulary induction: count adjacent character pairs, weighted by
+    * word frequency, and rank the top merges. Runs on the DISTINCT word
+    * vocabulary (Zipf-small), not the token stream — the corpus collapses
+    * to (word, count) in one hash-agg and the quadratic-ish pair explode
+    * touches only vocab-scale rows, which is what makes repeated BPE
+    * iterations affordable at 100 TB. Ties break lexicographically so the
+    * ranking is engine-reproducible. */
+  def textBpeMerges(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .filter(length(col("word")) >= 2)
+      .select(col("n"), explode(expr("sequence(1, length(word) - 1)")).as("i"),
+        col("word"))
+      .select(expr("substring(word, i, 2)").as("pair"), col("n"))
+      .groupBy("pair").agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+
+  /** L8b: per-source language entropy — the corpus-mix diagnostic (a
+    * source feeding 5 languages at H≈1.6 nats vs a monolingual crawl at
+    * H=0) that drives mixing/rebalancing decisions. Two output-scale
+    * hash-aggs; the per-source totals are source-cardinality-sized and
+    * broadcast back. Each −p·ln p term is 6-dp-snapped before the DECIMAL
+    * sum ([[graft.Tables.dsum]] rule) so the entropy is partition-order
+    * independent and oracle-stable. */
+  def docSourceEntropy(s: SparkSession, dir: String): DataFrame = {
+    val c = documents(s, dir).groupBy("source", "lang").agg(count(lit(1)).as("n"))
+    val t = c.groupBy("source").agg(sum(col("n")).as("tot"))
+    c.join(broadcast(t), "source")
+      .groupBy("source")
+      .agg(max(col("tot")).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        r6(-dsum(r6((col("n").cast("double") / col("tot"))
+          * log(col("n").cast("double") / col("tot"))))).as("lang_entropy"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_chunk_overlap"  -> docsChunkOverlap _,
+    "text_bpe_merges"     -> textBpeMerges _,
+    "doc_source_entropy"  -> docSourceEntropy _,
     "docs_repetition"     -> docsRepetition _,
     "text_bigram_logprob" -> textBigramLogprob _,
     "agg_cms_topk"    -> aggCmsTopk _,
@@ -331,6 +398,46 @@ object TextOps {
   private val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "docs_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, toks, n_toks,
+        |    CASE WHEN n_toks <= 64 THEN 1
+        |      ELSE ((n_toks - 64 + 47) // 48) + 1 END AS n_chunks
+        |  FROM t),
+        |c0 AS (SELECT doc_id, toks, n_toks,
+        |    CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_id
+        |  FROM x),
+        |c AS (SELECT doc_id, toks, n_toks, chunk_id, chunk_id * 48 AS st
+        |  FROM c0)
+        |SELECT doc_id, chunk_id, n_toks,
+        |  array_to_string(list_slice(toks, st + 1, st + 64), ' ') AS chunk_text,
+        |  CAST(len(list_slice(toks, st + 1, st + 64)) AS BIGINT) AS chunk_len
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_bpe_merges" ->
+      """WITH w AS (
+        |  SELECT word, COUNT(*) AS n FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS word
+        |    FROM documents)
+        |  GROUP BY word HAVING length(word) >= 2),
+        |p0 AS (SELECT word, n, unnest(range(1, length(word))) AS i FROM w),
+        |p AS (SELECT substring(word, CAST(i AS INT), 2) AS pair, n FROM p0)
+        |SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    "doc_source_entropy" ->
+      """WITH c AS (
+        |  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.source, MAX(t.tot) AS n_docs,
+        |  CAST(COUNT(DISTINCT c.lang) AS BIGINT) AS n_langs,
+        |  floor((-CAST(SUM(CAST(
+        |      floor((c.n::DOUBLE / t.tot) * ln(c.n::DOUBLE / t.tot)
+        |        * 1000000 + 0.5) / 1000000
+        |    AS DECIMAL(25,6))) AS DOUBLE)) * 1000000 + 0.5) / 1000000
+        |    AS lang_entropy
+        |FROM c JOIN t USING (source) GROUP BY c.source ORDER BY c.source""".stripMargin,
     "docs_repetition" ->
       """WITH bg AS (
         |  SELECT doc_id, unnest(

@@ -172,6 +172,26 @@ object VectorOps {
         r6(col("sv") / col("n")).as("centroid"))
       .orderBy("label", "dim")
 
+  /** L19c: per-dimension corpus moments (mean + variance) — the whitening
+    * / normalization statistics an embedding store computes before PCA or
+    * scalar quantization. Same long-form posexplode + one partial+final
+    * hash-agg shape as [[embedCentroids]]: shuffle rows are fixed-width
+    * (dim, partial) triples, output is dim-cardinality-sized. Elements
+    * (and their squares) 6-dp-snap before the DECIMAL sums so both
+    * moments are partition-order independent and re-runs byte-match. */
+  def embedDimStats(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .select(posexplode(asD(col("embedding"))))
+      .select(col("pos").cast("long").as("dim"), r6(col("col")).as("v"))
+      .select(col("dim"), col("v"), r6(col("v") * col("v")).as("v2"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), dsum(col("v")).as("sv"), dsum(col("v2")).as("sv2"))
+      .select(col("dim"), col("n"),
+        r6(col("sv") / col("n")).as("mean"),
+        r6((col("sv2") - col("sv") * col("sv") / col("n")) / (col("n") - lit(1)))
+          .as("variance"))
+      .orderBy("dim")
+
   /** L3d: BATCHED kNN — top-5 neighbours for a whole query SET in one
     * pass (the production retrieval shape: nightly "nearest corpus items
     * for every eval prompt" jobs, not one query at a time). The query set
@@ -281,6 +301,7 @@ object VectorOps {
     "embed_normalize" -> embedNormalize _,
     "embed_quantize"  -> embedQuantize _,
     "embed_centroids" -> embedCentroids _,
+    "embed_dim_stats" -> embedDimStats _,
     "knn_cosine"    -> knnCosine _,
     "knn_ivf"       -> knnIvf _,
     "knn_ivf_multiprobe" -> knnIvfMultiprobe _,
@@ -355,6 +376,20 @@ object VectorOps {
          |    ORDER BY cos DESC, vec_id ASC) AS rn FROM sc) t
          |WHERE rn <= 5
          |ORDER BY query_id ASC, cos DESC, vec_id ASC""".stripMargin,
+    "embed_dim_stats" ->
+      """WITH ex AS (
+        |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        |    floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) / 1000000 AS v
+        |  FROM embeddings),
+        |m AS (SELECT dim, count(*) AS n,
+        |    CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) AS sv,
+        |    CAST(SUM(CAST(floor(v * v * 1000000 + 0.5) / 1000000
+        |      AS DECIMAL(25,6))) AS DOUBLE) AS sv2
+        |  FROM ex GROUP BY dim)
+        |SELECT dim, n, floor((sv / n) * 1000000 + 0.5) / 1000000 AS mean,
+        |  floor(((sv2 - sv * sv / n) / (n - 1)) * 1000000 + 0.5) / 1000000
+        |    AS variance
+        |FROM m ORDER BY dim""".stripMargin,
     "embed_centroids" ->
       """WITH ex AS (
         |  SELECT label,
