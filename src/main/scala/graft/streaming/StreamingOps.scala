@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
+  MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** Typed event row for the streaming surface (schema = the `events` table
   * after [[graft.Tables.events]] µs normalization). */
@@ -251,5 +252,82 @@ object StreamingOps {
           state.update(latest)
           latest
       }
+  }
+
+  /** Versioned top-k snapshot emitted by [[topPurchasesTws]]. */
+  final case class TopPurchases(user_id: Long, version: Long, top: Seq[Double])
+
+  /** Per-user top-3 purchase values on `transformWithState` with LIST
+    * state — the bounded-buffer leaderboard shape (alerting on "new
+    * personal best", serving per-key top-N features). State per user is
+    * the k-element value list plus a version counter (two typed state
+    * variables on one handle); each micro-batch that contains purchases
+    * re-emits the merged top-k with a bumped version, so the LAST version
+    * per user is the complete answer and earlier ones are the audit
+    * trail. State stays O(k) per user forever — the streaming analogue
+    * of the native TopKPerGroup partial buffer. */
+  class TopPurchasesProcessor extends StatefulProcessor[Long, Ev, TopPurchases] {
+    @transient private var top: ListState[Double] = _
+    @transient private var ver: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      top = getHandle.getListState[Double]("top",
+        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+      ver = getHandle.getValueState[Long]("ver",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[TopPurchases] = {
+      val incoming = rows.filter(_.event_type == "purchase").map(_.value).toSeq
+      if (incoming.isEmpty) Iterator.empty
+      else {
+        val merged = (top.get().toSeq ++ incoming)
+          .sorted(Ordering[Double].reverse).take(3)
+        top.put(merged.toArray)
+        val v = (if (ver.exists()) ver.get() else 0L) + 1
+        ver.update(v)
+        Iterator.single(TopPurchases(uid, v, merged))
+      }
+    }
+  }
+
+  def topPurchasesTws(ev: Dataset[Ev]): Dataset[TopPurchases] = {
+    val sq = ev.sparkSession; import sq.implicits._
+    ev.groupByKey(_.user_id)
+      .transformWithState(new TopPurchasesProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Running per-(user, event_type) count emitted by [[typeCountsTws]]. */
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user event-type counters on `transformWithState` with MAP
+    * state — the per-key feature-counter shape (per-user action
+    * histograms for feature stores). State is a (type → count) map per
+    * user; each batch emits the UPDATED counters only, so counts are
+    * monotone per (user, type) and the max observed emission equals the
+    * final count. MapState keeps per-entry storage (RocksDB key = user ×
+    * map key), so one hot user with many types never rewrites a whole
+    * blob — the reason to prefer MapState over ValueState[Map]. */
+  class TypeCountsProcessor extends StatefulProcessor[Long, Ev, TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[TypeCount] = {
+      rows.toSeq.groupBy(_.event_type).toSeq.sortBy(_._1).map { case (t, es) =>
+        val n = (if (counts.containsKey(t)) counts.getValue(t) else 0L) + es.size
+        counts.updateValue(t, n)
+        TypeCount(uid, t, n)
+      }.iterator
+    }
+  }
+
+  def typeCountsTws(ev: Dataset[Ev]): Dataset[TypeCount] = {
+    val sq = ev.sparkSession; import sq.implicits._
+    ev.groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -296,4 +296,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("transformWithState ListState top-3: last version per user == batch top-3") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamingOps.topPurchasesTws(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("s_topk")
+        .outputMode("append").start()
+      try {
+        val all = eventsDs.collect().sortBy(_.event_id).toSeq
+        all.grouped(math.max(1, all.size / 4)).foreach { chunk =>
+          ms.addData(chunk); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val last = spark.table("s_topk").as[streaming.StreamingOps.TopPurchases]
+        .collect().groupBy(_.user_id)
+        .map { case (u, vs) => u -> vs.maxBy(_.version).top }
+      val batch = Tables.events(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+        .as[Ev].collect().groupBy(_.user_id)
+        .map { case (u, es) =>
+          u -> es.map(_.value).sorted(Ordering[Double].reverse).take(3).toSeq }
+      assert(last == batch)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("transformWithState MapState counters: max emission per (user,type) == batch count") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamingOps.typeCountsTws(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName("s_typecounts")
+        .outputMode("append").start()
+      try {
+        val all = eventsDs.collect().sortBy(_.event_id).toSeq
+        all.grouped(math.max(1, all.size / 4)).foreach { chunk =>
+          ms.addData(chunk); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val last = spark.table("s_typecounts").as[streaming.StreamingOps.TypeCount]
+        .collect().groupBy(t => (t.user_id, t.event_type))
+        .map { case (k, vs) => k -> vs.map(_.n).max }
+      val batch = eventsDs.collect().groupBy(e => (e.user_id, e.event_type))
+        .map { case (k, es) => k -> es.size.toLong }
+      assert(last == batch)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
