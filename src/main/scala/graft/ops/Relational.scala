@@ -1566,6 +1566,117 @@ object Relational {
         |ORDER BY n.n_name""".stripMargin)
   }
 
+  /** SQL-17 (TPC-H Q9 shape): profit by supplier nation × order year. The
+    * reference schema has no partsupp, so supply cost is the surrogate
+    * `0.5 * p_retailprice` — the plan shape is what matters: a 5-way join
+    * where part (filtered by the LIKE) and the two tiny dims broadcast,
+    * lineitem⋈orders is the one big shuffle, and the profit expression
+    * folds into a single codegen'd project before the group-by. */
+  def sqlNationProfit(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT n.n_name AS nation,
+        |  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |    - 0.5 * p.p_retailprice * l.l_quantity AS DECIMAL(25,6)))
+        |    AS DOUBLE) AS profit
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE p.p_name LIKE '%widget%'
+        |GROUP BY n.n_name, CAST(year(o.o_orderdate) AS BIGINT)
+        |ORDER BY nation, o_year""".stripMargin)
+  }
+
+  /** SQL-18 (TPC-H Q11 shape): parts whose revenue (from one nation's
+    * suppliers) exceeds a fraction of the whole — the CTE aggregates once,
+    * the scalar subquery re-reads the (part-cardinality-sized, so cheap)
+    * CTE for the global total, and both comparison sides go decimal-exact
+    * → double so the `>` can't flip on summation order. At 100 TB the CTE
+    * result is cached/reused by AQE subquery reuse, not recomputed. */
+  def sqlImportantParts(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """WITH val AS (
+        |  SELECT l.l_partkey, sum(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS v
+        |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  WHERE s.s_nationkey = 3
+        |  GROUP BY l.l_partkey)
+        |SELECT l_partkey, CAST(v AS DOUBLE) AS value
+        |FROM val
+        |WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) * 0.001 FROM val)
+        |ORDER BY value DESC, l_partkey""".stripMargin)
+  }
+
+  /** SQL-19 (TPC-H Q16 shape): supplier count per (brand, size) with a
+    * NOT-IN exclusion list. The NOT IN plans as a null-aware anti join
+    * against the (tiny, broadcast) bad-supplier list; the distinct count
+    * expands per group AFTER the join filter, so excluded suppliers never
+    * reach the aggregation. */
+  def sqlSupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#5'
+        |  AND l.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p.p_brand, p.p_size
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_size""".stripMargin)
+  }
+
+  /** SQL-20 (TPC-H Q20 shape): suppliers who moved serious volume of PROMO
+    * parts in 1997 — nested IN-subqueries (supplier ← lineitem-agg ←
+    * part). Both IN's plan as left-semi joins: part's filtered keys
+    * broadcast into the lineitem scan, the HAVING agg keys (suppkey)
+    * semi-join into supplier. Quantity sums are DECIMAL so the HAVING
+    * threshold is partition-order-independent. */
+  def sqlPromoSuppliers(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT s.s_suppkey, s.s_name FROM supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT l.l_suppkey FROM lineitem l
+        |  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        |    AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l.l_suppkey, l.l_partkey
+        |  HAVING sum(CAST(l.l_quantity AS DECIMAL(25,6))) > 50)
+        |ORDER BY s.s_suppkey""".stripMargin)
+  }
+
+  /** SQL-21 (TPC-H Q21 shape): suppliers who were the SOLE late supplier on
+    * a finished multi-supplier order ("late" = shipped >60 days after the
+    * order date — the schema has no commit/receipt dates). The EXISTS and
+    * NOT EXISTS both correlate only on l_orderkey, so Catalyst decorrelates
+    * them into semi/anti joins on the orderkey — three passes over
+    * lineitem's (orderkey, suppkey, shipdate) projection, no per-row
+    * rescans. The inner copy re-joins orders for the order date rather
+    * than referencing the outer `o`, keeping the correlation single-key. */
+  def sqlLateSuppliers(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND n.n_name = 'NATION_3'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 20""".stripMargin)
+  }
+
   // ------------------------------------------------------------- inventory
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1660,6 +1771,11 @@ object Relational {
     "sql_large_orders"    -> sqlLargeOrders _,
     "sql_disjunctive_join" -> sqlDisjunctiveJoin _,
     "sql_idle_customers"  -> sqlIdleCustomers _,
+    "sql_nation_profit"   -> sqlNationProfit _,
+    "sql_important_parts" -> sqlImportantParts _,
+    "sql_supplier_cnt"    -> sqlSupplierCnt _,
+    "sql_promo_suppliers" -> sqlPromoSuppliers _,
+    "sql_late_suppliers"  -> sqlLateSuppliers _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2397,5 +2513,65 @@ object Relational {
         |      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY n.n_name
         |ORDER BY n.n_name""".stripMargin,
+    "sql_nation_profit" ->
+      """SELECT n.n_name AS nation,
+        |  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |    - 0.5 * p.p_retailprice * l.l_quantity AS DECIMAL(25,6)))
+        |    AS DOUBLE) AS profit
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE p.p_name LIKE '%widget%'
+        |GROUP BY n.n_name, CAST(year(o.o_orderdate) AS BIGINT)
+        |ORDER BY nation, o_year""".stripMargin,
+    "sql_important_parts" ->
+      """WITH val AS (
+        |  SELECT l.l_partkey, sum(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS v
+        |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  WHERE s.s_nationkey = 3
+        |  GROUP BY l.l_partkey)
+        |SELECT l_partkey, CAST(v AS DOUBLE) AS value
+        |FROM val
+        |WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) * 0.001 FROM val)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "sql_supplier_cnt" ->
+      """SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#5'
+        |  AND l.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p.p_brand, p.p_size
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_size""".stripMargin,
+    "sql_promo_suppliers" ->
+      """SELECT s.s_suppkey, s.s_name FROM supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT l.l_suppkey FROM lineitem l
+        |  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        |    AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l.l_suppkey, l.l_partkey
+        |  HAVING sum(CAST(l.l_quantity AS DECIMAL(25,6))) > 50)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "sql_late_suppliers" ->
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND n.n_name = 'NATION_3'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 20""".stripMargin,
   )
 }
