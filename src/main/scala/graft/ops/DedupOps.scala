@@ -382,10 +382,37 @@ object DedupOps {
       .orderBy("doc_a")
   }
 
+  /** D12: edit-distance fuzzy match — dirty probe strings (supplier names
+    * with their 10th char deleted, a deterministic "typo") resolved to the
+    * closest clean supplier name by Levenshtein distance, tie-broken
+    * lexicographically. The entity-resolution primitive for record
+    * linkage. Scale shape: probes broadcast (lookup sets are small),
+    * candidates stream map-side, and the per-probe argmin is a
+    * probe-cardinality aggregation — for huge probe sets the LSH banding
+    * of [[simjoinLsh]] replaces the cross product. */
+  def fuzzyJoinEdit(s: SparkSession, dir: String): DataFrame = {
+    val sup = supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+    val probes = sup.filter(col("s_suppkey") % 10 === 0)
+      .select(col("s_suppkey").as("probe_id"),
+        concat(substring(col("s_name"), 1, 9),
+          substring(col("s_name"), 11, 1000)).as("probe_name"))
+    val scored = sup.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("probe_name"),
+        col("s_name").as("cand_name"),
+        levenshtein(col("probe_name"), col("s_name")).cast("long").as("dist"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("dist").asc, col("cand_name").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("probe_name"), col("cand_name"), col("dist"))
+      .orderBy("probe_id")
+  }
+
   /** Every entry opens a fresh cache generation (retiring the previous
     * query's persisted intermediates) — see [[freshGen]]. Composite
     * pipelines that call the ops directly manage the bracket themselves. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuzzy_join_edit"     -> fuzzyJoinEdit _,
     "dedup_exact"         -> dedupExact _,
     "dedup_containment"   -> dedupContainment _,
     "dedup_minhash"       -> dedupMinhash _,
@@ -537,6 +564,19 @@ object DedupOps {
          |  bit_count(xor(a.simhash, b.simhash)) <= 3 AS near_dup
          |FROM fp a JOIN fp b ON b.doc_id = a.doc_id + 1
          |ORDER BY doc_a""".stripMargin,
+    "fuzzy_join_edit" ->
+      """WITH probes AS (
+        |  SELECT s_suppkey AS probe_id,
+        |    substring(s_name, 1, 9) || substring(s_name, 11) AS probe_name
+        |  FROM supplier WHERE s_suppkey % 10 = 0),
+        |scored AS (
+        |  SELECT p.probe_id, p.probe_name, s.s_name AS cand_name,
+        |    CAST(levenshtein(p.probe_name, s.s_name) AS BIGINT) AS dist,
+        |    row_number() OVER (PARTITION BY p.probe_id
+        |      ORDER BY levenshtein(p.probe_name, s.s_name), s.s_name) AS rn
+        |  FROM probes p CROSS JOIN supplier s)
+        |SELECT probe_id, probe_name, cand_name, dist
+        |FROM scored WHERE rn = 1 ORDER BY probe_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shinglesCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -447,7 +447,25 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** §2.13b: windowed event dedup — keep the FIRST event per (user, type,
+    * minute), the batch twin of streaming
+    * `withWatermark(...).dropDuplicates(user, type, window)` (at-least-once
+    * ingestion collapse). One shuffle on the dedup key; row_number's
+    * bounded per-group state is exactly the streaming dedup's keyed state.
+    * First = earliest (ts, event_id), so replays pick identical winners. */
+  def eventsDedupWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type", "minute")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(s, dir)
+      .withColumn("minute", tsFmt(date_trunc("minute", col("ts"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("minute"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_dedup_window"  -> eventsDedupWindow _,
     "events_churn"         -> eventsChurn _,
     "events_gap_fill"      -> eventsGapFill _,
     "join_asof_tolerance"  -> joinAsofTolerance _,
@@ -675,6 +693,18 @@ object EventOps {
       """SELECT event_id,
         |  TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) * 100.0 AS rating
         |FROM events ORDER BY event_id""".stripMargin,
+    "events_dedup_window" ->
+      """WITH m AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    strftime(date_trunc('minute', CAST(ts AS TIMESTAMP)),
+        |      '%Y-%m-%d %H:%M:%S.%f') AS minute
+        |  FROM events),
+        |r AS (SELECT event_id, user_id, event_type, minute,
+        |    row_number() OVER (PARTITION BY user_id, event_type, minute
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM m)
+        |SELECT event_id, user_id, event_type, minute
+        |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "events_tumbling_agg" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
         |    '%Y-%m-%d %H:%M:%S.%f') AS window_start,

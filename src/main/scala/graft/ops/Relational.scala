@@ -1591,9 +1591,12 @@ object Relational {
   }
 
   /** SQL-18 (TPC-H Q11 shape): parts whose revenue (from one nation's
-    * suppliers) exceeds a fraction of the whole — the CTE aggregates once,
+    * suppliers) exceeds 2× the mean part revenue — Q11's
+    * value-above-global-threshold shape with a threshold that stays
+    * non-degenerate at every scale factor (Q11's literal fraction of the
+    * TOTAL empties as part cardinality grows). The CTE aggregates once,
     * the scalar subquery re-reads the (part-cardinality-sized, so cheap)
-    * CTE for the global total, and both comparison sides go decimal-exact
+    * CTE for the global mean, and both comparison sides go decimal-exact
     * → double so the `>` can't flip on summation order. At 100 TB the CTE
     * result is cached/reused by AQE subquery reuse, not recomputed. */
   def sqlImportantParts(s: SparkSession, dir: String): DataFrame = {
@@ -1606,7 +1609,7 @@ object Relational {
         |  GROUP BY l.l_partkey)
         |SELECT l_partkey, CAST(v AS DOUBLE) AS value
         |FROM val
-        |WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) * 0.001 FROM val)
+        |WHERE CAST(v AS DOUBLE) > (SELECT 2.0 * (CAST(sum(v) AS DOUBLE) / count(*)) FROM val)
         |ORDER BY value DESC, l_partkey""".stripMargin)
   }
 
@@ -1675,6 +1678,47 @@ object Relational {
         |GROUP BY s.s_name
         |ORDER BY numwait DESC, s.s_name
         |LIMIT 20""".stripMargin)
+  }
+
+  /** W8: distribution-position window functions — percent_rank + cume_dist
+    * of each customer's balance WITHIN its nation. Partitioned windows
+    * (one shuffle on nationkey); both functions are rank-based so ties are
+    * deterministic, and the 6-dp snap keeps the double ratios hashable
+    * against the oracle. */
+  def windowCumeDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .withColumn("pct_rank", r6(percent_rank().over(w)))
+      .withColumn("cume", r6(cume_dist().over(w)))
+      .orderBy("c_custkey")
+  }
+
+  /** A23: Pareto / cumulative-share analysis — customers ranked by total
+    * order revenue, with each one's cumulative share of grand revenue and
+    * the "top 80%" flag. The windows run over the AGGREGATED per-customer
+    * table (customer cardinality, not orders), and the running sum is
+    * decimal-exact so cum_share is summation-order-independent. The global
+    * ORDER BY window is output-scale here; at 100 TB the same two-pass
+    * bucket decomposition as `row_global_index` applies. */
+  def ordersPareto(s: SparkSession, dir: String): DataFrame = {
+    val rev = orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+        .as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("o_custkey").asc)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum_share",
+        r6(sum(col("rev")).over(wCum).cast("double") /
+          sum(col("rev")).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)).cast("double")))
+      .select(col("o_custkey"), col("rev").cast("double").as("revenue"),
+        col("rk"), col("cum_share"),
+        (col("cum_share") <= 0.8).as("in_top80"))
+      .orderBy("rk")
   }
 
   // ------------------------------------------------------------- inventory
@@ -1776,6 +1820,8 @@ object Relational {
     "sql_supplier_cnt"    -> sqlSupplierCnt _,
     "sql_promo_suppliers" -> sqlPromoSuppliers _,
     "sql_late_suppliers"  -> sqlLateSuppliers _,
+    "window_cume_dist"    -> windowCumeDist _,
+    "orders_pareto"       -> ordersPareto _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2535,7 +2581,7 @@ object Relational {
         |  GROUP BY l.l_partkey)
         |SELECT l_partkey, CAST(v AS DOUBLE) AS value
         |FROM val
-        |WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) * 0.001 FROM val)
+        |WHERE CAST(v AS DOUBLE) > (SELECT 2.0 * (CAST(sum(v) AS DOUBLE) / count(*)) FROM val)
         |ORDER BY value DESC, l_partkey""".stripMargin,
     "sql_supplier_cnt" ->
       """SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
@@ -2573,5 +2619,25 @@ object Relational {
         |GROUP BY s.s_name
         |ORDER BY numwait DESC, s.s_name
         |LIMIT 20""".stripMargin,
+    "window_cume_dist" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  floor(percent_rank() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal, c_custkey) * 1e6 + 0.5) / 1e6 AS pct_rank,
+        |  floor(cume_dist() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal, c_custkey) * 1e6 + 0.5) / 1e6 AS cume
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "orders_pareto" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (SELECT o_custkey, rev,
+        |    CAST(row_number() OVER (ORDER BY rev DESC, o_custkey) AS BIGINT) AS rk,
+        |    floor((CAST(sum(rev) OVER (ORDER BY rev DESC, o_custkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / CAST(sum(rev) OVER () AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS cum_share
+        |  FROM rev)
+        |SELECT o_custkey, CAST(rev AS DOUBLE) AS revenue, rk, cum_share,
+        |  cum_share <= 0.8 AS in_top80
+        |FROM r ORDER BY rk""".stripMargin,
   )
 }

@@ -374,7 +374,50 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** L21: array higher-order functions over the token list — filter /
+    * transform / aggregate / slice composed in ONE codegen'd projection
+    * (Spark's `filter`/`transform`/`aggregate` lambda expressions; no UDF,
+    * no explode). The "compute per-doc token features without leaving the
+    * row" primitive: zero shuffle, zero intermediate explode-join — at
+    * 100 TB this is a pure map stage that fuses into the scan. */
+  def arrayHof(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    documents(s, dir)
+      .select(col("doc_id"),
+        size(filter(toks, t => length(t) > 4)).cast("long").as("n_long"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+          .as("total_len"),
+        array_join(transform(slice(toks, 1, 3), t => upper(t)), " ")
+          .as("head3"))
+      .orderBy("doc_id")
+  }
+
+  /** L22: quality-quartile bucketing — score docs by mean token length
+    * (a cheap fluency proxy), ntile(4) them into quartiles, then report
+    * per-bucket population stats. The "stratify the corpus by quality and
+    * inspect the strata" step before mixing/sampling decisions. The ntile
+    * runs over (score, doc_id) — a GLOBAL sort, but its input is one row
+    * per doc_id with three small columns, and at 100 TB this would swap to
+    * the two-pass rank decomposition (`row_global_index`); the per-bucket
+    * aggregation after it is 4 rows. */
+  def docsQualityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scored = documents(s, dir)
+      .select(col("doc_id"),
+        r6(col("n_chars").cast("double") / size(toks)).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").asc, col("doc_id").asc)
+    scored.withColumn("bucket", ntile(4).over(w).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "array_hof"           -> arrayHof _,
+    "docs_quality_buckets" -> docsQualityBuckets _,
     "docs_chunk_overlap"  -> docsChunkOverlap _,
     "text_bpe_merges"     -> textBpeMerges _,
     "doc_source_entropy"  -> docSourceEntropy _,
@@ -398,6 +441,27 @@ object TextOps {
   private val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "array_hof" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    x -> length(x) > 4)) AS BIGINT) AS n_long,
+        |  CAST(list_sum(list_transform(string_split(lower(text), ' '),
+        |    x -> length(x))) AS BIGINT) AS total_len,
+        |  array_to_string(list_transform(string_split(lower(text), ' ')[1:3],
+        |    x -> upper(x)), ' ') AS head3
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "docs_quality_buckets" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    floor((CAST(n_chars AS DOUBLE)
+        |      / len(string_split(text, ' '))) * 1e6 + 0.5) / 1e6 AS score
+        |  FROM documents),
+        |b AS (SELECT doc_id, score,
+        |    CAST(ntile(4) OVER (ORDER BY score, doc_id) AS BIGINT) AS bucket
+        |  FROM scored)
+        |SELECT bucket, count(*) AS n_docs,
+        |  min(score) AS min_score, max(score) AS max_score
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "docs_chunk_overlap" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,

@@ -41,9 +41,11 @@ class Round4SqlSpec extends AnyFunSuite {
       .where(col("s_nationkey") === 3)
       .groupBy("l_partkey")
       .agg(sum(col("l_extendedprice").cast("decimal(25,6)")).as("v"))
-    val total = v.agg(sum("v").cast("double")).head().getDouble(0)
-    rows.foreach(r => assert(r.getDouble(1) > total * 0.001))
-    assert(rows.length == v.where(col("v").cast("double") > total * 0.001).count())
+    val Array(total, n) = v.agg(sum("v").cast("double"), count(lit(1)))
+      .head().toSeq.toArray.map(_.toString.toDouble)
+    val thr = 2.0 * (total / n)
+    rows.foreach(r => assert(r.getDouble(1) > thr))
+    assert(rows.length == v.where(col("v").cast("double") > thr).count())
   }
 
   test("supplier cnt: Brand#5 and negative-balance suppliers excluded") {
