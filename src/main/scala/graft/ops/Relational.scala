@@ -1721,6 +1721,31 @@ object Relational {
       .orderBy("rk")
   }
 
+  /** G1: one PageRank push step over the customer→supplier purchase graph
+    * (who accumulates influence when every customer splits a unit of rank
+    * across the suppliers they buy from). Graph analytics on the
+    * relational engine: edges = DISTINCT (custkey, suppkey) via one
+    * orders⋈lineitem shuffle; out-degrees are a customer-cardinality agg
+    * joined back; rank(s) = 0.15 + 0.85·Σ 1/deg(c). Per-edge 1/deg terms
+    * are 6-dp-snapped then DECIMAL-summed so the fold is partition-order
+    * independent — the same discipline a multi-step distributed PageRank
+    * needs for reproducible convergence checks. k steps = k such passes;
+    * the edge list is the reusable (cacheable) invariant. */
+  def graphPagerankStep(s: SparkSession, dir: String): DataFrame = {
+    val edges = orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val deg = edges.groupBy("c").agg(count(lit(1)).as("d"))
+    edges.join(deg, "c")
+      .groupBy(col("s").as("s_suppkey"))
+      .agg((lit(0.15) + lit(0.85) * dsum(r6(lit(1.0) / col("d"))))
+        .as("pagerank"))
+      .select(col("s_suppkey"), r6(col("pagerank")).as("pagerank"))
+      .orderBy("s_suppkey")
+  }
+
   // ------------------------------------------------------------- inventory
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1822,6 +1847,7 @@ object Relational {
     "sql_late_suppliers"  -> sqlLateSuppliers _,
     "window_cume_dist"    -> windowCumeDist _,
     "orders_pareto"       -> ordersPareto _,
+    "graph_pagerank_step" -> graphPagerankStep _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2639,5 +2665,16 @@ object Relational {
         |SELECT o_custkey, CAST(rev AS DOUBLE) AS revenue, rk, cum_share,
         |  cum_share <= 0.8 AS in_top80
         |FROM r ORDER BY rk""".stripMargin,
+    "graph_pagerank_step" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |deg AS (SELECT c, count(*) AS d FROM e GROUP BY c)
+         |SELECT e.s AS s_suppkey,
+         |  ${sqlR6("0.15 + 0.85 * CAST(sum(CAST(" +
+                sqlR6("1.0 / deg.d") +
+                " AS DECIMAL(25,6))) AS DOUBLE)")} AS pagerank
+         |FROM e JOIN deg ON e.c = deg.c
+         |GROUP BY e.s ORDER BY s_suppkey""".stripMargin,
   )
 }

@@ -76,6 +76,24 @@ class Round4BatchBSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank step: total rank mass conserved (0.15·|S| + 0.85·|C|)") {
+    val rows = ops.Relational.graphPagerankStep(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) > 0.15))
+    // each customer with >=1 edge contributes exactly 1.0 (split over its
+    // suppliers), damped by 0.85; suppliers add 0.15 base each
+    val nSup = rows.length
+    val edges = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct()
+    val nCust = edges.select("o_custkey").distinct().count()
+    val mass = rows.map(_.getDouble(1)).sum
+    // 6-dp snapping of per-edge terms bounds the drift well under 0.01
+    assert(math.abs(mass - (0.15 * nSup + 0.85 * nCust)) < 0.01,
+      s"mass $mass vs ${0.15 * nSup + 0.85 * nCust}")
+  }
+
   test("events dedup: at most one survivor per (user, type, minute)") {
     val df = ops.EventOps.eventsDedupWindow(spark, sf)
     val rows = df.collect()
