@@ -32,7 +32,21 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] = one JVM doing the work of 32 executors; the box has
   // 128 GiB. 8g starves iterative cached workloads into recompute storms.
+  // Xms = Xmx: ContextCleaner's periodic System.gc() (see Bench/Verify)
+  // otherwise full-GC-compacts, G1 shrinks the heap to ~2 G, and the run
+  // thrashes in it — observed as 14 full GCs × 6.5 s inside one bench.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  // ... and the explicit GC itself must be a concurrent cycle, not a
+  // stop-the-world compaction (weak refs — what ContextCleaner feeds on —
+  // are processed in the concurrent cycle's remark pause just the same).
+  "-XX:+ExplicitGCInvokesConcurrent",
+  // ~190 distinct queries × whole-stage codegen = thousands of JIT'd
+  // generated classes. The JDK default ReservedCodeCacheSize (240m) fills
+  // after ~100 queries and the resulting C2/sweeper flush-recompile storm
+  // stalls late queries by 10-70× (threads parked, 15-20% sys time).
+  // 1g keeps every compiled method resident for the whole run.
+  "-XX:ReservedCodeCacheSize=1g",
 ) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(
   _.split("\\s+").toSeq.filter(_.nonEmpty) // empty arg would eat the main class
 )

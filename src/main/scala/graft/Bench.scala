@@ -44,6 +44,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Hundreds of distinct queries in ONE driver JVM: broadcast vars,
+      // task binaries and shuffle state are only released after a driver
+      // GC lets ContextCleaner's weak refs fire, and with a 64 g heap that
+      // GC never comes (default periodicGC is 30 min — longer than the
+      // run). The accumulated block-manager state progressively slowed
+      // late queries by 10-70×; a 90 s periodic GC keeps cleanup flowing.
+      .config("spark.cleaner.periodicGC.interval", "90s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Debug aid: SPARK_GRAFT_ONLY=q1,q2 restricts BOTH warm-up and the
@@ -71,6 +78,13 @@ object Bench {
         (r, (System.nanoTime() - t0) / 1e9)
       }
       val firstErr = runs.flatMap(_._1).headOption
+      // stderr progress line (stdout carries only the JSON contract):
+      // execution-order timeline makes cross-query interference (cache /
+      // codegen / cleaner pressure building up over ~190 queries) visible
+      // in one run instead of needing bisection.
+      System.err.println(
+        f"[bench] $name%-24s ${runs.map(_._2).min}%8.3f min  ${runs.map(_._2).max}%8.3f max" +
+          firstErr.fold("")(e => s"  FAILED:$e"))
       name -> firstErr.toLeft(runs.map(_._2).min)
     }
     val ok = results.collect { case (k, Right(v)) => k -> v }

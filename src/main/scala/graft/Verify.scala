@@ -14,6 +14,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Same long-running-driver hygiene as Bench: ~180 queries in one
+      // JVM accumulate broadcast/shuffle blocks until a driver GC lets
+      // ContextCleaner release them; keep the cleanup flowing.
+      .config("spark.cleaner.periodicGC.interval", "90s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -382,6 +382,50 @@ object DedupOps {
       .orderBy("doc_a")
   }
 
+  private val CrossdocN = 8
+
+  /** L2g: cross-corpus duplicated-span coverage — the exact-substring-dedup
+    * SIGNAL (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022): for every positional word-8-gram in every doc,
+    * is that 8-gram present in ≥ 2 DISTINCT docs? A doc's `dup_ratio` is
+    * the fraction of its 8-gram positions covered by corpus-duplicated
+    * spans — near 1.0 for exact/near clones, near 0 for organic text
+    * (8-grams collide by chance ~never; 3-gram shingles on a small vocab
+    * would). The suffix-array pass of the paper is replaced by the
+    * shuffle-native equivalent: gram → distinct-doc count → join back.
+    *
+    * Scale shape: gram rows are (doc_id, md5) fixed width, never text; the
+    * distinct-doc count is a map-side-combined groupBy on the gram hash;
+    * the dup-gram set (output of count ≥ 2) is duplication-volume-sized —
+    * tiny for a clean corpus — so AQE broadcasts the join-back in the
+    * common case and falls back to a co-partitioned hash join when a
+    * crawl is dirty. Positions (not distinct grams) are counted so the
+    * ratio weighs repeated spans by their actual coverage. */
+  def dedupCrossdocNgrams(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until CrossdocN).map(i => lead(col("w"), i).over(w).as(s"w$i"))
+    val grams = cache(documents(s, dir)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+      .withColumnRenamed("col", "w")
+      .select(col("doc_id") +: col("w") +: leads: _*)
+      .filter(col(s"w${CrossdocN - 1}").isNotNull)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", col("w") +: (1 until CrossdocN).map(i => col(s"w$i")): _*))
+          .as("g")))
+    val dupG = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val tot = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hit = grams.join(dupG, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    tot.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        r6(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"))
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** D12: edit-distance fuzzy match — dirty probe strings (supplier names
     * with their 10th char deleted, a deterministic "typo") resolved to the
     * closest clean supplier name by Levenshtein distance, tie-broken
@@ -424,6 +468,7 @@ object DedupOps {
     "dedup_clusters"      -> dedupClusters _,
     "decontam_ngram"      -> decontamNgram _,
     "dedup_incremental"   -> dedupIncremental _,
+    "dedup_crossdoc_ngrams" -> dedupCrossdocNgrams _,
   ).map { case (k, fn) =>
     k -> ((s: SparkSession, d: String) => { freshGen(); fn(s, d) })
   }
@@ -484,6 +529,21 @@ object DedupOps {
     .mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_crossdoc_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |gr AS (SELECT doc_id,
+        |  md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |      t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]) AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM t)),
+        |dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+        |                       FROM gr GROUP BY g) WHERE nd >= 2),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM gr GROUP BY doc_id),
+        |hit AS (SELECT doc_id, count(*) AS n_dup FROM gr JOIN dup USING (g)
+        |        GROUP BY doc_id)
+        |SELECT t.doc_id, n_grams, coalesce(n_dup, 0) AS n_dup,
+        |  floor(coalesce(n_dup, 0)::DOUBLE / n_grams * 1000000 + 0.5) / 1000000
+        |    AS dup_ratio
+        |FROM tot t LEFT JOIN hit h USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

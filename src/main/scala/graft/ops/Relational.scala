@@ -122,6 +122,42 @@ object Relational {
         r6(covar_samp(col("l_quantity"), col("l_discount"))).as("cov_qty_disc"))
       .orderBy("l_returnflag")
 
+  /** A4b: extended aggregate surface — skewness/kurtosis via EXPLICIT
+    * power sums (Spark's native `skewness`/`kurtosis` and DuckDB's use
+    * different bias corrections, so both engines compute population g1/g2
+    * from the same DECIMAL-exact s1..s4 — `m2·sqrt(m2)` instead of
+    * `pow(m2,1.5)` because sqrt is correctly rounded on both JVMs/libms
+    * while pow is only 1-ulp), plus the boolean (`bool_and`/`bool_or`),
+    * conditional (`count_if`) and bitwise (`bit_and/or/xor`) aggregate
+    * families. One map-side-combined hash aggregate; all moment math is
+    * post-agg scalar work on 3 rows. */
+  def aggExtendedStats(s: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity")
+    val sums = lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum(q).as("s1"), dsum(q * q).as("s2"),
+        dsum(q * q * q).as("s3"), dsum(q * q * q * q).as("s4"),
+        bool_and(col("l_quantity") > 1).as("all_multi"),
+        bool_or(col("l_quantity") >= 50).as("any_cap"),
+        count_if(col("l_discount") > 0.05).as("n_disc"),
+        bit_and(col("l_linenumber")).cast("long").as("bits_and"),
+        bit_or(col("l_linenumber")).cast("long").as("bits_or"),
+        bit_xor(col("l_linenumber")).cast("long").as("bits_xor"))
+    val (s1, s2, s3, s4, n) = (col("s1"), col("s2"), col("s3"), col("s4"), col("n"))
+    val m  = s1 / n
+    val m2 = s2 / n - m * m
+    // parenthesization mirrors the DuckDB oracle token-for-token: double
+    // arithmetic is deterministic only under identical evaluation order
+    val skew = (s3 / n - lit(3) * m * (s2 / n) + lit(2) * m * m * m) / (m2 * sqrt(m2))
+    val kurt = (s4 / n - lit(4) * m * (s3 / n) + lit(6) * m * m * (s2 / n) -
+      lit(3) * m * m * m * m) / (m2 * m2) - lit(3)
+    sums.select(col("l_returnflag"), n, col("all_multi"), col("any_cap"),
+        col("n_disc"), col("bits_and"), col("bits_or"), col("bits_xor"),
+        r6(skew).as("skew_q"), r6(kurt).as("kurt_q"))
+      .orderBy("l_returnflag")
+  }
+
   /** A12: histogram — fixed-width bucketing of document lengths (the
     * corpus length-distribution probe every data-quality pass runs). */
   def docLengthHistogram(s: SparkSession, dir: String): DataFrame =
@@ -810,6 +846,28 @@ object Relational {
         |                   FROM graft_cust i
         |                   WHERE i.c_nationkey = o.c_nationkey)
         |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** J13: LATERAL correlated-subquery join (SQL surface) — each customer
+    * joined to its own top-2 orders by price. The per-row "run a query
+    * against my key" idiom: Catalyst's `DecorrelateInnerQuery` turns the
+    * correlated ORDER BY + LIMIT into a partitioned window rank — i.e. it
+    * compiles to the same 100 TB-safe plan as `topk_per_group`, one
+    * shuffle on the join key, never a per-customer rescan of orders.
+    * (The DataFrame-native route is [[topkPerGroup]]; this entry covers
+    * the SQL LATERAL surface itself.) */
+  def joinLateralTopk(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        |) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
   }
 
   /** S6: deterministic hash sampling — the reproducible substitute for
@@ -1813,6 +1871,8 @@ object Relational {
     "agg_grouping_sets"   -> aggGroupingSets _,
     "unpivot_melt"        -> unpivotMelt _,
     "agg_stats"           -> aggStats _,
+    "agg_extended_stats"  -> aggExtendedStats _,
+    "join_lateral_topk"   -> joinLateralTopk _,
     "doc_length_histogram" -> docLengthHistogram _,
     "agg_skew_salted"     -> aggSkewSalted _,
     "agg_arg_minmax"      -> aggArgMinmax _,
@@ -2138,6 +2198,36 @@ object Relational {
         |UNION ALL
         |SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
         |ORDER BY p_partkey, metric""".stripMargin,
+    "join_lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
+    "agg_extended_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS s3,
+        |    CAST(sum(CAST(l_quantity*l_quantity*l_quantity*l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS s4,
+        |    bool_and(l_quantity > 1) AS all_multi,
+        |    bool_or(l_quantity >= 50) AS any_cap,
+        |    count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+        |    CAST(bit_and(l_linenumber) AS BIGINT) AS bits_and,
+        |    CAST(bit_or(l_linenumber) AS BIGINT) AS bits_or,
+        |    CAST(bit_xor(l_linenumber) AS BIGINT) AS bits_xor
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, all_multi, any_cap, n_disc, bits_and, bits_or, bits_xor,
+        |  floor((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+        |    / ((s2/n - (s1/n)*(s1/n)) * sqrt(s2/n - (s1/n)*(s1/n)))
+        |    * 1000000 + 0.5) / 1000000 AS skew_q,
+        |  floor(((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+        |    / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3)
+        |    * 1000000 + 0.5) / 1000000 AS kurt_q
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag,
         |  floor(stddev_samp(l_discount) * 1000000 + 0.5) / 1000000 AS sd_disc,

@@ -415,7 +415,41 @@ object TextOps {
       .orderBy("bucket")
   }
 
+  private val VocabK = 20
+
+  /** L16: out-of-vocabulary rate against a frequency-ranked top-K vocab —
+    * the tokenizer-coverage audit run before committing a vocab/tokenizer
+    * to a corpus (high OOV → the tokenizer fragments that slice of data).
+    * Vocab = top-[[VocabK]] tokens by corpus frequency, ties broken
+    * lexicographically so the cut is deterministic at every SF.
+    *
+    * Scale shape: token explode is map-side; the frequency groupBy
+    * shuffles (token, partial-count) rows; the rank-and-cut runs on the
+    * TERM-CARDINALITY aggregate (vocab-sized, not corpus-sized — the
+    * single-partition window is over ~|vocab| rows, the same output-scale
+    * global-rank exemption documented for `docs_quality_buckets`); the
+    * tiny vocab then broadcasts back onto the token stream, so the only
+    * corpus-scale shuffle is the final per-doc count. */
+  def textOovRate(s: SparkSession, dir: String): DataFrame = {
+    val tok = documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("w").asc)
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= VocabK)
+      .select(col("w"), lit(true).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        r6(col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_oov_rate"       -> textOovRate _,
     "array_hof"           -> arrayHof _,
     "docs_quality_buckets" -> docsQualityBuckets _,
     "docs_chunk_overlap"  -> docsChunkOverlap _,
@@ -441,6 +475,18 @@ object TextOps {
   private val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "text_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |             FROM documents),
+        |vc AS (SELECT w FROM (SELECT w, row_number()
+        |           OVER (ORDER BY count(*) DESC, w) AS rk
+        |         FROM tok GROUP BY w) WHERE rk <= 20)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  count(*) FILTER (WHERE v.w IS NULL) AS n_oov,
+        |  floor(count(*) FILTER (WHERE v.w IS NULL)::DOUBLE / count(*)
+        |        * 1000000 + 0.5) / 1000000 AS oov_rate
+        |FROM tok t LEFT JOIN vc v USING (w)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "array_hof" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(lower(text), ' '),
