@@ -50,7 +50,9 @@ object Bench {
       // GC never comes (default periodicGC is 30 min — longer than the
       // run). The accumulated block-manager state progressively slowed
       // late queries by 10-70×; a 90 s periodic GC keeps cleanup flowing.
-      .config("spark.cleaner.periodicGC.interval", "90s")
+      // (SPARK_GRAFT_PERIODIC_GC overrides for triage, e.g. "30min" ≈ off.)
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "90s"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Debug aid: SPARK_GRAFT_ONLY=q1,q2 restricts BOTH warm-up and the

@@ -29,7 +29,11 @@ object Explain {
                   // round 4: hamming ANN, transition matrix, rolling WAU,
                   // Q10 SQL path, moment-sum OLS
                   "knn_hamming", "events_transitions", "events_rolling_active",
-                  "sql_returned_items", "agg_linregress")) {
+                  "sql_returned_items", "agg_linregress",
+                  // round 4c: crossdoc span dedup, vocab-broadcast OOV,
+                  // extended moment aggs, decorrelated LATERAL top-k
+                  "dedup_crossdoc_ngrams", "text_oov_rate",
+                  "agg_extended_stats", "join_lateral_topk")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -464,7 +464,75 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** E14: EWMA smoothing of the per-type daily value series — the
+    * exponential-decay trend line (α = 0.5, "halving decay") every
+    * monitoring/forecast pass draws. The recurrence ewma_t = (1-α)·ewma_
+    * {t-1} + α·v_t is re-expressed as ONE running-sum window via
+    * exponent-rescaling: u_i = v_i/(1-α)^i accumulates, and ewma_t =
+    * (1-α)^t·(v_0 + α·(Σu - v_0)). α = 0.5 is chosen deliberately:
+    * powers of 2 are EXACT doubles, so the rescale is lossless and both
+    * engines agree bit-for-bit. Daily sums are DECIMAL-exact first.
+    *
+    * Scale shape: one shuffle to (type, day) daily aggregates; the window
+    * runs over ~30 rows per type. The 2^t rescale bounds the horizon
+    * (~1000 steps in double range) — longer series re-normalize per
+    * segment or drop to a per-key sequential pass (`mapGroups`), both of
+    * which keep the one-shuffle layout. */
+  def eventsEwma(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy("event_type", "day").agg(dsum(col("value")).as("v"))
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("t", row_number().over(wOrd) - lit(1))
+      .withColumn("sacc", sum(col("v") / pow(lit(0.5), col("t"))).over(wRun))
+      .withColumn("v0", first(col("v")).over(wRun))
+      .select(col("event_type"), dateFmt(col("day")).as("day"),
+        r6(col("v")).as("v_day"),
+        r6(pow(lit(0.5), col("t")) *
+          (col("v0") + lit(0.5) * (col("sacc") - col("v0")))).as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
+  /** E15: last-touch attribution — each purchase credited to the SAME
+    * user's most recent click/view at most 24 h older (else channel
+    * "none"), rolled up per channel: conversions, attributed revenue,
+    * mean touch→purchase gap. The union-timeline form of the ad-tech
+    * attribution join: touches and purchases share one window pass
+    * (`last(..., ignoreNulls)` carries the latest touch forward), so
+    * there is exactly one shuffle on user_id and no self-join — at
+    * 100 TB the timeline window is the only shape that doesn't re-shuffle
+    * the events table twice. Same-µs ties order touches before purchases
+    * (a touch at the purchase instant attributes), then by event_id. */
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    val isTouch = col("event_type").isin("click", "view")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, when(isTouch, 0).otherwise(1).asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("touch_ts", last(when(isTouch, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("touch_ch", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attributed",
+        col("touch_ts") >= col("ts") - expr("INTERVAL 24 HOURS"))
+      .select(
+        when(col("attributed"), col("touch_ch")).otherwise(lit("none")).as("channel"),
+        col("value"),
+        when(col("attributed"),
+          unix_micros(col("ts")) - unix_micros(col("touch_ts"))).as("gap_us"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conv"),
+        dsum(col("value")).as("conv_value"),
+        sum(col("gap_us")).as("sum_gap_us"))
+      .select(col("channel"), col("n_conv"), r6(col("conv_value")).as("conv_value"),
+        r6(col("sum_gap_us").cast("double") / col("n_conv") / lit(6e7)).as("avg_gap_min"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ewma"          -> eventsEwma _,
+    "events_attribution"   -> eventsAttribution _,
     "events_dedup_window"  -> eventsDedupWindow _,
     "events_churn"         -> eventsChurn _,
     "events_gap_fill"      -> eventsGapFill _,
@@ -511,6 +579,47 @@ object EventOps {
       .orderBy("view_id", "purchase_id")
 
   val oracleSql: Map[String, String] = Map(
+    "events_ewma" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+        |        FROM daily),
+        |s AS (SELECT *,
+        |    sum(v / power(0.5, t)) OVER w AS sacc,
+        |    first_value(v) OVER w AS v0
+        |  FROM idx
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  floor(v * 1000000 + 0.5) / 1000000 AS v_day,
+        |  floor(power(0.5, t) * (v0 + 0.5 * (sacc - v0)) * 1000000 + 0.5) / 1000000 AS ewma
+        |FROM s ORDER BY event_type, day""".stripMargin,
+    "events_attribution" ->
+      """WITH tl AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type IN ('click','view') THEN ts END IGNORE NULLS)
+        |      OVER w AS touch_ts,
+        |    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+        |      OVER w AS touch_ch
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP),
+        |      CASE WHEN event_type IN ('click','view') THEN 0 ELSE 1 END, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (
+        |  SELECT
+        |    CASE WHEN epoch_us(CAST(touch_ts AS TIMESTAMP)) >= epoch_us(CAST(ts AS TIMESTAMP)) - 86400000000
+        |         THEN touch_ch ELSE 'none' END AS channel,
+        |    value,
+        |    CASE WHEN epoch_us(CAST(touch_ts AS TIMESTAMP)) >= epoch_us(CAST(ts AS TIMESTAMP)) - 86400000000
+        |         THEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(touch_ts AS TIMESTAMP)) END AS gap_us
+        |  FROM tl WHERE event_type = 'purchase')
+        |SELECT channel, count(*) AS n_conv,
+        |  floor(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS conv_value,
+        |  floor(CAST(sum(gap_us) AS DOUBLE) / count(*) / 60000000.0 * 1000000 + 0.5) / 1000000 AS avg_gap_min
+        |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
     "events_churn" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),

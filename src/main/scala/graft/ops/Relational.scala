@@ -669,6 +669,32 @@ object Relational {
       .orderBy("g")
   }
 
+  /** K8c: hive-partitioned layout sink — `partitionBy` directory layout +
+    * read-back with a partition-value filter, the lakehouse table layout
+    * where partition PRUNING (not row-group stats) eliminates whole
+    * directories before any I/O: the read-back's `PartitionFilters`
+    * touches 2 of 5 directories. The `repartition(partition col)` before
+    * the write is the small-files guard — without it every one of the
+    * input's tasks writes a file into every partition directory
+    * (tasks × partitions files; at 1000 executors that's the classic
+    * millions-of-small-files failure), with it exactly one file per
+    * partition value. Oracle = same filter+agg on the raw table (layout
+    * must be semantically invisible). */
+  def sinkPartitionedLayout(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_hivepart_v1_${dir.replaceAll("[^0-9.]", "")}"
+    writeOnce(path) {
+      orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .repartition(col("o_orderpriority"))
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    }
+    s.read.parquet(path)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   /** K8b: Z-ORDER layout sink — interleave the bits of TWO keys into a
     * Morton code, range-partition + sort by it, and both dimensions get
     * row-group min/max locality: a rectangle predicate on (orderkey,
@@ -1873,6 +1899,7 @@ object Relational {
     "agg_stats"           -> aggStats _,
     "agg_extended_stats"  -> aggExtendedStats _,
     "join_lateral_topk"   -> joinLateralTopk _,
+    "sink_partitioned_layout" -> sinkPartitionedLayout _,
     "doc_length_histogram" -> docLengthHistogram _,
     "agg_skew_salted"     -> aggSkewSalted _,
     "agg_arg_minmax"      -> aggArgMinmax _,
@@ -2166,6 +2193,11 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
         |FROM f JOIN d ON om = m
         |GROUP BY om ORDER BY om""".stripMargin,
+    "sink_partitioned_layout" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "sink_sorted_layout" ->
       """SELECT l_orderkey % 7 AS g, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
