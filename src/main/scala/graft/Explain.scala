@@ -33,7 +33,11 @@ object Explain {
                   // round 4c: crossdoc span dedup, vocab-broadcast OOV,
                   // extended moment aggs, decorrelated LATERAL top-k
                   "dedup_crossdoc_ngrams", "text_oov_rate",
-                  "agg_extended_stats", "join_lateral_topk")) {
+                  "agg_extended_stats", "join_lateral_topk",
+                  // round 4d: rescaled-EWMA window, timeline attribution,
+                  // hive partition pruning
+                  "events_ewma", "events_attribution",
+                  "sink_partitioned_layout")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
