@@ -140,4 +140,30 @@ class PropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("EWMA exponent-rescaling algebra equals the sequential recurrence (pure math)") {
+    // mirrors EventOps.eventsEwma's window formula token-for-token:
+    // ewma_t = 0.5^t * (v0 + 0.5 * (Σ_{i<=t} v_i/0.5^i − v0)); the property
+    // pins the FP claim the operator rests on — power-of-two rescaling is
+    // exact, so the data-parallel form tracks the recurrence to roundoff
+    // across magnitudes and series lengths (the documented ~1000-step
+    // horizon: v·2^t hits double's ~1.8e308 ceiling near t ≈ 1000 for
+    // daily-sum magnitudes — lengths here stress to 300).
+    val seriesGen = Gen.choose(1, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0.0, 1e6)))
+    val prop = Prop.forAll(seriesGen) { vs =>
+      val v0 = vs.head
+      var sacc = 0.0
+      var prev = 0.0
+      vs.zipWithIndex.forall { case (v, t) =>
+        sacc += v / math.pow(0.5, t)
+        val windowed = math.pow(0.5, t) * (v0 + 0.5 * (sacc - v0))
+        val recur = if (t == 0) v else 0.5 * prev + 0.5 * v
+        prev = recur
+        math.abs(windowed - recur) <= math.max(1e-9, math.abs(recur) * 1e-9)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
