@@ -14,10 +14,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // Same long-running-driver hygiene as Bench: ~180 queries in one
+      // Same long-running-driver hygiene as Bench: ~190 queries in one
       // JVM accumulate broadcast/shuffle blocks until a driver GC lets
       // ContextCleaner release them; keep the cleanup flowing.
-      .config("spark.cleaner.periodicGC.interval", "90s")
+      // (SPARK_GRAFT_PERIODIC_GC overrides for triage, e.g. "30min" ≈ off.)
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "90s"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
