@@ -1,0 +1,116 @@
+package graft
+
+import graft.api.GraftAPI
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The public column-parameterized facade must agree with the harness
+  * registry on the test tables — each facade method is checked against
+  * its `graft.ops` twin (or an independent local model). */
+class ApiSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def events = graft.Tables.events(spark, sf)
+
+  test("exactDedupGroups == DedupOps.dedupExact") {
+    val got = GraftAPI.exactDedupGroups(docs, Seq("text"), "doc_id")
+      .orderBy("keep_id").collect()
+    val want = ops.DedupOps.dedupExact(spark, sf).collect()
+    // harness hashes raw text; facade concat_ws over one column = raw text
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(1) == w.getLong(1) && g.getLong(2) == w.getLong(2))
+    }
+    val survivors = GraftAPI.exactDedup(docs, Seq("text"), "doc_id")
+    assert(survivors.count() == want.length)
+  }
+
+  test("crossdocDupRatio == DedupOps.dedupCrossdocNgrams") {
+    val got = GraftAPI.crossdocDupRatio(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val want = ops.DedupOps.dedupCrossdocNgrams(spark, sf).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getLong(1) == w.getLong(1) &&
+        g.getLong(2) == w.getLong(2) && g.getDouble(3) == w.getDouble(3))
+    }
+  }
+
+  test("ewma == EventOps.eventsEwma on the daily aggregate") {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy("event_type", "day").agg(graft.Tables.dsum(col("value")).as("v"))
+    val got = GraftAPI.ewma(daily, Seq("event_type"), "day", "v")
+      .select(col("event_type"), graft.Tables.dateFmt(col("day")).as("day"),
+        graft.Tables.r6(col("ewma")).as("ewma"))
+      .orderBy("event_type", "day").collect()
+    val want = ops.EventOps.eventsEwma(spark, sf).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0) && g.getString(1) == w.getString(1))
+      assert(g.getDouble(2) == w.getDouble(3), s"ewma ${g.getString(0)} ${g.getString(1)}")
+    }
+  }
+
+  test("asofJoinBackward == EventOps.joinAsof (purchase -> last signup)") {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = events.filter(col("event_type") === "signup")
+      .select("event_id", "user_id", "ts")
+    val got = GraftAPI.asofJoinBackward(purchases, signups, Seq("user_id"),
+        "ts", "ts", "event_id", payload = Seq.empty)
+      .select(col("event_id"), graft.Tables.tsFmt(col("asof_ts")).as("m"))
+      .orderBy("event_id").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val want = ops.EventOps.joinAsof(spark, sf).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(got.size == want.size)
+    want.foreach { case (id, ts) => assert(got(id) == ts, s"purchase $id") }
+  }
+
+  test("sessionize: ids contiguous from 1, gaps respected") {
+    val s = GraftAPI.sessionize(events, "user_id", "ts", 1800L)
+    val byUser = s.groupBy("user_id")
+      .agg(max(col("session_id")).as("mx"), countDistinct(col("session_id")).as("nd"))
+      .collect()
+    byUser.foreach(r => assert(r.getLong(1) == r.getLong(2), s"user ${r.get(0)}"))
+    // within a session, consecutive gaps never exceed the threshold
+    val bad = s.withColumn("prev",
+        lag(col("ts"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "session_id").orderBy("ts")))
+      .filter(col("prev").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("prev")) > 1800L * 1000000L)
+    assert(bad.count() == 0)
+  }
+
+  test("topKPerGroup uses the native operator and returns k rows per group") {
+    val orders = graft.Tables.orders(spark, sf)
+    val top = GraftAPI.topKPerGroup(orders, Seq("o_custkey"), "o_totalprice",
+      "o_orderkey", 2)
+    val physical = top.queryExecution.executedPlan.toString
+    assert(physical.contains("TopKPerGroup"), "rewrite should fire through the facade")
+    val counts = top.groupBy("o_custkey").count().agg(max("count")).collect()
+    assert(counts.head.getLong(0) <= 2)
+  }
+
+  test("cosineTopK: k per query, scores sorted, agrees with brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 3).select(col("vec_id"), col("embedding"))
+    val got = GraftAPI.cosineTopK(queries, corpus, "vec_id", "vec_id", "embedding", 5)
+      .orderBy(col("query_id"), col("cosine").desc).collect()
+    assert(got.length == 15)
+    // agree with a driver-side brute force on one query
+    val qv = queries.filter(col("vec_id") === 0).collect()(0)
+      .getSeq[Float](1).map(_.toDouble).toArray
+    def norm(v: Array[Double]) = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val qn = norm(qv)
+    val best = corpus.collect().map { r =>
+      val cn = norm(r.getSeq[Float](1).map(_.toDouble).toArray)
+      r.getLong(0) -> qn.zip(cn).map { case (a, b) => a * b }.sum
+    }.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    val gotIds = got.filter(_.getLong(0) == 0L).map(_.getLong(1)).toSet
+    assert(gotIds == best)
+  }
+}
