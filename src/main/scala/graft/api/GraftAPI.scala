@@ -69,6 +69,60 @@ object GraftAPI {
           .as("dup_ratio"))
   }
 
+  /** Distinct word-trigram shingle rows (id, shingle-string) — the
+    * MinHash input layout. */
+  private def shingleRows(df: DataFrame, id: String, text: String): DataFrame = {
+    val w = Window.partitionBy(id).orderBy("pos")
+    df.select(col(id), posexplode(split(lower(col(text)), " ")))
+      .withColumnRenamed("col", "w")
+      .withColumn("w1", lead("w", 1).over(w))
+      .withColumn("w2", lead("w", 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col(id), concat_ws(" ", col("w"), col("w1"), col("w2")).as("x"))
+      .distinct()
+  }
+
+  /** MinHash-LSH banding table for any (id, text) frame: `numHashes`
+    * Kirsch–Mitzenmacher seed hashes from ONE md5 per shingle, min'd
+    * inside a hash aggregate, banded `rowsPerBand` at a time. The 100 TB
+    * dedup artifact — write it partitioned by band_key prefix and
+    * self-join bucket-locally. Shuffle rows are (id, longs), never text. */
+  def minhashBands(df: DataFrame, id: String, text: String,
+                   numHashes: Int = 8, bands: Int = 2): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val ex = shingleRows(df, id, text)
+      .select(col(id), md5(col("x")).as("h"))
+      .select(col(id),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("a"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("b"))
+    val mins = (1 to numHashes).map(sd => min(col("a") + lit(sd.toLong) * col("b")).as(s"mh$sd"))
+    val sig = ex.groupBy(id).agg(mins.head, mins.tail: _*)
+    val bandArr = array((1 to bands).map { bnd =>
+      val slots = ((bnd - 1) * rowsPerBand + 1 to bnd * rowsPerBand)
+        .map(i => col(s"mh$i").cast("string"))
+      struct(lit(bnd).as("band"), md5(concat_ws("|", slots: _*)).as("band_key"))
+    }: _*)
+    sig.select(col(id), explode(bandArr).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** LSH candidate pairs (id_a < id_b, distinct): bucket-local i<j
+    * enumeration over each (band, band_key) group — pair fan-out bounded
+    * by bucket size, never n². Feed the pairs to an exact verify
+    * (Jaccard on shingle sets) before acting on them. */
+  def lshCandidatePairs(df: DataFrame, id: String, text: String,
+                        numHashes: Int = 8, bands: Int = 2): DataFrame =
+    minhashBands(df, id, text, numHashes, bands)
+      .groupBy("band", "band_key")
+      .agg(sort_array(collect_list(col(id))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+
   // ------------------------------------------------------------- ranking
 
   /** Top-k rows per group by `order` (desc), ties broken by `tie` asc.

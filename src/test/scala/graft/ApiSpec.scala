@@ -94,6 +94,27 @@ class ApiSpec extends AnyFunSuite {
     assert(counts.head.getLong(0) <= 2)
   }
 
+  test("minhashBands == DedupOps.dedupMinhash band table") {
+    val got = GraftAPI.minhashBands(docs, "doc_id", "text")
+      .orderBy("doc_id", "band").collect()
+    val want = ops.DedupOps.dedupMinhash(spark, sf).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getInt(1) == w.getInt(1) &&
+        g.getString(2) == w.getString(2))
+    }
+  }
+
+  test("lshCandidatePairs superset of verified simjoin pairs") {
+    val cand = GraftAPI.lshCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = ops.DedupOps.simjoinLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(cand),
+      s"missing: ${verified -- cand}")
+    cand.foreach { case (a, b) => assert(a < b) }
+  }
+
   test("cosineTopK: k per query, scores sorted, agrees with brute force") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
