@@ -69,6 +69,22 @@ class ApiSpec extends AnyFunSuite {
     want.foreach { case (id, ts) => assert(got(id) == ts, s"purchase $id") }
   }
 
+  test("asofJoinBackward tolerance == EventOps.joinAsofTolerance (24h window)") {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = events.filter(col("event_type") === "signup")
+      .select("event_id", "user_id", "ts")
+    val got = GraftAPI.asofJoinBackward(purchases, signups, Seq("user_id"),
+        "ts", "ts", "event_id", payload = Seq.empty,
+        toleranceUs = 24L * 3600 * 1000000)
+      .select(col("event_id"), graft.Tables.tsFmt(col("asof_ts")).as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val want = ops.EventOps.joinAsofTolerance(spark, sf).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(got.size == want.size)
+    want.foreach { case (id, ts) => assert(got(id) == ts, s"purchase $id") }
+  }
+
   test("sessionize: ids contiguous from 1, gaps respected") {
     val s = GraftAPI.sessionize(events, "user_id", "ts", 1800L)
     val byUser = s.groupBy("user_id")
