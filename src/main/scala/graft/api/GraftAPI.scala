@@ -123,6 +123,46 @@ object GraftAPI {
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
 
+  /** 16-bit SimHash fingerprint per row: per-token md5, bit j = sign of
+    * Σ(±1) over hex-digit parity. Near-dup test = `bit_count(a XOR b)`
+    * ≤ threshold; at scale, bucket by 4-bit chunks (pigeonhole) and
+    * compare bucket-mates only. One map-side-combined groupBy. */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
+    val bits = 16
+    val tok = df.select(col(id), explode(split(lower(col(text)), " ")).as("w"))
+      .select(col(id), md5(col("w")).as("h"))
+    val sums = (1 to bits).map { j =>
+      sum(when(ascii(substring(col("h"), j, 1)) % 2 === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val fp = (1 to bits)
+      .map(j => when(col(s"b$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy(id).agg(sums.head, sums.tail: _*)
+      .select(col(id), fp.cast("long").as("simhash"))
+  }
+
+  /** Marker-token language ID: first language (in declared order) whose
+    * marker hit-count is positive and maximal; "und" otherwise.
+    * Zero-shuffle codegen'd scoring. */
+  def langId(df: DataFrame, text: String,
+             markers: Seq[(String, Seq[String])] = Seq(
+               "en" -> Seq("the", "a", "and"),
+               "de" -> Seq("der", "die", "und"),
+               "es" -> Seq("el", "la", "los"),
+               "fr" -> Seq("le", "les", "des"))): DataFrame = {
+    val toks = split(lower(col(text)), " ")
+    def score(ms: Seq[String]): Column =
+      size(filter(toks, t => array_contains(array(ms.map(lit): _*), t))).cast("long")
+    val scored = df.withColumns(
+      markers.map { case (l, ms) => s"_s_$l" -> score(ms) }.toMap)
+    val best = markers.map(_._1).foldRight(lit("und")) { (l, acc) =>
+      when(col(s"_s_$l") > 0 &&
+        markers.map(m => col(s"_s_$l") >= col(s"_s_${m._1}")).reduce(_ && _), lit(l))
+        .otherwise(acc)
+    }
+    scored.withColumn("lang_pred", best).drop(markers.map(m => s"_s_${m._1}"): _*)
+  }
+
   // ------------------------------------------------------------- ranking
 
   /** Top-k rows per group by `order` (desc), ties broken by `tie` asc.

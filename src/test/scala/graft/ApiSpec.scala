@@ -110,6 +110,29 @@ class ApiSpec extends AnyFunSuite {
     assert(counts.head.getLong(0) <= 2)
   }
 
+  test("simhash == DedupOps.dedupSimhash fingerprints") {
+    val got = GraftAPI.simhash(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val want = ops.DedupOps.dedupSimhash(spark, sf).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getLong(1) == w.getLong(1))
+    }
+  }
+
+  test("langId == TextOps.langIdNgram predictions") {
+    val got = GraftAPI.langId(docs, "text")
+      .select("doc_id", "lang_pred").orderBy("doc_id").collect()
+    val want = ops.TextOps.langIdNgram(spark, sf)
+      .orderBy("doc_id").collect()
+    assert(got.length == want.length)
+    // harness emits (doc_id, actual_lang, s_en..s_fr, pred_lang): pred last
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getString(1) == w.getString(6),
+        s"doc ${g.getLong(0)}")
+    }
+  }
+
   test("minhashBands == DedupOps.dedupMinhash band table") {
     val got = GraftAPI.minhashBands(docs, "doc_id", "text")
       .orderBy("doc_id", "band").collect()
