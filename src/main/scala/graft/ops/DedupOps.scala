@@ -204,11 +204,20 @@ object DedupOps {
         .groupBy("src").agg(min(col("lbl")).as("nbr_lbl"))
       // change flag computed inside the propagation join — one action per
       // round (materialize + convergence count together)
-      val next = labels.join(nbrMin, col("id") === col("src"), "left")
+      val step = labels.join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
           (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).as("changed"))
-        .persist()
+      // Lineage truncation: each round's plan nests the previous round's,
+      // so analyzer time and lost-block recompute depth grow linearly.
+      // Near-dup components have tiny diameters (bounded buckets) and
+      // rarely need > a few rounds — but every 10th round truncate via
+      // localCheckpoint so the 50-round worst case stays flat. (On a real
+      // cluster, a reliable `checkpoint()` dir replaces localCheckpoint:
+      // localCheckpointed blocks die with their executor.)
+      val next =
+        if (rounds > 0 && rounds % 10 == 0) step.localCheckpoint(eager = false).persist()
+        else step.persist()
       // count(), NOT isEmpty: isEmpty short-circuits after the first
       // non-empty partition, leaving the rest of the persisted `next`
       // unmaterialized — unpersisting prev would then force later rounds
