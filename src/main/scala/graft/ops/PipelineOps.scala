@@ -316,6 +316,62 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** P12: token-budget corpus selection — keep the highest-quality
+    * documents until a global token budget (here: half the corpus's
+    * tokens, so the query is meaningful at every SF) is exhausted; the
+    * "best N tokens" selection step of a pretraining-data curation run.
+    * Scale shape: NO global sort and NO partition-less window over the
+    * docs. Documents bucket by an integer quality key (length capped at
+    * 4000 — the [[sampleWeighted]] quality proxy kept integer-exact);
+    * per-bucket token totals cumulate over the ≤4001-row bucket spine
+    * (the only unpartitioned window, broadcast-sized); each doc then
+    * needs only its bucket's running offset plus a WITHIN-bucket prefix
+    * sum (window partitioned by bucket). Buckets wholly above the cutoff
+    * keep everything; the one boundary bucket truncates at its doc_id
+    * prefix that still fits. All arithmetic is integer, so the keep
+    * decision can't straddle an FP rounding edge between engines. */
+  def corpusBudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir).select(
+      col("doc_id"),
+      least(lit(4000L), col("n_chars")).as("q"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val wSpine = Window.orderBy(col("q").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spine = toks.groupBy("q").agg(sum("n_tokens").as("btok"))
+      .withColumn("cum_before", coalesce(sum("btok").over(wSpine), lit(0L)))
+      .select("q", "cum_before")
+    val budget = toks.agg(expr("sum(n_tokens) div 2").as("budget"))
+    val wIn = Window.partitionBy("q").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("within", coalesce(sum("n_tokens").over(wIn), lit(0L)))
+      .join(broadcast(spine), "q")
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_before") + col("within") + col("n_tokens") <= col("budget"))
+      .select(col("doc_id"), col("q"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** P13: deterministic train/val/test split — each doc hashes to a unit
+    * deviate via md5 (the [[sampleStratified]] hash-not-rand rule: a
+    * re-run, a backfill, or a repartition never moves a doc between
+    * splits — the property that keeps eval decontamination valid), cut
+    * 90/5/5, reported as per-split × lang doc/token counts. u is an
+    * exact multiple of 2⁻³² in both engines (hex prefix / 2³²), so the
+    * threshold compares are FP-exact. Pure map + one agg shuffle. */
+  def corpusSplitAssign(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        when(u < 0.9, "train").when(u < 0.95, "val").otherwise("test").as("split"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tot_tokens"),
+        r6(dsum(col("n_chars")) / count(lit(1))).as("avg_chars"))
+      .orderBy("split", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_weighted"      -> sampleWeighted _,
     "sample_per_group"     -> samplePerGroup _,
@@ -328,6 +384,8 @@ object PipelineOps {
     "shard_manifest"       -> shardManifest _,
     "docs_quality_filter"  -> docsQualityFilter _,
     "corpus_mix_epochs"    -> corpusMixEpochs _,
+    "corpus_budget_select" -> corpusBudgetSelect _,
+    "corpus_split_assign"  -> corpusSplitAssign _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -495,5 +553,36 @@ object PipelineOps {
         |SELECT doc_id, lang, unnest(range(1, n + 1)) AS epoch
         |FROM c WHERE n >= 1
         |ORDER BY doc_id, epoch""".stripMargin,
+    "corpus_budget_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, least(4000, n_chars) AS q,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+        |spine AS (
+        |  SELECT q, COALESCE(SUM(SUM(n_tokens)) OVER (ORDER BY q DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM toks GROUP BY q),
+        |bud AS (SELECT SUM(n_tokens) // 2 AS budget FROM toks),
+        |w AS (
+        |  SELECT t.doc_id, t.q, t.n_tokens, s.cum_before,
+        |    COALESCE(SUM(t.n_tokens) OVER (PARTITION BY t.q ORDER BY t.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS within
+        |  FROM toks t JOIN spine s USING (q))
+        |SELECT doc_id, CAST(q AS BIGINT) AS q, n_tokens
+        |FROM w CROSS JOIN bud
+        |WHERE cum_before + within + n_tokens <= budget
+        |ORDER BY doc_id""".stripMargin,
+    "corpus_split_assign" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+        |  floor((CAST(SUM(CAST(n_chars AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*))
+        |    * 1000000 + 0.5) / 1000000 AS avg_chars
+        |FROM d GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
   )
 }

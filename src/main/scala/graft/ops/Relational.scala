@@ -1555,6 +1555,37 @@ object Relational {
         |ORDER BY s.s_suppkey""".stripMargin)
   }
 
+  /** SQL-22 (TPC-H Q2 shape, adapted): minimum-cost supplier — for every
+    * size-15 part, the European supplier(s) whose cheapest shipped line
+    * equals the part's regional minimum. The reference schema has no
+    * `partsupp`, so per-(part, supplier) cost derives from lineitem:
+    * `MIN(l_extendedprice)` — a pure MIN, never a ratio, so the
+    * correlated-equality join compares a stored double against itself and
+    * cannot straddle an FP edge. Catalyst decorrelates the scalar subquery
+    * into one per-part aggregate joined back (the same plan TPC-H Q2 gets
+    * from partsupp); the supplier→nation→region dim path broadcasts. */
+  def sqlMinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |c AS (
+        |  SELECT p.p_partkey, p.p_type, s.s_name, n.n_name, s.s_acctbal,
+        |    ps.cost
+        |  FROM ps
+        |    JOIN part p ON ps.l_partkey = p.p_partkey
+        |    JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+        |    JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |    JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE' AND p.p_size = 15)
+        |SELECT p_partkey, p_type, s_name, n_name, s_acctbal, cost
+        |FROM c
+        |WHERE cost = (SELECT MIN(cost) FROM c c2 WHERE c2.p_partkey = c.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin)
+  }
+
   /** SQL-13 (TPC-H Q17 shape): revenue lost to small-quantity lines — the
     * correlated "below half this part's average quantity" predicate.
     * Catalyst decorrelates the per-part average into ONE aggregate over
@@ -1830,6 +1861,39 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** G2: triangle counting on the co-purchase graph — part pairs that
+    * co-occur in ≥2 orders form edges (the [[basketPairs]] edge set, same
+    * support threshold bounding edge count); triangles come from the
+    * standard distributed two-path + closing-edge formulation with every
+    * edge oriented low→high, so each triangle is found exactly once and
+    * no candidate is generated twice. Output: the 20 most triangle-dense
+    * parts (participation count), top-k via sort-limit so only k rows
+    * pass the final exchange. At 100 TB the orientation would be by
+    * DEGREE (low-degree endpoint first, id tie-break) rather than raw id —
+    * same algorithm, provably O(m^1.5) candidate pairs — and the two-path
+    * join would pre-bucket both edge copies on the pivot vertex. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val items = lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
+    val edges = items.groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select("a", "b")
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .join(edges.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("part").asc)
+      .limit(20)
+  }
+
   // ------------------------------------------------------------- inventory
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1923,6 +1987,7 @@ object Relational {
     "sql_market_share"    -> sqlMarketShare _,
     "sql_cust_order_dist" -> sqlCustOrderDist _,
     "sql_top_supplier"    -> sqlTopSupplier _,
+    "sql_min_cost_supplier" -> sqlMinCostSupplier _,
     "sql_small_qty_revenue" -> sqlSmallQtyRevenue _,
     "sql_large_orders"    -> sqlLargeOrders _,
     "sql_disjunctive_join" -> sqlDisjunctiveJoin _,
@@ -1935,6 +2000,7 @@ object Relational {
     "window_cume_dist"    -> windowCumeDist _,
     "orders_pareto"       -> ordersPareto _,
     "graph_pagerank_step" -> graphPagerankStep _,
+    "graph_triangles"     -> graphTriangles _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2651,6 +2717,24 @@ object Relational {
         |FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
         |WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
         |ORDER BY s.s_suppkey""".stripMargin,
+    "sql_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |c AS (
+        |  SELECT p.p_partkey, p.p_type, s.s_name, n.n_name, s.s_acctbal,
+        |    ps.cost
+        |  FROM ps
+        |    JOIN part p ON ps.l_partkey = p.p_partkey
+        |    JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+        |    JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |    JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE' AND p.p_size = 15)
+        |SELECT p_partkey, p_type, s_name, n_name, s_acctbal, cost
+        |FROM c
+        |WHERE cost = (SELECT MIN(cost) FROM c c2 WHERE c2.p_partkey = c.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
     "sql_small_qty_revenue" ->
       """SELECT p.p_brand,
         |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
@@ -2798,5 +2882,19 @@ object Relational {
                 " AS DECIMAL(25,6))) AS DOUBLE)")} AS pagerank
          |FROM e JOIN deg ON e.c = deg.c
          |GROUP BY e.s ORDER BY s_suppkey""".stripMargin,
+    "graph_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |p AS (SELECT unnest([x, y, z]) AS part FROM tri)
+        |SELECT part, COUNT(*) AS n_tri FROM p GROUP BY part
+        |ORDER BY n_tri DESC, part LIMIT 20""".stripMargin,
   )
 }

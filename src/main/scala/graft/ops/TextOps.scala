@@ -151,6 +151,27 @@ object TextOps {
           .cast("long").as("re_tokens"))
       .orderBy("doc_id")
 
+  /** T16: lexical diversity — per-doc type-token ratio and hapax share,
+    * the quality signals that catch template spam and boilerplate (low
+    * TTR: few distinct words repeated many times) where length/punct
+    * heuristics ([[textQuality]]) pass it. One explode into a (doc, word)
+    * count agg, then a per-doc rollup — both shuffles hash on doc_id, so
+    * at 100 TB the second agg is a cheap re-use of the first's
+    * partitioning (no wide rows, no collect). */
+  def textLexicalDiversity(s: SparkSession, dir: String): DataFrame = {
+    val tf = documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    tf.groupBy("doc_id").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        r6(col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        r6(col("n_hapax").cast("double") / col("n_types")).as("hapax_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: content-addressed id (md5 — stable across
     * engines) + prefix shard key, the pattern used to bucket a 100 TB
     * corpus into balanced dedup units. */
@@ -470,6 +491,7 @@ object TextOps {
     "lang_id_ngram"   -> langIdNgram _,
     "token_count"     -> tokenCount _,
     "doc_fingerprint" -> docFingerprint _,
+    "text_lexical_diversity" -> textLexicalDiversity _,
   )
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -705,5 +727,22 @@ object TextOps {
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 2) AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lexical_diversity" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) t
+        |  GROUP BY doc_id, w),
+        |a AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS n_types,
+        |    CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax
+        |  FROM tf GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types,
+        |  floor((CAST(n_types AS DOUBLE) / n_tokens) * 1000000 + 0.5)
+        |    / 1000000 AS ttr,
+        |  floor((CAST(n_hapax AS DOUBLE) / n_types) * 1000000 + 0.5)
+        |    / 1000000 AS hapax_ratio
+        |FROM a ORDER BY doc_id""".stripMargin,
   )
 }

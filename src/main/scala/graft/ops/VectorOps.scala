@@ -215,6 +215,42 @@ object VectorOps {
       .orderBy(col("query_id").asc, col("cos").desc, col("vec_id").asc)
   }
 
+  /** L5: ANN recall harness — recall@10 of the IVF cell probe ([[knnIvf]])
+    * against the exact top-10 ([[knnBatch]] shape) for each of 3 query
+    * vectors. Every ANN deployment needs this evaluation loop next to the
+    * index itself: the pruned index is only as good as its measured recall
+    * on live queries. Both rankings cost one corpus pass each (broadcast
+    * query set, per-query window top-k bounded at k rows per partition);
+    * the hit check is a left-semi join on (query, id); queries whose probe
+    * found nothing still report (left join onto the query spine, recall 0).
+    * At 100 TB the exact side runs on a fixed sample of queries — the
+    * recall estimate needs hundreds of queries, never the full corpus. */
+  def knnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).withColumn("cell", cellOf(col("embedding")))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), asD(col("embedding")).as("qv"),
+        col("cell").as("qcell"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(asD(col("embedding")), col("qv")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+      .select("query_id", "vec_id")
+    val approx = e.join(broadcast(q), col("cell") === col("qcell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(asD(col("embedding")), col("qv")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+      .select("query_id", "vec_id")
+    val hits = exact.join(approx, Seq("query_id", "vec_id"), "leftsemi")
+      .groupBy("query_id").agg(count(lit(1)).as("h"))
+    q.select("query_id").join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("h"), lit(0L)).as("n_hit"),
+        r6(coalesce(col("h"), lit(0L)).cast("double") / lit(K)).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** L3e: binary-hash ANN — each vector collapses to a 60-bit sign
     * signature (one bit per leading dimension: the degenerate form of
     * signed-random-projection LSH, kept deterministic so a SQL oracle can
@@ -298,6 +334,7 @@ object VectorOps {
     "knn_rerank"      -> knnRerank _,
     "knn_hamming"     -> knnHamming _,
     "knn_batch"       -> knnBatch _,
+    "knn_recall"      -> knnRecall _,
     "embed_normalize" -> embedNormalize _,
     "embed_quantize"  -> embedQuantize _,
     "embed_centroids" -> embedCentroids _,
@@ -376,6 +413,24 @@ object VectorOps {
          |    ORDER BY cos DESC, vec_id ASC) AS rn FROM sc) t
          |WHERE rn <= 5
          |ORDER BY query_id ASC, cos DESC, vec_id ASC""".stripMargin,
+    "knn_recall" ->
+      s"""WITH c AS (SELECT vec_id, embedding, $sqlCell AS cell FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, cell AS qcell
+         |  FROM c WHERE vec_id < 3),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |  SELECT q.query_id, c.vec_id, row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${sqlCos("c.embedding", "q.qv")} DESC, c.vec_id ASC) AS rn
+         |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id) t WHERE rn <= $K),
+         |ap AS (SELECT query_id, vec_id FROM (
+         |  SELECT q.query_id, c.vec_id, row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${sqlCos("c.embedding", "q.qv")} DESC, c.vec_id ASC) AS rn
+         |  FROM c JOIN q ON c.cell = q.qcell WHERE c.vec_id <> q.query_id) t
+         |  WHERE rn <= $K)
+         |SELECT ex.query_id, CAST(COUNT(ap.vec_id) AS BIGINT) AS n_hit,
+         |  floor((CAST(COUNT(ap.vec_id) AS DOUBLE) / $K) * 1000000 + 0.5)
+         |    / 1000000 AS recall
+         |FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+         |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin,
     "embed_dim_stats" ->
       """WITH ex AS (
         |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,

@@ -84,4 +84,29 @@ class Round4SqlSpec extends AnyFunSuite {
     val waits = rows.map(_.getLong(1))
     assert(waits.zip(waits.tail).forall { case (a, b) => a >= b })
   }
+
+  test("min-cost supplier (Q2 shape): every row achieves its part's regional minimum") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.sqlMinCostSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute the per-part European minimum independently
+    val s = spark
+    val eu = s.read.parquet(s"$sf/supplier.parquet")
+      .join(s.read.parquet(s"$sf/nation.parquet"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(s.read.parquet(s"$sf/region.parquet"),
+        col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "EUROPE")
+      .select("s_suppkey")
+    val minCost = s.read.parquet(s"$sf/lineitem.parquet")
+      .join(eu, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(s.read.parquet(s"$sf/part.parquet").where(col("p_size") === 15),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey").agg(min("l_extendedprice").as("mc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(5) == minCost(r.getLong(0)),
+        s"part ${r.getLong(0)} cost ${r.getDouble(5)} != ${minCost(r.getLong(0))}")
+    }
+  }
 }
