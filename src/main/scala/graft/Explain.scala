@@ -37,7 +37,11 @@ object Explain {
                   // round 4d: rescaled-EWMA window, timeline attribution,
                   // hive partition pruning
                   "events_ewma", "events_attribution",
-                  "sink_partitioned_layout")) {
+                  "sink_partitioned_layout",
+                  // round 4e: budget selection (bucket-spine prefix sums),
+                  // triangle join, ANN recall twin rankings, Q2 decorrelation
+                  "corpus_budget_select", "graph_triangles",
+                  "knn_recall", "sql_min_cost_supplier")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
