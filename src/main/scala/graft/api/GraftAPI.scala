@@ -293,6 +293,101 @@ object GraftAPI {
         when(norm > 0.0, transform(v, x => x / norm)).otherwise(v))
   }
 
+  /** Token-budget selection: keep the rows with the highest integer
+    * `quality` until the global sum of `weight` reaches
+    * `budgetFrac × total`, truncating the boundary-quality group at its
+    * `id`-ordered prefix. Scale shape (see `PipelineOps.corpusBudgetSelect`):
+    * the quality spine cumulates on a broadcast-sized table and the doc
+    * side only needs a per-quality-bucket prefix window — no global sort,
+    * no partition-less window over the data. `quality` MUST be integral
+    * (bucket your score first): that keeps the keep-decision arithmetic
+    * exact and the spine small. */
+  def budgetSelect(df: DataFrame, id: String, quality: String, weight: String,
+                   budgetFrac: Double = 0.5): DataFrame = {
+    val wSpine = Window.orderBy(col(quality).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spine = df.groupBy(quality).agg(sum(weight).as("_btok"))
+      .withColumn("_cum_before", coalesce(sum("_btok").over(wSpine), lit(0L)))
+      .select(col(quality), col("_cum_before"))
+    val budget = df.agg((sum(col(weight)) * lit(budgetFrac)).as("_budget"))
+    val wIn = Window.partitionBy(quality).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_within", coalesce(sum(weight).over(wIn), lit(0L)))
+      .join(broadcast(spine), quality)
+      .crossJoin(broadcast(budget))
+      .filter(col("_cum_before") + col("_within") + col(weight) <= col("_budget"))
+      .drop("_within", "_cum_before", "_budget")
+  }
+
+  /** Deterministic split assignment: adds a `split` column from an
+    * md5-hash unit deviate over `id` against cumulative `fractions`
+    * (label → fraction, applied in the given order; remainder falls to
+    * the last label). Hash-not-rand: reprocessing or repartitioning
+    * never moves a row between splits — the property that keeps
+    * train/eval separation valid across backfills. Zero shuffle. */
+  def splitAssign(df: DataFrame, id: String,
+                  fractions: Seq[(String, Double)] =
+                    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val u = conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val expr0 = fractions.init.zip(cuts).foldLeft(when(lit(false), "")) {
+      case (acc, ((label, _), cut)) => acc.when(u < cut, label)
+    }
+    df.withColumn("split", expr0.otherwise(fractions.last._1))
+  }
+
+  /** Per-vertex triangle participation counts over an UNDIRECTED edge
+    * list (`src`/`dst` any orderable type; duplicate and reversed edges
+    * are normalized away). Two-path + closing-edge join with low→high
+    * orientation finds each triangle exactly once; output is
+    * (vertex, n_tri). At real scale orient by degree instead of raw id
+    * for the O(m^1.5) candidate bound. */
+  def triangleCounts(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("vertex"))
+      .groupBy("vertex").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Per-row lexical diversity for a text column: whitespace token count,
+    * distinct-type count, type-token ratio, hapax share. Two hash-aggs
+    * both keyed on `id` (the second reuses the first's partitioning). */
+  def lexicalDiversity(df: DataFrame, id: String, text: String): DataFrame = {
+    val tf = df.select(col(id), explode(split(col(text), " ")).as("_w"))
+      .groupBy(id, "_w").agg(count(lit(1)).as("_c"))
+    tf.groupBy(id).agg(
+        sum("_c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("_c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col(id), col("n_tokens"), col("n_types"),
+        r6(col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        r6(col("n_hapax").cast("double") / col("n_types")).as("hapax_ratio"))
+  }
+
+  /** Recall@k of an approximate ranking against an exact one: both inputs
+    * are (query, candidate) rankings already cut to k (or cut here via
+    * [[topKPerGroup]] upstream); output is per-query hit count and
+    * recall. Left-semi + spine left-join — neither ranking is collected,
+    * and queries the approximate side missed entirely still report 0. */
+  def recallAtK(exact: DataFrame, approx: DataFrame,
+                query: String, candidate: String, k: Int): DataFrame = {
+    val hits = exact.join(approx, Seq(query, candidate), "leftsemi")
+      .groupBy(query).agg(count(lit(1)).as("_h"))
+    exact.select(query).distinct().join(hits, Seq(query), "left")
+      .select(col(query), coalesce(col("_h"), lit(0L)).as("n_hit"),
+        r6(coalesce(col("_h"), lit(0L)).cast("double") / lit(k)).as("recall"))
+  }
+
   /** Brute-force cosine top-k: for each query row, the k nearest corpus
     * rows by the codegen'd `graft_dot` product over L2-normalized
     * vectors. Corpus-side scoring is map-side (queries broadcast); the

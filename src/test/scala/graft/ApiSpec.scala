@@ -173,4 +173,68 @@ class ApiSpec extends AnyFunSuite {
     val gotIds = got.filter(_.getLong(0) == 0L).map(_.getLong(1)).toSet
     assert(gotIds == best)
   }
+
+  test("budgetSelect == PipelineOps.corpusBudgetSelect at frac 0.5") {
+    val toks = docs.select(col("doc_id"),
+      least(lit(4000L), col("n_chars")).as("q"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val got = GraftAPI.budgetSelect(toks, "doc_id", "q", "n_tokens")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val want = ops.PipelineOps.corpusBudgetSelect(spark, sf)
+      .collect().map(_.getLong(0))
+    assert(got.sameElements(want))
+  }
+
+  test("splitAssign == PipelineOps.corpusSplitAssign on the rollup") {
+    val got = GraftAPI.splitAssign(docs, "doc_id")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tot_tokens"))
+      .orderBy("split", "lang").collect()
+    val want = ops.PipelineOps.corpusSplitAssign(spark, sf).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0) && g.getString(1) == w.getString(1) &&
+        g.getLong(2) == w.getLong(2) && g.getLong(3) == w.getLong(3))
+    }
+  }
+
+  test("triangleCounts == Relational.graphTriangles on the basket edges") {
+    val items = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct()
+    val edges = items.as("x").join(items.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+    val got = GraftAPI.triangleCounts(edges, "a", "b")
+      .orderBy(col("n_tri").desc, col("vertex")).limit(20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = ops.Relational.graphTriangles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sameElements(want))
+  }
+
+  test("lexicalDiversity == TextOps.textLexicalDiversity") {
+    val got = GraftAPI.lexicalDiversity(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val want = ops.TextOps.textLexicalDiversity(spark, sf).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert((0 to 2).forall(i => g.getLong(i) == w.getLong(i)) &&
+        g.getDouble(3) == w.getDouble(3) && g.getDouble(4) == w.getDouble(4))
+    }
+  }
+
+  test("recallAtK: hand-built rankings give exact per-query recall incl. zero") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (2L, 22L))
+      .toDF("query_id", "cand")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L)).toDF("query_id", "cand")
+    val got = GraftAPI.recallAtK(exact, approx, "query_id", "cand", 3)
+      .orderBy("query_id").collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(1) == 2L && math.abs(got(0).getDouble(2) - 0.666667) < 1e-6)
+    assert(got(1).getLong(1) == 0L && got(1).getDouble(2) == 0.0)
+  }
 }
