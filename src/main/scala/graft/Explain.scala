@@ -41,7 +41,11 @@ object Explain {
                   // round 4e: budget selection (bucket-spine prefix sums),
                   // triangle join, ANN recall twin rankings, Q2 decorrelation
                   "corpus_budget_select", "graph_triangles",
-                  "knn_recall", "sql_min_cost_supplier")) {
+                  "knn_recall", "sql_min_cost_supplier",
+                  // round 4f: snapshot-diff CDC, MV delta merge, path
+                  // trigrams, Zipf top-k fit
+                  "cdc_diff_snapshots", "agg_incremental_merge",
+                  "events_paths3", "text_zipf")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -353,6 +353,28 @@ object EventOps {
       .orderBy("prev_type", "event_type")
   }
 
+  /** E15: 3-step path mining — the most-travelled click-path trigrams
+    * with raw occurrence count and distinct-user support (the sequential
+    * generalization of [[eventsTransitions]]'s pair matrix). Both `lead`s
+    * ride ONE shuffle on user_id (same window spec → same exchange +
+    * sort), the path counts map-side combine down to ≤ |types|³ rows,
+    * and the final cut is `TakeOrderedAndProject` — bounded buffers, no
+    * global sort, even when the type alphabet is large. */
+  def eventsPaths3(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("user_id"),
+        concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n").desc, col("n_users").desc, col("path").asc)
+      .limit(20)
+  }
+
   /** E11: rolling 7-day active users — for each calendar day, the distinct
     * users active in [day-6, day] plus same-day DAU and the DAU/WAU ratio
     * (trailing-window engagement, the workhorse next to [[eventsDauMau]]'s
@@ -539,6 +561,7 @@ object EventOps {
     "join_asof_tolerance"  -> joinAsofTolerance _,
     "events_rolling_active" -> eventsRollingActive _,
     "events_transitions"   -> eventsTransitions _,
+    "events_paths3"        -> eventsPaths3 _,
     "events_dau_mau"       -> eventsDauMau _,
     "join_asof_forward"    -> joinAsofForward _,
     "sessions_concurrency" -> sessionsConcurrency _,
@@ -694,6 +717,18 @@ object EventOps {
         |  floor((n::DOUBLE / SUM(n) OVER (PARTITION BY prev_type))
         |    * 1000000 + 0.5) / 1000000 AS p
         |FROM g ORDER BY prev_type, event_type""".stripMargin,
+    "events_paths3" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        |SELECT event_type || '>' || t2 || '>' || t3 AS path,
+        |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM e WHERE t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, n_users DESC, path LIMIT 20""".stripMargin,
     "events_dau_mau" ->
       """WITH e AS (
         |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,

@@ -73,6 +73,60 @@ object PipelineOps {
       .orderBy("c_custkey")
   }
 
+  /** K7b: snapshot differencing — GENERATES the changelog that
+    * [[cdcApplyChanges]] consumes: two per-customer aggregate snapshots
+    * over shifted order windows, full-outer-joined on the key and
+    * classified I/U/D (unchanged keys dropped). This is the
+    * incremental-refresh primitive for feeding delta-only sinks. At
+    * 100 TB each snapshot aggregate shuffles once on the key, the
+    * full-outer sort-merge join rides the same hash partitioning, and
+    * the output is changed-keys-only scale. Revenue compares exactly
+    * because both sides aggregate through DECIMAL ([[graft.Tables.dsum]]). */
+  def cdcDiffSnapshots(s: SparkSession, dir: String): DataFrame = {
+    def snap(lo: String, hi: String) =
+      orders(s, dir)
+        .filter(to_date(col("o_orderdate")) >= lit(lo) &&
+          to_date(col("o_orderdate")) < lit(hi))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+    val a = snap("1995-01-01", "1997-01-01")
+      .select(col("o_custkey").as("ka"), col("n").as("old_n"), col("rev").as("old_rev"))
+    val b = snap("1996-01-01", "1998-01-01")
+      .select(col("o_custkey").as("kb"), col("n").as("new_n"), col("rev").as("new_rev"))
+    a.join(b, col("ka") === col("kb"), "full_outer")
+      .withColumn("op",
+        when(col("ka").isNull, "I")
+          .when(col("kb").isNull, "D")
+          .when(col("old_n") === col("new_n") && col("old_rev") === col("new_rev"), "N")
+          .otherwise("U"))
+      .filter(col("op") =!= "N")
+      .select(coalesce(col("ka"), col("kb")).as("custkey"), col("op"),
+        col("old_n"), col("new_n"), col("old_rev"), col("new_rev"))
+      .orderBy("custkey")
+  }
+
+  /** A24: incremental aggregate maintenance — refresh a materialized
+    * per-priority revenue rollup by merging the stored MV state (history
+    * partitions, NOT rescanned at refresh time) with a delta-only
+    * aggregate. Partial sums stay DECIMAL until after the merge, so
+    * incremental == full recompute bit-for-bit — the reconciliation
+    * invariant the oracle checks (it recomputes from scratch). At 100 TB
+    * the refresh cost is the delta scan plus an MV-cardinality merge;
+    * the date predicate prunes history partitions off the scan. */
+  def aggIncrementalMerge(s: SparkSession, dir: String): DataFrame = {
+    def partial(pred: org.apache.spark.sql.Column) =
+      orders(s, dir).filter(pred)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("pn"),
+          sum(col("o_totalprice").cast("decimal(25,6)")).as("prev"))
+    val isDelta = to_date(col("o_orderdate")) >= lit("1997-01-01")
+    partial(!isDelta).unionByName(partial(isDelta))
+      .groupBy("o_orderpriority")
+      .agg(sum(col("pn")).as("n_orders"),
+        sum(col("prev")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** L10: stratified corpus sampling — per-language keep rates (downsample
     * the dominant language, keep low-resource ones) decided by a
     * DETERMINISTIC hash of the stable doc_id, never `rand()`: a backfill
@@ -379,6 +433,8 @@ object PipelineOps {
     "join_bloom_prefilter" -> joinBloomPrefilter _,
     "curation_pipeline"    -> curationPipeline _,
     "cdc_apply_changes"    -> cdcApplyChanges _,
+    "cdc_diff_snapshots"   -> cdcDiffSnapshots _,
+    "agg_incremental_merge" -> aggIncrementalMerge _,
     "sample_stratified"    -> sampleStratified _,
     "shard_pack_tokens"    -> shardPackTokens _,
     "shard_manifest"       -> shardManifest _,
@@ -460,6 +516,35 @@ object PipelineOps {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "cdc_diff_snapshots" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS k, COUNT(*) AS old_n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS old_rev
+        |  FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+        |    AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT o_custkey AS k, COUNT(*) AS new_n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS new_rev
+        |  FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |  GROUP BY 1)
+        |SELECT COALESCE(a.k, b.k) AS custkey,
+        |  CASE WHEN a.k IS NULL THEN 'I' WHEN b.k IS NULL THEN 'D'
+        |       ELSE 'U' END AS op,
+        |  a.old_n AS old_n, b.new_n AS new_n,
+        |  a.old_rev AS old_rev, b.new_rev AS new_rev
+        |FROM a FULL JOIN b ON a.k = b.k
+        |WHERE a.k IS NULL OR b.k IS NULL
+        |   OR a.old_n <> b.new_n OR a.old_rev <> b.new_rev
+        |ORDER BY custkey""".stripMargin,
+    "agg_incremental_merge" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "cdc_apply_changes" ->
       """WITH chg AS (
         |  SELECT c_custkey AS k, c_name AS name, c_acctbal AS acctbal,

@@ -469,7 +469,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** L25: Zipf-fit corpus audit — log-log OLS of term frequency against
+    * rank over the top-100 vocabulary; the slope (≈ −1 for natural text)
+    * is the distribution-health gate before tokenizer/vocab decisions.
+    * The full vocabulary never sees a global window: the top-100 cut is
+    * a `TakeOrderedAndProject` (freq desc, term asc — total order) and
+    * ranking + fitting run on those 100 rows. ln terms are 6-dp-snapped
+    * BEFORE the DECIMAL moment sums (1-ulp libm drift never reaches the
+    * sums; same discipline as [[docSourceEntropy]]), and the raw slope is
+    * reused unrounded inside the intercept so both snap identically
+    * (same as `Relational.aggLinregress`). */
+  def textZipf(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("word").asc)
+    val pts = documents(s, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc).limit(100)
+      .withColumn("r", row_number().over(w))
+      .select(r6(log(col("r"))).as("x"), r6(log(col("n"))).as("y"))
+    val slope = (col("k") * col("sxy") - col("sx") * col("sy")) /
+      (col("k") * col("sxx") - col("sx") * col("sx"))
+    pts.agg(count(lit(1)).as("k"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("x")).as("sxx"), dsum(col("x") * col("y")).as("sxy"))
+      .select(col("k").as("n_terms"), r6(slope).as("slope"),
+        r6((col("sy") - slope * col("sx")) / col("k")).as("intercept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf"           -> textZipf _,
     "text_oov_rate"       -> textOovRate _,
     "array_hof"           -> arrayHof _,
     "docs_quality_buckets" -> docsQualityBuckets _,
@@ -497,6 +526,31 @@ object TextOps {
   private val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "text_zipf" ->
+      """WITH tf AS (
+        |  SELECT word, COUNT(*) AS n FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS word
+        |    FROM documents)
+        |  GROUP BY word ORDER BY n DESC, word LIMIT 100),
+        |pts AS (
+        |  SELECT
+        |    floor(ln(row_number() OVER (ORDER BY n DESC, word))
+        |      * 1000000 + 0.5) / 1000000 AS x,
+        |    floor(ln(n) * 1000000 + 0.5) / 1000000 AS y
+        |  FROM tf),
+        |m AS (
+        |  SELECT COUNT(*) AS k,
+        |    CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+        |  FROM pts)
+        |SELECT CAST(k AS BIGINT) AS n_terms,
+        |  floor((k * sxy - sx * sy) / (k * sxx - sx * sx)
+        |    * 1000000 + 0.5) / 1000000 AS slope,
+        |  floor((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k
+        |    * 1000000 + 0.5) / 1000000 AS intercept
+        |FROM m""".stripMargin,
     "text_oov_rate" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
         |             FROM documents),
