@@ -388,6 +388,59 @@ object GraftAPI {
         r6(coalesce(col("_h"), lit(0L)).cast("double") / lit(k)).as("recall"))
   }
 
+  /** Snapshot differencing: the I/U/D changelog between two versions of
+    * a keyed table. Every non-key column the two sides share is compared
+    * null-safely; unchanged keys are dropped. Output: the key columns
+    * (coalesced across sides), `op` ∈ {I, U, D}, and both payloads as
+    * `old_*` / `new_*`. Each side shuffles once on the key and the
+    * full-outer sort-merge join reuses that partitioning (Sort only —
+    * no third exchange); output is changed-keys scale. Works on raw
+    * rows or on pre-aggregated snapshots (`ops.PipelineOps
+    * .cdcDiffSnapshots` is this over two windowed aggregates); route
+    * float payloads through exact [[dsum]]-style aggregation first so
+    * the U-test cannot flap on FP noise. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    val payload = oldDf.columns.filterNot(keys.contains)
+      .intersect(newDf.columns.filterNot(keys.contains)).toSeq
+    val o = oldDf.select(keys.map(k => col(k).as(s"_ok_$k")) ++
+      payload.map(c => col(c).as(s"old_$c")): _*)
+    val n = newDf.select(keys.map(k => col(k).as(s"_nk_$k")) ++
+      payload.map(c => col(c).as(s"new_$c")): _*)
+    val cond = keys.map(k => col(s"_ok_$k") === col(s"_nk_$k")).reduce(_ && _)
+    val same = payload.map(c => col(s"old_$c") <=> col(s"new_$c"))
+      .foldLeft(lit(true))(_ && _)
+    o.join(n, cond, "full_outer")
+      .withColumn("op",
+        when(col(s"_ok_${keys.head}").isNull, "I")
+          .when(col(s"_nk_${keys.head}").isNull, "D")
+          .when(same, "N").otherwise("U"))
+      .filter(col("op") =!= "N")
+      .select(keys.map(k => coalesce(col(s"_ok_$k"), col(s"_nk_$k")).as(k)) ++
+        (col("op") +: payload.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c")))): _*)
+  }
+
+  /** Per-key symbol-sequence n-grams ("paths"): orders each key's rows by
+    * `order`, slides an n-length window over the `symbol` column via
+    * n−1 `lead`s (ONE shuffle on the key — every lead shares the same
+    * window spec, hence the same exchange + sort), and returns
+    * (path, n, n_keys) with occurrence count and distinct-key support.
+    * Counts map-side combine to ≤ |alphabet|ⁿ rows; cut with
+    * [[topKPerGroup]] or orderBy/limit downstream (which plans as
+    * `TakeOrderedAndProject`, not a global sort). */
+  def pathNgrams(df: DataFrame, key: String, order: Seq[String],
+                 symbol: String, n: Int): DataFrame = {
+    require(n >= 2, "path length must be at least 2")
+    val w = Window.partitionBy(key).orderBy(order.map(col): _*)
+    val withSteps = (1 until n).foldLeft(df.withColumn("_s0", col(symbol))) {
+      case (acc, i) => acc.withColumn(s"_s$i", lead(col(symbol), i).over(w))
+    }
+    withSteps.filter(col(s"_s${n - 1}").isNotNull)
+      .select(col(key),
+        concat_ws(">", (0 until n).map(i => col(s"_s$i")): _*).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"), countDistinct(col(key)).as("n_keys"))
+  }
+
   /** Brute-force cosine top-k: for each query row, the k nearest corpus
     * rows by the codegen'd `graft_dot` product over L2-normalized
     * vectors. Corpus-side scoring is map-side (queries broadcast); the

@@ -226,6 +226,46 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotDiff == PipelineOps.cdcDiffSnapshots on the same snapshots") {
+    import graft.Tables._
+    def snap(lo: String, hi: String) = orders(spark, sf)
+      .filter(to_date(col("o_orderdate")) >= lit(lo) &&
+        to_date(col("o_orderdate")) < lit(hi))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+    val got = GraftAPI.snapshotDiff(
+        snap("1995-01-01", "1997-01-01"), snap("1996-01-01", "1998-01-01"),
+        Seq("custkey"))
+      .orderBy("custkey").collect()
+    val want = ops.PipelineOps.cdcDiffSnapshots(spark, sf).collect()
+    assert(got.length == want.length)
+    // facade columns: custkey, op, old_n, new_n(?) — payload order is
+    // old_n,new_n,old_rev,new_rev in the harness; facade interleaves
+    // old_/new_ per column: custkey, op, old_n, new_n, old_rev, new_rev
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getString(1) == w.getString(1))
+      def nl(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+        if (r.isNullAt(i)) None else Some(r.getLong(i))
+      def nd(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+        if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      assert(nl(g, 2) == nl(w, 2) && nl(g, 3) == nl(w, 3))
+      assert(nd(g, 4) == nd(w, 4) && nd(g, 5) == nd(w, 5))
+    }
+  }
+
+  test("pathNgrams(3) == EventOps.eventsPaths3 before the top-20 cut") {
+    val got = GraftAPI.pathNgrams(events, "user_id", Seq("ts", "event_id"),
+        "event_type", 3)
+      .orderBy(col("n").desc, col("n_keys").desc, col("path").asc)
+      .limit(20).collect()
+    val want = ops.EventOps.eventsPaths3(spark, sf).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0) && g.getLong(1) == w.getLong(1) &&
+        g.getLong(2) == w.getLong(2))
+    }
+  }
+
   test("recallAtK: hand-built rankings give exact per-query recall incl. zero") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (2L, 22L))
