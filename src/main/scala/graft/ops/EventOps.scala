@@ -552,7 +552,64 @@ object EventOps {
       .orderBy("channel")
   }
 
+  /** E16: seasonal-naive forecast audit — per-type daily DECIMAL sums,
+    * forecast(t) = actual(t − 7 days) by CALENDAR join (a lag over row
+    * numbers would silently mis-align across missing days), per-row
+    * absolute error. The standard data-quality gate before shipping any
+    * fancier forecaster: if a model can't beat this column, it ships
+    * nothing. Scale shape: both join sides are the same day-grain
+    * aggregate (output-scale, not event-scale), hash-joined on
+    * (event_type, day) — events shuffle once into the daily agg and never
+    * again. */
+  def eventsSeasonalNaive(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy("event_type", "day").agg(dsum(col("value")).as("v"))
+    val prev = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("v").as("forecast"))
+    daily.join(prev, Seq("event_type", "day"), "left")
+      .select(col("event_type"), dateFmt(col("day")).as("day"),
+        r6(col("v")).as("actual"), r6(col("forecast")).as("forecast"),
+        r6(abs(col("v") - col("forecast"))).as("abs_err"))
+      .orderBy("event_type", "day")
+  }
+
+  /** E17: cumulative distinct users per day — growth-curve analytics
+    * WITHOUT a COUNT(DISTINCT) OVER window (which would re-scan every
+    * prefix): each user collapses to a first-seen day (one hash-agg on
+    * user_id), days aggregate new-user counts, and the running total is a
+    * window over the day-cardinality spine only. At 100 TB the day spine
+    * is a few thousand rows, so the partition-less window is a no-op; the
+    * only event-scale shuffle is the user_id agg. */
+  def eventsCumDistinct(s: SparkSession, dir: String): DataFrame = {
+    val firstSeen = events(s, dir)
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("day"))
+    val perDay = firstSeen.groupBy("day").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay
+      .select(dateFmt(col("day")).as("day"), col("new_users"),
+        sum(col("new_users")).over(w).as("cum_users"))
+      .orderBy("day")
+  }
+
+  /** §2.13 chained stateful aggregation — per-type MINUTELY counts rolled
+    * into an HOURLY profile (peak/mean minutely rate) in one plan: two
+    * cascaded aggregations where the second consumes the first's windowed
+    * output. Batch twin of [[graft.streaming.StreamingOps.twoLevelAgg]]
+    * (Spark 4 supports multiple stateful operators in append mode);
+    * StreamingSpec asserts stream == batch. The first agg shuffles on
+    * (minute, type) — the second runs on minute-cardinality data, free at
+    * any scale. */
+  def eventsTwoLevelAgg(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.twoLevelAgg(events(s, dir))
+      .select(tsFmt(col("hour")).as("hour"), col("event_type"),
+        col("n_minutes"), col("peak_minute_n"), col("total_n"))
+      .orderBy("hour", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_seasonal_naive" -> eventsSeasonalNaive _,
+    "events_cum_distinct"  -> eventsCumDistinct _,
+    "events_two_level_agg" -> eventsTwoLevelAgg _,
     "events_ewma"          -> eventsEwma _,
     "events_attribution"   -> eventsAttribution _,
     "events_dedup_window"  -> eventsDedupWindow _,
@@ -602,6 +659,37 @@ object EventOps {
       .orderBy("view_id", "purchase_id")
 
   val oracleSql: Map[String, String] = Map(
+    "events_seasonal_naive" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+        |  floor(d.v * 1000000 + 0.5) / 1000000 AS actual,
+        |  floor(p.v * 1000000 + 0.5) / 1000000 AS forecast,
+        |  floor(abs(d.v - p.v) * 1000000 + 0.5) / 1000000 AS abs_err
+        |FROM daily d LEFT JOIN daily p
+        |  ON d.event_type = p.event_type AND d.day = p.day + INTERVAL 7 DAY
+        |ORDER BY d.event_type, day""".stripMargin,
+    "events_cum_distinct" ->
+      """WITH fs AS (
+        |  SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+        |  FROM events GROUP BY 1),
+        |pd AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+        |  SUM(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+        |FROM pd ORDER BY day""".stripMargin,
+    "events_two_level_agg" ->
+      """WITH m AS (
+        |  SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute,
+        |    event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT strftime(date_trunc('hour', minute),
+        |    '%Y-%m-%d %H:%M:%S.%f') AS hour,
+        |  event_type, COUNT(*) AS n_minutes, MAX(n) AS peak_minute_n,
+        |  SUM(n) AS total_n
+        |FROM m GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "events_ewma" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

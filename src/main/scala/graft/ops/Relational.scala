@@ -1894,9 +1894,90 @@ object Relational {
       .limit(20)
   }
 
+  /** A25: median + median-absolute-deviation per order status — the
+    * robust-dispersion pair (outlier-immune where mean/σ are not; the
+    * screening stat behind robust z-scores). Two exact interpolated
+    * percentile passes: per-group median, broadcast back (group
+    * cardinality is tiny), then the median of |x − med|. Each pass is one
+    * shuffle on the 3-value status key; at 100 TB swap the exact
+    * percentile for `percentile_approx` partials ([[aggApproxPercentile]])
+    * — the plan shape is identical. */
+  def aggMad(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val med = o.groupBy("o_orderstatus")
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("med"))
+    o.join(broadcast(med), "o_orderstatus")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        r6(first(col("med"))).as("median"),
+        r6(percentile(abs(col("o_totalprice") - col("med")), lit(0.5))).as("mad"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** F4: try_* error-handling battery — ANSI-safe variants that yield NULL
+    * instead of failing the job: `try_cast` on garbage strings (the
+    * reference's coerce-don't-fail semantics,
+    * /root/reference/scripts/transform.py:45, generalized), `try_divide`
+    * on a constructed zero denominator, `try_add` at the BIGINT overflow
+    * boundary, and out-of-bounds `try_element_at`. At 100 TB this is the
+    * difference between one poison row killing a 6-hour job and a NULL
+    * you can audit later; all four stay inside whole-stage codegen. The
+    * oracle mirrors the SEMANTIC outcome (CASE-guarded NULLs) since DuckDB
+    * spells the guards differently. */
+  def funcTryArith(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .select(col("o_orderkey"),
+        // '1-URGENT' → null; the leading digit parses via substring
+        expr("try_cast(o_orderpriority AS INT)").as("prio_bad"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
+        r6(expr("try_divide(o_totalprice, o_custkey % 3)")).as("div3"),
+        expr(s"try_add(o_orderkey, ${Long.MaxValue - 10}L)").as("add_ovf"),
+        expr("try_element_at(array(o_orderkey, o_custkey), 3)").as("elem_oob"))
+      .orderBy("o_orderkey")
+
+  /** C7b: map higher-order functions — per-customer order-status count
+    * map built with `map_from_entries` over a deterministically sorted
+    * entry list, then `transform_values` (share of total) and
+    * `map_filter` (statuses seen ≥ 2×) composed in one codegen'd
+    * projection. Maps are emitted as sorted `k:v` joined strings — map
+    * cells don't hash-compare portably across engines ([[mapFuncs]]
+    * convention). One hash-agg on (cust, status) + one on cust; both
+    * shuffles hash on o_custkey so the second reuses the first's
+    * partitioning. */
+  def mapHof(s: SparkSession, dir: String): DataFrame = {
+    val counts = orders(s, dir)
+      .groupBy("o_custkey", "o_orderstatus").agg(count(lit(1)).as("n"))
+    counts
+      .groupBy("o_custkey")
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("o_orderstatus"), col("n")))))
+        .as("m"))
+      .select(col("o_custkey"),
+        aggregate(map_values(col("m")), lit(0L), (acc, v) => acc + v).as("total"),
+        col("m"))
+      .select(col("o_custkey"), col("total"),
+        array_join(transform(map_entries(col("m")),
+          e => concat(e.getField("key"), lit(":"),
+            e.getField("value").cast("string"))), ",").as("status_counts"),
+        array_join(transform(map_entries(
+            map_filter(col("m"), (_, v) => v >= 2)),
+          e => concat(e.getField("key"), lit(":"),
+            e.getField("value").cast("string"))), ",").as("repeat_statuses"),
+        // shares render through %.6f — raw double→string repr diverges
+        // across engines (sci-notation thresholds), fixed-width doesn't
+        array_join(transform(map_entries(
+            transform_values(col("m"), (_, v) => r6(v.cast("double") / col("total")))),
+          e => concat(e.getField("key"), lit(":"),
+            format_string("%.6f", e.getField("value")))), ",").as("status_share"))
+      .orderBy("o_custkey")
+  }
+
   // ------------------------------------------------------------- inventory
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mad"             -> aggMad _,
+    "func_try_arith"      -> funcTryArith _,
+    "map_hof"             -> mapHof _,
     "scan_parquet"        -> scanParquet _,
     "scan_table_star"     -> scanTableStar _,
     "count_star"          -> countStar _,
@@ -2004,6 +2085,41 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "agg_mad" ->
+      """WITH med AS (
+        |  SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderstatus, COUNT(*) AS n,
+        |  floor(ANY_VALUE(med) * 1000000 + 0.5) / 1000000 AS median,
+        |  floor(quantile_cont(abs(o_totalprice - med), 0.5)
+        |    * 1000000 + 0.5) / 1000000 AS mad
+        |FROM orders o JOIN med USING (o_orderstatus)
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
+    "func_try_arith" ->
+      """SELECT o_orderkey,
+        |  TRY_CAST(o_orderpriority AS INT) AS prio_bad,
+        |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,
+        |  CASE WHEN o_custkey % 3 = 0 THEN NULL
+        |    ELSE floor(o_totalprice / (o_custkey % 3) * 1000000 + 0.5) / 1000000
+        |  END AS div3,
+        |  CASE WHEN o_orderkey > 10 THEN NULL
+        |    ELSE o_orderkey + 9223372036854775797 END AS add_ovf,
+        |  CAST(NULL AS BIGINT) AS elem_oob
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "map_hof" ->
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderstatus AS st, COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (SELECT o_custkey, SUM(n) AS total FROM c GROUP BY 1)
+        |SELECT c.o_custkey, CAST(ANY_VALUE(total) AS BIGINT) AS total,
+        |  string_agg(st || ':' || n, ',' ORDER BY st) AS status_counts,
+        |  COALESCE(string_agg(CASE WHEN n >= 2 THEN st || ':' || n END, ','
+        |    ORDER BY st), '') AS repeat_statuses,
+        |  string_agg(st || ':' ||
+        |    printf('%.6f', floor(CAST(n AS DOUBLE) / total * 1000000 + 0.5)
+        |      / 1000000), ',' ORDER BY st) AS status_share
+        |FROM c JOIN t USING (o_custkey)
+        |GROUP BY c.o_custkey ORDER BY c.o_custkey""".stripMargin,
     "scan_parquet" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,

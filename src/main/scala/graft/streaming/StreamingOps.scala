@@ -44,6 +44,27 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Chained stateful aggregation (Spark 4: multiple stateful operators in
+    * one append-mode plan): per-type MINUTELY counts, then an HOURLY
+    * rollup of those minutely rows (minutes observed, peak minutely count,
+    * total). Batch twin [[graft.ops.EventOps.eventsTwoLevelAgg]] is the
+    * oracle-checked form. In streaming, the hourly agg windows over the
+    * FIRST agg's emitted window-start — state for both levels is bounded
+    * by the watermark; the second level's input is minute-cardinality, so
+    * its state is trivially small at any event rate. */
+  def twoLevelAgg(ev: DataFrame): DataFrame = {
+    val minutely = ev.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 minute").as("mw"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("mw.start").as("minute"), col("event_type"), col("n"))
+    minutely
+      .groupBy(window(col("minute"), "1 hour").as("hw"), col("event_type"))
+      .agg(count(lit(1)).as("n_minutes"), max(col("n")).as("peak_minute_n"),
+        sum(col("n")).as("total_n"))
+      .select(col("hw.start").as("hour"), col("event_type"),
+        col("n_minutes"), col("peak_minute_n"), col("total_n"))
+  }
+
   /** 30-min-gap session windows per user — streaming twin of
     * [[graft.ops.EventOps.eventsSessionWindow]]. */
   def sessionAgg(ev: DataFrame): DataFrame =
