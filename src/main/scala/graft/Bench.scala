@@ -53,6 +53,15 @@ object Bench {
       // (SPARK_GRAFT_PERIODIC_GC overrides for triage, e.g. "30min" ≈ off.)
       .config("spark.cleaner.periodicGC.interval",
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "90s"))
+      // Never auto-broadcast a pruned FACT table: at the default 10 MB the
+      // column-pruned lineitem scan (~2-4 MB estimate at sf0.1) was chosen
+      // as the build side of sql_local_supplier_volume, and the repeated
+      // ~35 MB hashed-relation builds dominated the sweep (12s for a query
+      // that is ~1s clean — VERDICT r4 #5). 2 MB is the empirical flip
+      // point: dimension tables (nation/region/supplier/customer/part)
+      // still broadcast, fact-scale scans never do. Explicit broadcast()
+      // hints are unaffected; at real scale AQE re-plans from true sizes.
+      .config("spark.sql.autoBroadcastJoinThreshold", "2097152")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Debug aid: SPARK_GRAFT_ONLY=q1,q2 restricts BOTH warm-up and the
@@ -80,6 +89,16 @@ object Bench {
         (r, (System.nanoTime() - t0) / 1e9)
       }
       val firstErr = runs.flatMap(_._1).headOption
+      // Post-query hygiene, OUTSIDE the timed window: drop any persisted
+      // intermediates the query left behind (dedup/curation cache
+      // generations are only retired lazily at the next dedup entry —
+      // until then their blocks sit in the block manager inflating every
+      // query in between). Driver-GC nudge lets ContextCleaner release
+      // finished broadcasts/task binaries promptly instead of waiting for
+      // the 90 s periodic tick — the r4 sweep showed 10-70× inflation on
+      // late queries from exactly this accumulation.
+      spark.catalog.clearCache()
+      System.gc()
       // stderr progress line (stdout carries only the JSON contract):
       // execution-order timeline makes cross-query interference (cache /
       // codegen / cleaner pressure building up over ~190 queries) visible

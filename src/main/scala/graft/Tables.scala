@@ -27,18 +27,30 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = tbl(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame    = tbl(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame    = tbl(s, dir, "region")
-  /** `events.parquet` stores `ts` as TIMESTAMP(NANOS), which Spark 4 refuses
-    * to read natively (PARQUET_TYPE_ILLEGAL). Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` so the column arrives as a
-    * nanos BIGINT; we convert to a µs timestamp here with integer division
-    * (`div`, not `/` — nanos ≈ 1.7e18 exceeds double's 2^53 exact-integer
-    * range, so a float divide would corrupt the microseconds). DuckDB
-    * oracles cast ts to µs themselves, so they are unaffected. */
+  /** `events.parquet` has shipped `ts` in three physical shapes across
+    * harness revisions; normalize ALL of them to a TZ-aware TimestampType
+    * here so every downstream `unix_micros(ts)` / `ts.cast("long")` site
+    * (session gaps, funnels, attribution, as-of tolerance) works unchanged:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 refuses it natively (PARQUET_TYPE_ILLEGAL);
+    *    sessions set `spark.sql.legacy.parquet.nanosAsLong=true` so it
+    *    arrives as a nanos BIGINT → `timestamp_micros(ts div 1000)` (`div`,
+    *    not `/` — nanos ≈ 1.7e18 exceeds double's 2^53 exact-integer range,
+    *    a float divide would corrupt the microseconds).
+    *  - timestamp[us] without UTC flag: Spark 4 reads TIMESTAMP_NTZ, which
+    *    forbids `cast(bigint)` / `unix_micros`; `cast("timestamp")` is
+    *    value-preserving because all sessions pin
+    *    `spark.sql.session.timeZone=UTC` (wall-clock == instant).
+    *  - already TZ-aware: pass through.
+    *
+    * DuckDB oracles read the same parquet wall-clock values, so all three
+    * branches agree with the oracle side. */
   def events(s: SparkSession, dir: String): DataFrame = {
     val raw = tbl(s, dir, "events")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => raw
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
     }
   }
   def documents(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "documents")

@@ -20,6 +20,9 @@ object Verify {
       // (SPARK_GRAFT_PERIODIC_GC overrides for triage, e.g. "30min" ≈ off.)
       .config("spark.cleaner.periodicGC.interval",
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "90s"))
+      // Fact tables never auto-broadcast (same rationale as Bench): 2 MB is
+      // the empirical flip point below the pruned-lineitem size estimate.
+      .config("spark.sql.autoBroadcastJoinThreshold", "2097152")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -28,12 +31,26 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    // A failing query must be un-ignorable: record every execution error in
+    // errors.json so a regression shows up as an explicit `err` entry in the
+    // round artifact rather than a silently missing row (VERDICT r4 #4 — four
+    // AnalysisException queries vanished from CORRECTNESS_r04 this way).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(500)}"
+        errors(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
       }
+    }
+    // Invariant: every selected query produced either a dump dir or an error
+    // entry. If this throws, Verify itself is broken — fail loudly.
+    selected.keys.foreach { name =>
+      val dumped = Files.exists(Paths.get(s"$outDir/$name"))
+      require(dumped || errors.contains(name),
+        s"verify invariant violated: $name has neither dump nor error record")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -54,6 +71,10 @@ object Verify {
     // execution failed (no dump dir) instead of silently skipping them.
     Files.writeString(Paths.get(s"$outDir/queries.json"),
       SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    // Per-query execution failures — always written (possibly empty `{}`) so
+    // downstream tooling can distinguish "ran clean" from "didn't record".
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -597,7 +597,8 @@ object EventOps {
     * cascaded aggregations where the second consumes the first's windowed
     * output. Batch twin of [[graft.streaming.StreamingOps.twoLevelAgg]]
     * (Spark 4 supports multiple stateful operators in append mode);
-    * StreamingSpec asserts stream == batch. The first agg shuffles on
+    * StreamingSpec asserts the append-mode stream equals this batch form
+    * on every watermark-closed hourly window. The first agg shuffles on
     * (minute, type) — the second runs on minute-cardinality data, free at
     * any scale. */
   def eventsTwoLevelAgg(s: SparkSession, dir: String): DataFrame =
@@ -677,8 +678,8 @@ object EventOps {
         |  FROM events GROUP BY 1),
         |pd AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY 1)
         |SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
-        |  SUM(new_users) OVER (ORDER BY day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+        |  CAST(SUM(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         |FROM pd ORDER BY day""".stripMargin,
     "events_two_level_agg" ->
       """WITH m AS (
@@ -688,7 +689,7 @@ object EventOps {
         |SELECT strftime(date_trunc('hour', minute),
         |    '%Y-%m-%d %H:%M:%S.%f') AS hour,
         |  event_type, COUNT(*) AS n_minutes, MAX(n) AS peak_minute_n,
-        |  SUM(n) AS total_n
+        |  CAST(SUM(n) AS BIGINT) AS total_n
         |FROM m GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "events_ewma" ->
       """WITH daily AS (

@@ -1,0 +1,123 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager}
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Live relational sink surface (SURVEY.md §2 K3/K4/K5) — the Spark
+  * equivalent of the reference's JDBC append
+  * (/root/reference/dags/bigbookapi.py:165-177: pandas `to_sql` append into
+  * Postgres after a CREATE-TABLE pre-action) and its staged warehouse load
+  * (/root/reference/dags/db_to_snowflake.py:94-112: PUT to stage + `COPY
+  * INTO`, i.e. bulk-load a staging area then one transactional publish).
+  *
+  * Spark-first shape: the data plane is `df.write.format("jdbc")` — every
+  * executor opens its own connection and streams its partitions with JDBC
+  * batch inserts, so the load parallelizes with the data (no driver-side
+  * collect). The control plane (DDL-ensure, staged publish) is a driver-side
+  * connection running a few statements — O(1) work, exactly like the
+  * reference's hook.run(CREATE TABLE)/COPY INTO calls.
+  *
+  * 100 TB posture: a JDBC target is a throughput mismatch for raw-corpus
+  * scale — this sink is for AGGREGATED results (the reference loads a
+  * 25-row books table). `numPartitions` caps the connection fan-in so a
+  * 1000-executor write cannot open 1000 connections against one database;
+  * the staged-copy path keeps the target table transactionally consistent
+  * (readers never see a half-load) at the cost of one extra server-side
+  * copy, which is the same trade the reference's Snowflake stage makes.
+  *
+  * The harness has no network, so specs/queries run against the EMBEDDED
+  * Derby engine shipped with Spark (jdbc:derby:<path>) — same
+  * `format("jdbc")` code path, dialect and batching as a remote Postgres;
+  * only the URL differs for a production user.
+  */
+object JdbcSink {
+
+  /** Embedded-Derby driver shipped in Spark's jars; callers targeting a
+    * real server pass their own (e.g. org.postgresql.Driver). */
+  val DerbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  /** Derby writes derby.log into user.dir unless told otherwise; keep the
+    * repo clean. Idempotent. */
+  private lazy val derbyHome: Unit = {
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+  }
+
+  private def withConnection[T](url: String, driver: String)(f: Connection => T): T = {
+    derbyHome
+    Class.forName(driver)
+    val conn = DriverManager.getConnection(url)
+    try f(conn) finally conn.close()
+  }
+
+  /** K4 DDL-ensure pre-action: run `CREATE TABLE` and swallow only the
+    * already-exists error — the idempotent table bootstrap every append
+    * pipeline needs before its first load (reference: bigbookapi.py's
+    * CREATE TABLE IF NOT EXISTS hook call). Derby has no IF NOT EXISTS,
+    * so the already-exists SQLState (X0Y32) is the portable signal. */
+  def ensureTable(url: String, table: String, columnsDdl: String,
+                  driver: String = DerbyDriver): Unit =
+    withConnection(url, driver) { conn =>
+      try conn.createStatement().executeUpdate(s"CREATE TABLE $table ($columnsDdl)")
+      catch {
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () // exists
+      }
+    }
+
+  /** Drop a table if present (Derby SQLState 42Y55 = no such table) — the
+    * idempotent pre-action for replace-style publishes and staging reuse. */
+  def dropIfExists(url: String, table: String, driver: String = DerbyDriver): Unit =
+    withConnection(url, driver) { conn =>
+      try conn.createStatement().executeUpdate(s"DROP TABLE $table")
+      catch { case e: java.sql.SQLException if e.getSQLState == "42Y55" => () }
+    }
+
+  /** K3 append sink: distributed JDBC batch-insert append. `numPartitions`
+    * bounds connection fan-in from the cluster side. */
+  def append(df: DataFrame, url: String, table: String,
+             numPartitions: Int = 4, driver: String = DerbyDriver): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", driver)
+      .option("numPartitions", numPartitions)
+      .option("batchsize", 1000)
+      .mode(SaveMode.Append)
+      .save()
+
+  /** K5 staged bulk-copy publish: load into a staging table (distributed
+    * append), then one transactional server-side
+    * `INSERT INTO target SELECT * FROM staging` + drop — readers of
+    * `target` see the whole load or none of it, the `COPY INTO` pattern
+    * without a warehouse. The staging table is recreated per call (drop +
+    * ensure), so a failed previous load can never leak rows into the next
+    * publish. */
+  def stagedCopy(df: DataFrame, url: String, target: String, staging: String,
+                 columnsDdl: String, numPartitions: Int = 4,
+                 driver: String = DerbyDriver): Unit = {
+    dropIfExists(url, staging, driver)
+    ensureTable(url, staging, columnsDdl, driver)
+    ensureTable(url, target, columnsDdl, driver)
+    append(df, url, staging, numPartitions, driver)
+    withConnection(url, driver) { conn =>
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      st.executeUpdate(s"INSERT INTO $target SELECT * FROM $staging")
+      st.executeUpdate(s"DROP TABLE $staging")
+      conn.commit()
+    }
+  }
+
+  /** Read a JDBC table back as a DataFrame (single-partition read — the
+    * verification path; production reads would add partitionColumn bounds
+    * to parallelize). */
+  def read(s: SparkSession, url: String, table: String,
+           driver: String = DerbyDriver): DataFrame = {
+    derbyHome
+    val props = new Properties()
+    props.setProperty("driver", driver)
+    s.read.jdbc(url, table, props)
+  }
+}

@@ -48,17 +48,21 @@ object StreamingOps {
     * one append-mode plan): per-type MINUTELY counts, then an HOURLY
     * rollup of those minutely rows (minutes observed, peak minutely count,
     * total). Batch twin [[graft.ops.EventOps.eventsTwoLevelAgg]] is the
-    * oracle-checked form. In streaming, the hourly agg windows over the
-    * FIRST agg's emitted window-start — state for both levels is bounded
-    * by the watermark; the second level's input is minute-cardinality, so
-    * its state is trivially small at any event rate. */
+    * oracle-checked form. In streaming, the hourly agg windows over
+    * `window_time(mw)` — NOT `mw.start`: projecting the raw start field
+    * drops the event-time attribute, the hourly agg then has no watermark,
+    * and append mode throws STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION.
+    * `window_time` (= mw.end − 1 µs) keeps the attribute, so both levels'
+    * state is watermark-bounded and closed hourly windows emit in append
+    * mode; the containing hour is identical to windowing the minute start.
+    * The second level's input is minute-cardinality, so its state is
+    * trivially small at any event rate. */
   def twoLevelAgg(ev: DataFrame): DataFrame = {
     val minutely = ev.withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 minute").as("mw"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-      .select(col("mw.start").as("minute"), col("event_type"), col("n"))
     minutely
-      .groupBy(window(col("minute"), "1 hour").as("hw"), col("event_type"))
+      .groupBy(window(window_time(col("mw")), "1 hour").as("hw"), col("event_type"))
       .agg(count(lit(1)).as("n_minutes"), max(col("n")).as("peak_minute_n"),
         sum(col("n")).as("total_n"))
       .select(col("hw.start").as("hour"), col("event_type"),

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.JdbcSink
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** K3/K4/K5 JDBC sink against embedded Derby (the only in-process SQL
+  * engine in the harness): append, DDL-ensure idempotency, staged-copy
+  * atomic publish, and full value round-trip through `format("jdbc")`. */
+class JdbcSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  private def freshUrl(tag: String): String = {
+    val dir = Files.createTempDirectory(s"graft_jdbc_$tag")
+    s"jdbc:derby:$dir/db;create=true"
+  }
+
+  private val ddl =
+    """"n_nationkey" BIGINT, "n_name" VARCHAR(64), "n_regionkey" BIGINT"""
+
+  test("ensureTable is idempotent (second CREATE is swallowed)") {
+    val url = freshUrl("ensure")
+    JdbcSink.ensureTable(url, "t_ensure", ddl)
+    JdbcSink.ensureTable(url, "t_ensure", ddl) // must not throw
+    assert(JdbcSink.read(spark, url, "t_ensure").count() == 0)
+  }
+
+  test("append writes every row and preserves values") {
+    val url = freshUrl("append")
+    val src = Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    JdbcSink.ensureTable(url, "t_append", ddl)
+    JdbcSink.append(src, url, "t_append")
+    val back = JdbcSink.read(spark, url, "t_append")
+    assert(back.columns.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(back.orderBy("n_nationkey").collect().map(_.toSeq.mkString("|")).toSeq ==
+      src.orderBy("n_nationkey").collect().map(_.toSeq.mkString("|")).toSeq)
+    // append again → doubled rows (append semantics, not replace)
+    JdbcSink.append(src, url, "t_append")
+    assert(JdbcSink.read(spark, url, "t_append").count() == 2 * src.count())
+  }
+
+  test("stagedCopy publishes transactionally and cleans its staging table") {
+    val url = freshUrl("staged")
+    val src = Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    JdbcSink.stagedCopy(src, url, "t_target", "t_stage", ddl)
+    val back = JdbcSink.read(spark, url, "t_target")
+    assert(back.count() == src.count())
+    // staging table dropped after publish
+    val ex = intercept[Exception](JdbcSink.read(spark, url, "t_stage").count())
+    assert(ex.getMessage != null)
+    // a second publish appends a full second copy (staging recreated fresh)
+    JdbcSink.stagedCopy(src, url, "t_target", "t_stage", ddl)
+    assert(JdbcSink.read(spark, url, "t_target").count() == 2 * src.count())
+  }
+
+  test("sink_jdbc_roundtrip query matches the source nation table") {
+    val out = ops.Relational.sinkJdbcRoundtrip(spark, sf)
+    val src = Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy("n_nationkey")
+    assert(out.collect().map(_.toSeq.mkString("|")).toSeq ==
+      src.collect().map(_.toSeq.mkString("|")).toSeq)
+    // idempotent: running the query again yields the same result (Bench
+    // times every query twice)
+    assert(ops.Relational.sinkJdbcRoundtrip(spark, sf).count() == src.count())
+  }
+}

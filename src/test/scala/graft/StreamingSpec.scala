@@ -51,6 +51,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("streaming two-level agg (append mode): closed hourly windows == batch") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    // Chained stateful aggregations only run in APPEND mode (complete mode is
+    // unsupported for multiple stateful operators), and append only emits a
+    // window once the watermark (max ts − 2 h) passes its end — so compare
+    // against the batch twin on the definitely-closed prefix and require the
+    // streamed rows to be a subset of batch everywhere.
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.twoLevelAgg(ms.toDF())
+      .writeStream.format("memory").queryName("s_twolevel").outputMode("append").start()
+    try {
+      eventsDs.collect().sortBy(_.event_id).grouped(
+        math.max(1, eventsDs.count().toInt / 4)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("s_twolevel")
+    val batch = StreamingOps.twoLevelAgg(Tables.events(spark, sf))
+    assert(rows(streamed).nonEmpty, "append-mode stream emitted no closed windows")
+    assert(rows(streamed).subsetOf(rows(batch)),
+      "streamed rows disagree with the batch twin")
+    import org.apache.spark.sql.functions._
+    val maxTs = Tables.events(spark, sf).agg(max(col("ts"))).head.getTimestamp(0)
+    // hour window [h, h+1h) is closed once watermark = maxTs − 2 h ≥ h+1h.
+    val cut = new java.sql.Timestamp(maxTs.getTime - (2L + 1L) * 3600 * 1000)
+    val mustEmit = batch.filter(col("hour") <= lit(cut))
+    assert(rows(mustEmit).subsetOf(rows(streamed)),
+      "a watermark-closed hourly window never emitted")
+  }
+
   test("dedup-within-watermark drops re-delivered events") {
     val sq = spark; import sq.implicits._
     implicit val ctx = spark.sqlContext

@@ -65,11 +65,18 @@ def main(sf_dir: str, out_dir: str) -> int:
                 if os.path.isdir(os.path.join(out_dir, d))]
         expected = sorted(set(dirs) | set(oracle))
 
+    errs = {}
+    errf = os.path.join(out_dir, "errors.json")
+    if os.path.exists(errf):
+        with open(errf) as f:
+            errs = json.load(f)
+
     n_pass = n_fail = n_noracle = 0
     for name in expected:
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
-            print(f"  [FAIL] {name}: no dump dir (spark execution failed)")
+            detail = errs.get(name, "no dump dir (spark execution failed)")
+            print(f"  [FAIL] {name}: {detail}")
             n_fail += 1
             continue
         got = canon(pd.read_parquet(qdir))
