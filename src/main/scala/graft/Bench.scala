@@ -62,6 +62,13 @@ object Bench {
       // still broadcast, fact-scale scans never do. Explicit broadcast()
       // hints are unaffected; at real scale AQE re-plans from true sizes.
       .config("spark.sql.autoBroadcastJoinThreshold", "2097152")
+      // The generated-class cache defaults to 100 entries — a 212-query
+      // sweep (plus its full warm-up pass) evicts the early queries'
+      // compiled classes, so position-N queries pay a Janino recompile
+      // storm unrelated to their plan (bisected r5: curation_pipeline
+      // 14.5 s in-sweep vs 5.4 s with an identical 29-query prefix but
+      // short warm-up). Size the cache to the sweep, not the default.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Debug aid: SPARK_GRAFT_ONLY=q1,q2 restricts BOTH warm-up and the

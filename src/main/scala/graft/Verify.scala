@@ -23,6 +23,9 @@ object Verify {
       // Fact tables never auto-broadcast (same rationale as Bench): 2 MB is
       // the empirical flip point below the pruned-lineitem size estimate.
       .config("spark.sql.autoBroadcastJoinThreshold", "2097152")
+      // Size the generated-class cache to the sweep (default 100 entries
+      // thrashes across 200+ distinct queries — see Bench).
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -144,6 +144,19 @@ object BooksOps {
   /** S1: the DataSourceV2 paginated source ([[graft.sources.PagedBooksSource]])
     * — 10 page-partitions of 100 rows, aggregated. The oracle recomputes
     * the deterministic feed from the same formula via generate_series. */
+  /** S5: model-hub catalog extract — driver-side client fetch lifted to a
+    * DataFrame, top-50 by downloads (the deleted HuggingFace DAG's
+    * extract step; see [[graft.sources.HubModelsSource]]). The formula
+    * registry is recomputed verbatim by the DuckDB oracle, so the whole
+    * source→sort→limit→project path is hash-checked. Tags ship
+    * comma-joined (arrays hash as scalars in the harness compare). */
+  def scanHubModels(s: SparkSession, dir: String): DataFrame =
+    graft.sources.HubModelsSource.topByDownloads(s, 50)
+      .select(col("model_id"), col("author"), col("pipeline_tag"),
+        concat_ws(",", col("tags")).as("tags_s"), col("downloads"),
+        dateFmt(col("last_modified")).as("last_modified"))
+      .orderBy(col("downloads").desc, col("model_id"))
+
   def scanRestPages(s: SparkSession, dir: String): DataFrame =
     s.read.format("graft.sources.PagedBooksSource")
       .option("rows", 1000).option("pageSize", 100).load()
@@ -155,6 +168,7 @@ object BooksOps {
     "flatten_raw_books" -> flattenRawBooksQuery _,
     "scan_json_raw"     -> scanJsonRaw _,
     "scan_rest_pages"   -> scanRestPages _,
+    "scan_hub_models"   -> scanHubModels _,
   )
 
   private val flattenOracle =
@@ -186,5 +200,19 @@ object BooksOps {
         |  CAST(SUM(CAST((i % 100) / 100.0 AS DECIMAL(25,6))) AS DOUBLE) AS sum_rating,
         |  MIN(i) AS min_id, MAX(i) AS max_id
         |FROM (SELECT unnest(range(0, 1000)) AS i)""".stripMargin,
+    "scan_hub_models" ->
+      """WITH m AS (
+        |  SELECT i,
+        |    'model-' || i AS model_id,
+        |    'org-' || (i % 10) AS author,
+        |    (['text-generation','fill-mask','image-classification',
+        |      'translation','summarization'])[(i % 5) + 1] AS pipeline_tag,
+        |    't' || (i % 3) || ',' || 't' || (i % 7) AS tags_s,
+        |    ((i * 37) % 1000) * 100 AS downloads,
+        |    TIMESTAMP '2025-01-01 00:00:00' + i * INTERVAL 1 DAY AS lm
+        |  FROM (SELECT unnest(range(0, 200)) AS i))
+        |SELECT model_id, author, pipeline_tag, tags_s, downloads,
+        |  strftime(lm, '%Y-%m-%d') AS last_modified
+        |FROM m ORDER BY downloads DESC, model_id LIMIT 50""".stripMargin,
   )
 }

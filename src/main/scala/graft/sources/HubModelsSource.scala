@@ -1,0 +1,83 @@
+package graft.sources
+
+import java.sql.Timestamp
+import java.time.Instant
+import java.time.temporal.ChronoUnit
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S5: model-hub catalog source — the Spark shape of the reference's
+  * deleted HuggingFace DAG (`/root/reference/dags/__pycache__/
+  * huggingface_extract.cpython-312.pyc`: `list_models(...)` top-50 by
+  * downloads projecting Id/author/pipeline_tag/tags/lastModified, loaded
+  * with an ON CONFLICT upsert).
+  *
+  * Architecture: a hub catalog API is a DRIVER-SIDE fetch — the listing
+  * endpoint returns at most a few thousand small records, so the right
+  * Spark mapping is client.listModels → `createDataFrame`, NOT a
+  * partitioned DataSourceV2 scan (that shape — one InputPartition per
+  * page — is [[PagedBooksSource]], for feeds with real volume). The
+  * catalog frame then joins/upserts against cluster-scale tables as a
+  * broadcast-sized dimension.
+  *
+  * The harness has no network, so the default [[HubClient]] is a
+  * deterministic formula registry (the same stand-in discipline as the
+  * multimodal decode kernel); a production user implements HubClient over
+  * the real HTTP API and every downstream plan is unchanged. The formula
+  * is reproduced by the DuckDB oracle, which is what makes the source's
+  * query (`scan_hub_models`) hash-checkable end to end.
+  */
+object HubModelsSource {
+
+  /** One catalog record (field names follow the reference's DDL:
+    * model_id PK, last_modified TIMESTAMP). */
+  final case class HubModel(model_id: String, author: String,
+                            pipeline_tag: String, tags: Seq[String],
+                            downloads: Long, last_modified: Timestamp)
+
+  /** Driver-side catalog client — swap for an HTTP implementation against
+    * a real hub; `limit` mirrors the API's server-side cap. */
+  trait HubClient { def listModels(limit: Int): Seq[HubModel] }
+
+  private val Epoch = Instant.parse("2025-01-01T00:00:00Z")
+  private val Pipelines = Vector("text-generation", "fill-mask",
+    "image-classification", "translation", "summarization")
+
+  /** Deterministic 200-record registry: every field a pure function of the
+    * record index, so the DuckDB oracle recomputes the identical catalog
+    * (downloads = ((i·37) mod 1000)·100 is collision-free on 0..199 —
+    * 37 is invertible mod 1000 — so the top-k cut has no ties; the
+    * model_id tiebreak stays in the ORDER BY anyway). */
+  object DeterministicHub extends HubClient {
+    val Size = 200
+    override def listModels(limit: Int): Seq[HubModel] =
+      (0 until math.min(limit, Size)).map { i =>
+        HubModel(
+          model_id = s"model-$i",
+          author = s"org-${i % 10}",
+          pipeline_tag = Pipelines(i % 5),
+          tags = Seq(s"t${i % 3}", s"t${i % 7}"),
+          downloads = ((i.toLong * 37) % 1000) * 100,
+          last_modified = Timestamp.from(Epoch.plus(i.toLong, ChronoUnit.DAYS)))
+      }
+  }
+
+  /** Fetch the catalog and lift it into a DataFrame (driver-side create —
+    * the frame is dimension-scale by construction). */
+  def read(s: SparkSession, client: HubClient = DeterministicHub,
+           limit: Int = DeterministicHub.Size): DataFrame = {
+    import s.implicits._
+    client.listModels(limit).toDF()
+  }
+
+  /** The reference DAG's extract step: top `k` models by downloads. The
+    * sort-limit runs as a Spark plan (TakeOrderedAndProject on a real
+    * cluster) so the same code serves a hub listing that DID come back
+    * partition-distributed. */
+  def topByDownloads(s: SparkSession, k: Int = 50,
+                     client: HubClient = DeterministicHub): DataFrame =
+    read(s, client)
+      .orderBy(col("downloads").desc, col("model_id"))
+      .limit(k)
+}

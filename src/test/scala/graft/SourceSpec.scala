@@ -36,6 +36,44 @@ class SourceSpec extends AnyFunSuite {
       s"limit not pushed: planned ${PagedBooksTable.lastPlannedRows} rows")
   }
 
+  test("S5: hub catalog source — top-k by downloads matches a local model") {
+    import graft.sources.HubModelsSource
+    val top = HubModelsSource.topByDownloads(spark, 50).collect()
+    assert(top.length == 50)
+    // matches the client computed directly (driver-side ground truth)
+    val want = HubModelsSource.DeterministicHub.listModels(Int.MaxValue)
+      .sortBy(m => (-m.downloads, m.model_id)).take(50)
+    assert(top.map(_.getAs[String]("model_id")).toSeq == want.map(_.model_id))
+    // downloads strictly descending (formula is collision-free on 0..199)
+    val d = top.map(_.getAs[Long]("downloads")).toSeq
+    assert(d == d.sorted(Ordering[Long].reverse) && d.distinct.size == d.size)
+    // schema carries the reference DDL's fields incl. typed tags + timestamp
+    assert(top.head.schema.fieldNames.toSet ==
+      Set("model_id", "author", "pipeline_tag", "tags", "downloads", "last_modified"))
+  }
+
+  test("S5→K6: hub catalog feeds the keep-latest upsert (reference DAG chain)") {
+    import graft.sources.HubModelsSource
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // two catalog snapshots (day-0 fetch and a re-fetch with bumped
+    // last_modified) unioned then deduped keep-latest on the PK — the
+    // ON CONFLICT DO UPDATE semantics of huggingface_extract.pyc
+    val s1 = HubModelsSource.read(spark)
+    val s2 = s1.withColumn("last_modified",
+      col("last_modified") + expr("INTERVAL 1 HOUR"))
+    val merged = s1.union(s2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("model_id")
+          .orderBy(col("last_modified").desc, col("downloads").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    assert(merged.count() == s1.count()) // one row per PK
+    // every surviving row is the re-fetched (later) version
+    val older = merged.as("m").join(s1.as("o"), "model_id")
+      .filter(col("m.last_modified") <= col("o.last_modified")).count()
+    assert(older == 0)
+  }
+
   test("E4: transient page failures recover via in-reader retry with backoff") {
     PagedBooksTable.retriesObserved.set(0L)
     val df = spark.read.format("graft.sources.PagedBooksSource")
