@@ -426,7 +426,44 @@ object PipelineOps {
       .orderBy("split", "lang")
   }
 
+  /** P14: in-pass data-quality metrics via `Dataset.observe` — the
+    * production observability idiom: a pipeline's quality counters
+    * (row counts, null/violation tallies, value bounds) ride the SAME
+    * pass as the real work instead of a second scan, collected on the
+    * driver through `Observation` accumulators. At 100 TB a separate
+    * metrics scan doubles the job; `observe` makes metrics free.
+    *
+    * Here the observed pass is a `noop`-format write (the sink every
+    * metrics-only validation run uses); the returned one-row frame IS
+    * the metrics record, which is what a DQ gate persists per run.
+    * Metrics stick to observe's contract (deterministic aggregates, no
+    * distinct), and the decimal-routed char sum keeps the record
+    * byte-stable across partition orders — same discipline as
+    * [[graft.Tables.dsum]]. */
+  def pipelineObserve(s: SparkSession, dir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    documents(s, dir)
+      .observe(obs,
+        count(lit(1)).as("n_docs"),
+        sum(when(col("text").isNull || length(col("text")) < 10, 1L)
+          .otherwise(0L)).as("n_degenerate"),
+        sum(length(col("text")).cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+          .as("sum_chars_dec"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_docs").asInstanceOf[Long],
+         m("n_degenerate").asInstanceOf[Long],
+         m("sum_chars_dec").asInstanceOf[java.math.BigDecimal].doubleValue,
+         m("min_id").asInstanceOf[Long],
+         m("max_id").asInstanceOf[Long]))
+      .toDF("n_docs", "n_degenerate", "sum_chars", "min_id", "max_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_observe"     -> pipelineObserve _,
     "sample_weighted"      -> sampleWeighted _,
     "sample_per_group"     -> samplePerGroup _,
     "row_global_index"     -> rowGlobalIndex _,
@@ -445,6 +482,13 @@ object PipelineOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_observe" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN text IS NULL OR length(text) < 10
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate,
+        |  CAST(SUM(CAST(length(text) AS DECIMAL(25,6))) AS DOUBLE) AS sum_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents""".stripMargin,
     "sample_weighted" ->
       """WITH m AS (
         |  SELECT doc_id, lang, n_chars,

@@ -2,9 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
-  MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
-  ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Typed event row for the streaming surface (schema = the `events` table
   * after [[graft.Tables.events]] µs normalization). */
@@ -320,6 +320,71 @@ object StreamingOps {
     ev.groupByKey(_.user_id)
       .transformWithState(new TopPurchasesProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Abandoned-session alert emitted by [[abandonedSessionsTws]] when the
+    * event-time watermark passes a user's last activity + 30 min. */
+  final case class SessionAlert(user_id: Long, last_seen_us: Long, n_events: Long)
+
+  /** EVENT-TIME TIMERS on `transformWithState` — the remaining piece of the
+    * arbitrary-state API after value/list/map state: emit an alert when a
+    * key goes QUIET, i.e. output triggered by the ABSENCE of input (cart
+    * abandonment, heartbeat loss, SLA breach). No input-driven operator
+    * can express this — only a watermark-driven timer can, because nothing
+    * else runs for the key.
+    *
+    * Mechanics: every batch of input re-arms a timer at last_seen + 30 min
+    * (the previous timer is deleted — one live timer per key); when the
+    * event-time watermark passes the armed expiry, `handleExpiredTimer`
+    * fires, emits the alert, and CLEARS the state — so state is bounded by
+    * ACTIVE keys only, the property that matters at 100 TB/day (an
+    * inactive user costs nothing after their alert fires). A stale timer
+    * that survives a delete race is ignored by re-checking expiry against
+    * current state. */
+  class AbandonedSessionProcessor extends StatefulProcessor[Long, Ev, SessionAlert] {
+    private val GapMs = 30L * 60 * 1000
+    @transient private var last: ValueState[(Long, Long)] = _ // (last_us, n_events)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[(Long, Long)]("last",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[SessionAlert] = {
+      var (lastUs, n) = if (last.exists()) last.get() else (0L, 0L)
+      val hadState = n > 0
+      rows.foreach { e =>
+        val t = micros(e.ts)
+        if (t > lastUs) lastUs = t
+        n += 1
+      }
+      if (hadState) getHandle.listTimers().foreach(ts =>
+        getHandle.deleteTimer(ts.asInstanceOf[Long]))
+      last.update((lastUs, n))
+      getHandle.registerTimer(lastUs / 1000 + GapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionAlert] = {
+      if (!last.exists()) Iterator.empty
+      else {
+        val (lastUs, n) = last.get()
+        if (info.getExpiryTimeInMs >= lastUs / 1000 + GapMs) {
+          last.clear()
+          Iterator.single(SessionAlert(uid, lastUs, n))
+        } else Iterator.empty // stale timer from a pre-update arm
+      }
+    }
+  }
+
+  /** Alert stream of users whose sessions went quiet for ≥ 30 min of
+    * EVENT time. Input must carry a watermark on `ts` (the timer clock). */
+  def abandonedSessionsTws(ev: Dataset[Ev]): Dataset[SessionAlert] = {
+    val sq = ev.sparkSession; import sq.implicits._
+    ev.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new AbandonedSessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Running per-(user, event_type) count emitted by [[typeCountsTws]]. */

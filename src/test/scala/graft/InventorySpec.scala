@@ -40,7 +40,8 @@ class InventorySpec extends AnyFunSuite {
     // hash-compare is order-sensitive; an oracle without ORDER BY must be
     // a 1-row aggregate (count_star / scan_rest_pages shapes).
     val noOrder = SparkEntry.oracleSql.filterNot(_._2.toUpperCase.contains("ORDER BY"))
-    val allowed = Set("count_star", "scan_rest_pages", "sql_forecast_revenue")
+    val allowed = Set("count_star", "scan_rest_pages", "sql_forecast_revenue",
+      "pipeline_observe") // single-row metrics record
     assert((noOrder.keySet -- allowed).isEmpty,
       s"oracles missing ORDER BY: ${noOrder.keySet -- allowed}")
   }

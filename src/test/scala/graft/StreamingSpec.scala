@@ -301,6 +301,51 @@ class StreamingSpec extends AnyFunSuite {
     tiers.unpersist(); ()
   }
 
+  test("transformWithState event-time timers: abandoned-session alerts fire on watermark, state clears") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    def ev(id: Long, iso: String, uid: Long): Ev =
+      Ev(id, java.sql.Timestamp.from(java.time.Instant.parse(iso)), uid, "view", 1.0, "{}")
+    // transformWithState (and its timer column family) requires the
+    // RocksDB state store; scope the provider to this query.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.abandonedSessionsTws(ms.toDS())
+      .writeStream.format("memory").queryName("s_abandoned").outputMode("append").start()
+    try {
+      // u1: two events then silence; u2: event, long gap, event (its FIRST
+      // quiet period must NOT alert — the 12:00 event re-arms before the
+      // watermark passes 10:30); u91/u92/u93/u94: single-event sentinels
+      // that advance the watermark one hour per batch.
+      ms.addData(ev(1, "2025-06-01T10:00:00Z", 1), ev(2, "2025-06-01T10:10:00Z", 1),
+                 ev(3, "2025-06-01T10:00:00Z", 2))
+      q.processAllAvailable()
+      ms.addData(ev(4, "2025-06-01T12:00:00Z", 2)); q.processAllAvailable()
+      ms.addData(ev(5, "2025-06-01T13:00:00Z", 91)); q.processAllAvailable()
+      ms.addData(ev(6, "2025-06-01T14:00:00Z", 92)); q.processAllAvailable()
+      ms.addData(ev(7, "2025-06-01T15:00:00Z", 93)); q.processAllAvailable()
+      ms.addData(ev(8, "2025-06-01T16:00:00Z", 94)); q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val got = spark.table("s_abandoned").as[StreamingOps.SessionAlert]
+      .collect().map(a => (a.user_id, a.last_seen_us, a.n_events)).toSet
+    def us(iso: String): Long = java.time.Instant.parse(iso).toEpochMilli * 1000
+    val required = Set(
+      (1L, us("2025-06-01T10:10:00Z"), 2L),  // quiet after 10:10, 2 events
+      (2L, us("2025-06-01T12:00:00Z"), 2L),  // SECOND quiet period only
+      (91L, us("2025-06-01T13:00:00Z"), 1L),
+      (92L, us("2025-06-01T14:00:00Z"), 1L))
+    // u93 may or may not have fired depending on whether timers are
+    // evaluated against the batch-start or batch-end watermark; u94's
+    // timer (16:30) is beyond any reachable watermark and must be absent.
+    val optional = Set((93L, us("2025-06-01T15:00:00Z"), 1L))
+    assert(required.subsetOf(got), s"missing alerts: ${required -- got}")
+    assert((got -- required -- optional).isEmpty, s"spurious alerts: ${got -- required -- optional}")
+  }
+
   test("transformWithState running total == oracle-checked batch window twin") {
     val sq = spark; import sq.implicits._
     implicit val ctx = spark.sqlContext
