@@ -458,4 +458,34 @@ object GraftAPI {
       .select("query_id", "corpus_id", "cosine")
     topKPerGroup(scored, Seq("query_id"), "cosine", "corpus_id", k)
   }
+
+  /** SemDeDup-style semantic dedup over a caller-supplied CLUSTER column
+    * (k-means cell id, LSH bucket, shard key — whatever bounds the
+    * candidate space): within each cluster, drop a row iff a LOWER-`id`
+    * row sits within cosine ≥ `tau`; survivors keep `keep = true`,
+    * dropped rows carry their lowest-id near-dup as `rep_id`. Greedy by
+    * id — local, deterministic, no transitive closure (pair volume is
+    * Σ|cluster|², the quantity the caller's clustering controls).
+    * Harness twin: `semantic_dedup` (VectorOps.semanticDedup). */
+  def semanticDedup(df: DataFrame, id: String, cluster: String, vec: String,
+                    tau: Double): DataFrame = {
+    // cosine written EXACTLY as the harness twin (graftDot / (norm·norm),
+    // then 6-dp snap) so facade and harness agree bit-for-bit at τ
+    def d(a: Column, b: Column): Column = graft.functions.VectorFunctions.graftDot(a, b)
+    val av = col("a._v").cast("array<double>")
+    val bv = col("b._v").cast("array<double>")
+    val cos = r6(d(av, bv) / (sqrt(d(av, av)) * sqrt(d(bv, bv))))
+    val slim = df.select(col(id), col(cluster), col(vec).as("_v"))
+    val reps = slim.as("a")
+      .join(slim.as("b"),
+        col(s"a.$cluster") === col(s"b.$cluster") && col(s"a.$id") > col(s"b.$id"))
+      .select(col(s"a.$id").as(id), col(s"b.$id").as("_bid"), cos.as("_cos"))
+      .filter(col("_cos") >= tau)
+      .groupBy(id).agg(min(col("_bid")).as("_rep"))
+    df.select(col(id), col(cluster))
+      .join(reps, Seq(id), "left")
+      .select(col(id), col(cluster),
+        col("_rep").isNull.as("keep"),
+        coalesce(col("_rep"), col(id)).as("rep_id"))
+  }
 }

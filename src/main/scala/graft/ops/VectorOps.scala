@@ -329,7 +329,44 @@ object VectorOps {
       .orderBy("dim")
   }
 
+  /** L26: SemDeDup-style SEMANTIC dedup — cluster the embedding space,
+    * then keep-one-per-near-dup-set WITHIN each cluster only (Abbas et
+    * al. 2023: ε-dedup inside k-means clusters). The cluster assignment
+    * (sign-grid [[cellOf]] standing in for k-means centroids, same
+    * determinism trade as [[knnIvf]]) bounds candidate generation to
+    * same-cell pairs — the n² cross-corpus comparison never exists, the
+    * identical bucket-not-all-pairs physics as the MinHash banding path,
+    * but driven by embedding geometry instead of lexical shingles (the
+    * two catch DIFFERENT duplicates: paraphrases share no shingles).
+    *
+    * Keep policy is greedy-by-id (a vector is dropped iff a LOWER-id
+    * same-cell vector sits within cos ≥ τ), so the decision is local,
+    * deterministic, and needs no transitive closure ([[graft.ops.DedupOps]]
+    * `dedup_clusters` provides the label-propagation form when full
+    * connected components are wanted). Shuffle profile: one exchange on
+    * cell for the pair join + one on vec_id for the min-rep aggregate;
+    * pair volume is Σ|cell|², the quantity the cluster count controls
+    * at 100 TB (SemDeDup's k ≈ √n rule). */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val Tau = 0.35 // same near-dup threshold as embedNeardup's is_dup gate
+    val e = embeddings(s, dir).withColumn("cell", cellOf(col("embedding")))
+    val reps = e.as("a")
+      .join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("bid"),
+        cosine(asD(col("a.embedding")), asD(col("b.embedding"))).as("cos"))
+      .filter(col("cos") >= Tau)
+      .groupBy("vec_id").agg(min(col("bid")).as("rep"))
+    e.select(col("vec_id"), col("cell").cast("int").as("cell"))
+      .join(reps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("rep").isNull.as("keep"),
+        coalesce(col("rep"), col("vec_id")).as("rep_id"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "semantic_dedup"  -> semanticDedup _,
     "embed_power_iter" -> embedPowerIter _,
     "knn_rerank"      -> knnRerank _,
     "knn_hamming"     -> knnHamming _,
@@ -493,6 +530,17 @@ object VectorOps {
          |SELECT vec_id, CAST(cell AS INT) AS cell, ${sqlCos("embedding", "qv")} AS cos
          |FROM c JOIN q ON cell = qcell
          |ORDER BY cos DESC, vec_id ASC LIMIT $K""".stripMargin,
+    "semantic_dedup" ->
+      s"""WITH c AS (SELECT vec_id, embedding, $sqlCell AS cell FROM embeddings),
+         |d AS (
+         |  SELECT a.vec_id AS vec_id, MIN(b.vec_id) AS rep
+         |  FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id > b.vec_id
+         |  WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.35
+         |  GROUP BY a.vec_id)
+         |SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+         |  d.rep IS NULL AS keep, COALESCE(d.rep, c.vec_id) AS rep_id
+         |FROM c LEFT JOIN d ON c.vec_id = d.vec_id
+         |ORDER BY c.vec_id""".stripMargin,
     "embed_neardup" ->
       s"""WITH pairs AS (
          |  SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_id,

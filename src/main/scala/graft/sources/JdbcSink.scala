@@ -110,6 +110,45 @@ object JdbcSink {
     }
   }
 
+  /** Exactly-once streaming publish: the BATCH-ID LEDGER recipe for
+    * transactional sinks. Structured Streaming's `foreachBatch` re-runs a
+    * batch after any failure between sink write and checkpoint commit —
+    * a plain append would duplicate the replayed batch. Here the payload
+    * publish and the ledger insert `(batch_id)` commit in ONE
+    * transaction, so a replayed batch finds its id recorded and skips
+    * entirely; a crash before that commit leaves only an orphan staging
+    * table, which the next attempt drops. This is the transactional-DB
+    * counterpart of [[graft.streaming.StreamingOps.idempotentBatchWriter]]
+    * (which gets the same guarantee from partition overwrite).
+    *
+    * Usage: `ds.writeStream.foreachBatch(
+    *   JdbcSink.exactlyOnceBatchWriter(url, "t_target", "t_ledger", ddl) _)`. */
+  def exactlyOnceBatchWriter(url: String, target: String, ledger: String,
+      columnsDdl: String, numPartitions: Int = 4, driver: String = DerbyDriver)
+      (batch: DataFrame, batchId: Long): Unit = {
+    ensureTable(url, target, columnsDdl, driver)
+    ensureTable(url, ledger, """"batch_id" BIGINT PRIMARY KEY""", driver)
+    val alreadyCommitted = withConnection(url, driver) { conn =>
+      conn.createStatement()
+        .executeQuery(s"""SELECT 1 FROM $ledger WHERE "batch_id" = $batchId""")
+        .next()
+    }
+    if (!alreadyCommitted) {
+      val staging = target + "_stg"
+      dropIfExists(url, staging, driver)
+      ensureTable(url, staging, columnsDdl, driver)
+      append(batch, url, staging, numPartitions, driver)
+      withConnection(url, driver) { conn =>
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        st.executeUpdate(s"INSERT INTO $target SELECT * FROM $staging")
+        st.executeUpdate(s"""INSERT INTO $ledger VALUES ($batchId)""")
+        st.executeUpdate(s"DROP TABLE $staging")
+        conn.commit()
+      }
+    }
+  }
+
   /** Read a JDBC table back as a DataFrame (single-partition read — the
     * verification path; production reads would add partitionColumn bounds
     * to parallelize). */

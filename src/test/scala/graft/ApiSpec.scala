@@ -277,4 +277,24 @@ class ApiSpec extends AnyFunSuite {
     assert(got(0).getLong(1) == 2L && math.abs(got(0).getDouble(2) - 0.666667) < 1e-6)
     assert(got(1).getLong(1) == 0L && got(1).getDouble(2) == 0.0)
   }
+  test("semanticDedup(facade) == VectorOps.semanticDedup on sign-grid clusters") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // the harness derives the cluster internally (sign-grid cell); hand the
+    // facade the same cell so the two must agree row-for-row
+    val cell = (1 to 4).map(j =>
+      when(element_at(col("embedding"), j) > 0f, lit(1 << (j - 1))).otherwise(lit(0)))
+      .reduce(_ + _)
+    val got = GraftAPI.semanticDedup(
+        emb.withColumn("cell", cell), "vec_id", "cell", "embedding", 0.35)
+      .orderBy("vec_id")
+      .select(col("vec_id"), col("keep"), col("rep_id")).collect()
+    val want = ops.VectorOps.semanticDedup(spark, sf)
+      .select(col("vec_id"), col("keep"), col("rep_id")).collect()
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getAs[Number](0).longValue == w.getAs[Number](0).longValue)
+      assert(g.getBoolean(1) == w.getBoolean(1), s"keep mismatch at ${g.get(0)}")
+      assert(g.getAs[Number](2).longValue == w.getAs[Number](2).longValue)
+    }
+  }
 }

@@ -58,6 +58,44 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(JdbcSink.read(spark, url, "t_target").count() == 2 * src.count())
   }
 
+  test("exactlyOnceBatchWriter: a replayed batch commits nothing twice") {
+    val url = freshUrl("ledger")
+    val src = Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val write = JdbcSink.exactlyOnceBatchWriter(url, "t_once", "t_ledger", ddl) _
+    write(src, 0L)
+    write(src, 0L) // foreachBatch replay after a pre-checkpoint failure
+    assert(JdbcSink.read(spark, url, "t_once").count() == src.count())
+    write(src, 1L) // a genuinely new batch still appends
+    assert(JdbcSink.read(spark, url, "t_once").count() == 2 * src.count())
+    // ledger recorded both committed ids
+    assert(JdbcSink.read(spark, url, "t_ledger").count() == 2)
+  }
+
+  test("streaming foreachBatch into JDBC: stream content equals batch content, once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val url = freshUrl("stream")
+    val streamDdl = """"n_nationkey" BIGINT, "n_name" VARCHAR(64), "n_regionkey" BIGINT"""
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = ms.toDF().toDF("n_nationkey", "n_name", "n_regionkey")
+      .writeStream
+      .foreachBatch(JdbcSink.exactlyOnceBatchWriter(url, "t_sm", "t_sm_ledger", streamDdl) _)
+      .start()
+    val rows = Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getString(1),
+        r.getAs[Number](2).longValue)).toSeq
+    try {
+      rows.grouped(10).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    val back = JdbcSink.read(spark, url, "t_sm")
+    assert(back.count() == rows.size)
+    assert(back.orderBy("n_nationkey").collect().map(_.toSeq.mkString("|")).toSeq ==
+      rows.sortBy(_._1).map(t => s"${t._1}|${t._2}|${t._3}"))
+  }
+
   test("sink_jdbc_roundtrip query matches the source nation table") {
     val out = ops.Relational.sinkJdbcRoundtrip(spark, sf)
     val src = Tables.nation(spark, sf)

@@ -79,6 +79,21 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic_dedup invariants: rep ids point down, kept are self-reps, drops exist") {
+    import org.apache.spark.sql.functions.col
+    val out = VectorOps.semanticDedup(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, keep, rep) = (r.getAs[Number]("vec_id").longValue,
+        r.getBoolean(2), r.getAs[Number]("rep_id").longValue)
+      if (keep) assert(rep == id, s"kept $id has foreign rep $rep")
+      else assert(rep < id, s"dropped $id must point to a LOWER-id rep, got $rep")
+    }
+    // the fixture threshold must exercise both branches (a 0-drop pass
+    // would be the '0 rows hash-matches 0-row oracle' trap)
+    assert(out.count(!_.getBoolean(2)) > 0, "no drops — threshold inert on fixture")
+  }
+
   test("approx_count_distinct stays within 5% of exact (A3 tolerance)") {
     val approx = Relational.aggApproxDistinct(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
