@@ -462,8 +462,78 @@ object PipelineOps {
       .toDF("n_docs", "n_degenerate", "sum_chars", "min_id", "max_id")
   }
 
+  /** P15: DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): per-doc
+    * log-likelihood RATIO between a target-distribution unigram LM (here
+    * the `lang='en'` slice standing in for the high-quality target set)
+    * and the full-corpus LM — the score importance resampling draws
+    * against to tilt a raw corpus toward a target domain. Add-one
+    * smoothing over the corpus vocab keeps target-OOV terms finite.
+    *
+    * Scale shape: identical to [[graft.ops.TextOps.textLogprob]] — both
+    * LMs are vocab-cardinality aggregates that BROADCAST; the token
+    * stream is scored map-side and shuffles once, on doc_id, for the
+    * per-doc sum. Re-runs are bit-identical (per-token ratios 6-dp-snapped
+    * before the DECIMAL sum), so a resampling pass built on these weights
+    * is backfill-stable. Downstream, [[corpusBudgetSelect]]-style
+    * selection or [[sampleWeighted]] consumes the weights. */
+  def corpusDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val tok = documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("w"))
+    val corpusLM = tok.groupBy("w").agg(count(lit(1)).as("c_cnt"))
+    val targetLM = tok.filter(col("lang") === "en")
+      .groupBy("w").agg(count(lit(1)).as("t_cnt"))
+    val cTot = corpusLM.agg(sum(col("c_cnt")).as("c_tot"),
+      count(lit(1)).as("v"))
+    val tTot = targetLM.agg(sum(col("t_cnt")).as("t_tot"))
+    tok.join(broadcast(corpusLM), "w")
+      .join(broadcast(targetLM), Seq("w"), "left")
+      .crossJoin(broadcast(cTot)).crossJoin(broadcast(tTot))
+      .select(col("doc_id"),
+        r6(log((coalesce(col("t_cnt"), lit(0L)) + lit(1)).cast("double")
+             / (col("t_tot") + col("v")).cast("double"))
+         - log((col("c_cnt") + lit(1)).cast("double")
+             / (col("c_tot") + col("v")).cast("double"))).as("lr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), r6(dsum(col("lr"))).as("dsir_logw"))
+      .orderBy("doc_id")
+  }
+
+  /** K8: small-file COMPACTION — the table-maintenance pass every
+    * long-lived 100 TB layout needs: streaming ingest / per-batch writes
+    * fragment a table into thousands of small files, and scan cost then
+    * pays per-file open + footer overheads (plus metadata pressure).
+    * Compaction = read → `repartition(target)` → rewrite with
+    * `maxRecordsPerFile` as the size governor. Content must be
+    * BYTE-IDENTICAL before/after — that is what the oracle checks (the
+    * read-back aggregate equals the source-table aggregate); the file
+    * count drop is asserted in PipelineSpec (64 fragments → ≤ 4 files).
+    * On a real lake this is Iceberg/Delta `rewriteDataFiles`; the
+    * Spark-core mechanics are the same. */
+  def sinkCompact(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^0-9.]", "")
+    val frag = s"/tmp/graft_compact_frag_$tag"
+    val tidy = s"/tmp/graft_compact_tidy_$tag"
+    val cols = lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"))
+    // deliberately fragmented layout (the "after a week of micro-batches"
+    // state), then the compaction rewrite
+    cols.repartition(64).write.mode("overwrite").parquet(frag)
+    s.read.parquet(frag).repartition(4)
+      .write.mode("overwrite").option("maxRecordsPerFile", 500000)
+      .parquet(tidy)
+    s.read.parquet(tidy)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_observe"     -> pipelineObserve _,
+    "corpus_dsir_weights"  -> corpusDsirWeights _,
+    "sink_compact"         -> sinkCompact _,
     "sample_weighted"      -> sampleWeighted _,
     "sample_per_group"     -> samplePerGroup _,
     "row_global_index"     -> rowGlobalIndex _,
@@ -482,6 +552,29 @@ object PipelineOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, count(*) AS c_cnt FROM tok GROUP BY w),
+        |t AS (SELECT w, count(*) AS t_cnt FROM tok WHERE lang = 'en' GROUP BY w),
+        |ct AS (SELECT sum(c_cnt) AS c_tot, count(*) AS v FROM c),
+        |tt AS (SELECT sum(t_cnt) AS t_tot FROM t),
+        |sc AS (
+        |  SELECT doc_id,
+        |    floor((ln((COALESCE(t_cnt, 0) + 1)::DOUBLE / (t_tot + v))
+        |         - ln((c_cnt + 1)::DOUBLE / (c_tot + v)))
+        |      * 1000000 + 0.5) / 1000000 AS lr
+        |  FROM tok JOIN c USING (w) LEFT JOIN t USING (w)
+        |    CROSS JOIN ct CROSS JOIN tt)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  floor(CAST(SUM(CAST(lr AS DECIMAL(25,6))) AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS dsir_logw
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "sink_compact" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "pipeline_observe" ->
       """SELECT COUNT(*) AS n_docs,
         |  CAST(SUM(CASE WHEN text IS NULL OR length(text) < 10

@@ -21,4 +21,36 @@ class PipelineSpec extends AnyFunSuite {
     val r2 = BooksPipeline.run(spark, raw, out)
     assert(r2.loadedReadBack == r1.loadedReadBack, "re-run must not duplicate rows")
   }
+
+  test("sink_compact: 64 fragments collapse to <= 4 files, content preserved") {
+    val sf = TestSpark.Sf0001
+    val tag = sf.replaceAll("[^0-9.]", "")
+    ops.PipelineOps.sinkCompact(spark, sf).collect() // runs both writes
+    def parquetFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(f =>
+        f.getName.endsWith(".parquet") && f.length > 0)
+    val nFrag = parquetFiles(s"/tmp/graft_compact_frag_$tag")
+    val nTidy = parquetFiles(s"/tmp/graft_compact_tidy_$tag")
+    assert(nFrag == 64, s"fragmented layout expected 64 files, got $nFrag")
+    assert(nTidy <= 4, s"compacted layout expected <= 4 files, got $nTidy")
+    // content identical to reading the fragments directly
+    val a = spark.read.parquet(s"/tmp/graft_compact_frag_$tag").count()
+    val b = spark.read.parquet(s"/tmp/graft_compact_tidy_$tag").count()
+    assert(a == b)
+  }
+
+  test("corpus_dsir_weights: target-language docs score higher on average") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.Sf0001
+    val w = ops.PipelineOps.corpusDsirWeights(spark, sf)
+      .join(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "lang"), "doc_id")
+    val byLang = w
+      .groupBy((col("lang") === "en").as("is_en"))
+      .agg(avg(col("dsir_logw") / col("n_tokens")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // per-token mean log-ratio must favor the target slice — the property
+    // importance resampling relies on
+    assert(byLang(true) > byLang(false),
+      s"target slice should score higher: en=${byLang(true)} other=${byLang(false)}")
+  }
 }
