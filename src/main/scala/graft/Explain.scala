@@ -46,7 +46,12 @@ object Explain {
                   // round 4f: snapshot-diff CDC, MV delta merge, path
                   // trigrams, Zipf top-k fit
                   "cdc_diff_snapshots", "agg_incremental_merge",
-                  "events_paths3", "text_zipf")) {
+                  "events_paths3", "text_zipf",
+                  // round 5: semantic dedup (cell-bounded pair join), DSIR
+                  // broadcast-LM scoring, observe-metrics noop pass,
+                  // hub catalog top-k, compaction rewrite
+                  "semantic_dedup", "corpus_dsir_weights",
+                  "scan_hub_models", "sink_compact")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -86,9 +86,15 @@ object GraftAPI {
     * Kirsch–Mitzenmacher seed hashes from ONE md5 per shingle, min'd
     * inside a hash aggregate, banded `rowsPerBand` at a time. The 100 TB
     * dedup artifact — write it partitioned by band_key prefix and
-    * self-join bucket-locally. Shuffle rows are (id, longs), never text. */
+    * self-join bucket-locally. Shuffle rows are (id, longs), never text.
+    *
+    * Defaults are the production operating point (128 hashes / 16 bands
+    * of 8 rows — the S-curve knee sits at s ≈ (1/16)^(1/8) ≈ 0.71
+    * Jaccard, the usual near-dup bar); the harness queries use a smaller
+    * 8/2 configuration so their DuckDB oracles stay tractable — the
+    * banding algebra is identical at any (numHashes, bands). */
   def minhashBands(df: DataFrame, id: String, text: String,
-                   numHashes: Int = 8, bands: Int = 2): DataFrame = {
+                   numHashes: Int = 128, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val ex = shingleRows(df, id, text)
@@ -112,7 +118,7 @@ object GraftAPI {
     * by bucket size, never n². Feed the pairs to an exact verify
     * (Jaccard on shingle sets) before acting on them. */
   def lshCandidatePairs(df: DataFrame, id: String, text: String,
-                        numHashes: Int = 8, bands: Int = 2): DataFrame =
+                        numHashes: Int = 128, bands: Int = 16): DataFrame =
     minhashBands(df, id, text, numHashes, bands)
       .groupBy("band", "band_key")
       .agg(sort_array(collect_list(col(id))).as("ids"))

@@ -134,7 +134,7 @@ class ApiSpec extends AnyFunSuite {
   }
 
   test("minhashBands == DedupOps.dedupMinhash band table") {
-    val got = GraftAPI.minhashBands(docs, "doc_id", "text")
+    val got = GraftAPI.minhashBands(docs, "doc_id", "text", numHashes = 8, bands = 2)
       .orderBy("doc_id", "band").collect()
     val want = ops.DedupOps.dedupMinhash(spark, sf).collect()
     assert(got.length == want.length)
@@ -145,7 +145,7 @@ class ApiSpec extends AnyFunSuite {
   }
 
   test("lshCandidatePairs superset of verified simjoin pairs") {
-    val cand = GraftAPI.lshCandidatePairs(docs, "doc_id", "text")
+    val cand = GraftAPI.lshCandidatePairs(docs, "doc_id", "text", numHashes = 8, bands = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val verified = ops.DedupOps.simjoinLsh(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
