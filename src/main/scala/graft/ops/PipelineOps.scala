@@ -530,10 +530,33 @@ object PipelineOps {
       .orderBy("l_returnflag")
   }
 
+  /** P16: per-source QUOTA rebalancing — cap any single source's share of
+    * the curated corpus (the "no domain may dominate" rule every pretrain
+    * mix applies; C4/Pile-style source balancing). Selection within a
+    * source is by md5-hash rank, so (a) which docs survive is a pure
+    * function of content ids — re-runs and repartitions never change the
+    * cut — and (b) the kept subset is an unbiased uniform sample of the
+    * source. Window is partitioned BY SOURCE (each source's ranking runs
+    * parallel); at 100 TB a source is still millions of rows per
+    * partition slice, so the rank is per-source-partitioned work, never a
+    * global sort. Output: every doc with its rank + kept flag (the audit
+    * artifact; filter `kept` for the corpus). */
+  def corpusSourceQuota(s: SparkSession, dir: String): DataFrame = {
+    val Quota = 15L // max docs any source may contribute
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .withColumn("kept", col("src_rank") <= Quota)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_observe"     -> pipelineObserve _,
     "corpus_dsir_weights"  -> corpusDsirWeights _,
     "sink_compact"         -> sinkCompact _,
+    "corpus_source_quota"  -> corpusSourceQuota _,
     "sample_weighted"      -> sampleWeighted _,
     "sample_per_group"     -> samplePerGroup _,
     "row_global_index"     -> rowGlobalIndex _,
@@ -552,6 +575,13 @@ object PipelineOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_source_quota" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS src_rank,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 15 AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "corpus_dsir_weights" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w

@@ -166,4 +166,51 @@ class PropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("semanticDedup == brute-force greedy model on random clustered vectors") {
+    import org.apache.spark.sql.functions._
+    val sq = spark; import sq.implicits._
+    val vecGen: Gen[Seq[Float]] =
+      Gen.listOfN(4, Gen.choose(-1.0f, 1.0f)).map(_.toSeq)
+    val rowGen: Gen[(Long, Int, Seq[Float])] = for {
+      id <- Gen.choose(0L, 10000L); cell <- Gen.choose(0, 3); v <- vecGen
+    } yield (id, cell, v)
+    val prop = Prop.forAll(Gen.listOfN(40, rowGen)) { rows0 =>
+      val rows = rows0.distinctBy(_._1).filter(_._3.exists(_ != 0f))
+      val tau = 0.6
+      def rawCos(a: Seq[Float], b: Seq[Float]): Double = {
+        def d(x: Seq[Float], y: Seq[Float]) =
+          x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+        d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+      }
+      // Discard τ-adjacent cases: within ~1e-4 of the threshold, a 1-ulp
+      // difference between the local fold and Spark's codegen'd fold can
+      // flip the 6-dp snap and the keep decision — that boundary is not
+      // the property under test (determinism AT the boundary is the
+      // oracle's job on fixed fixtures).
+      val boundary = rows.exists { a => rows.exists { b =>
+        a._2 == b._2 && a._1 < b._1 && math.abs(rawCos(a._3, b._3) - tau) < 1e-4 } }
+      if (rows.isEmpty || boundary) Prop.passed
+      else {
+        def cos(a: Seq[Float], b: Seq[Float]): Double = {
+          val c = rawCos(a, b)
+          math.floor(c * 1e6 + 0.5) / 1e6 // the r6 snap both sides apply
+        }
+        // independent local model: greedy by id within each cell
+        val model = rows.map { case (id, cell, v) =>
+          val lower = rows.filter(o => o._2 == cell && o._1 < id &&
+            cos(o._3, v) >= tau).map(_._1)
+          id -> (lower.isEmpty, if (lower.isEmpty) id else lower.min)
+        }.toMap
+        val df = rows.toDF("vec_id", "cell", "embedding")
+        val got = graft.api.GraftAPI
+          .semanticDedup(df, "vec_id", "cell", "embedding", tau)
+          .collect().map(r => r.getAs[Number](0).longValue ->
+            (r.getBoolean(2), r.getAs[Number](3).longValue)).toMap
+        Prop(got == model) :| s"got=$got model=$model"
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
