@@ -48,10 +48,12 @@ object Explain {
                   "cdc_diff_snapshots", "agg_incremental_merge",
                   "events_paths3", "text_zipf",
                   // round 5: semantic dedup (cell-bounded pair join), DSIR
-                  // broadcast-LM scoring, observe-metrics noop pass,
-                  // hub catalog top-k, compaction rewrite
+                  // broadcast-LM scoring, hub catalog top-k.
+                  // (sink_compact is excluded: its query function RUNS the
+                  // fragment + compaction writes eagerly, so explaining it
+                  // would execute two write jobs to print a read-back plan.)
                   "semantic_dedup", "corpus_dsir_weights",
-                  "scan_hub_models", "sink_compact")) {
+                  "scan_hub_models")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

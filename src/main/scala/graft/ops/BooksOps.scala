@@ -141,9 +141,6 @@ object BooksOps {
     flat(flattenRawBooks(s.read.schema(rawSchema).json(path)))
   }
 
-  /** S1: the DataSourceV2 paginated source ([[graft.sources.PagedBooksSource]])
-    * — 10 page-partitions of 100 rows, aggregated. The oracle recomputes
-    * the deterministic feed from the same formula via generate_series. */
   /** S5: model-hub catalog extract — driver-side client fetch lifted to a
     * DataFrame, top-50 by downloads (the deleted HuggingFace DAG's
     * extract step; see [[graft.sources.HubModelsSource]]). The formula
@@ -157,6 +154,9 @@ object BooksOps {
         dateFmt(col("last_modified")).as("last_modified"))
       .orderBy(col("downloads").desc, col("model_id"))
 
+  /** S1: the DataSourceV2 paginated source ([[graft.sources.PagedBooksSource]])
+    * — 10 page-partitions of 100 rows, aggregated. The oracle recomputes
+    * the deterministic feed from the same formula via generate_series. */
   def scanRestPages(s: SparkSession, dir: String): DataFrame =
     s.read.format("graft.sources.PagedBooksSource")
       .option("rows", 1000).option("pageSize", 100).load()

@@ -49,7 +49,19 @@ object JdbcSink {
     derbyHome
     Class.forName(driver)
     val conn = DriverManager.getConnection(url)
-    try f(conn) finally conn.close()
+    try f(conn)
+    catch {
+      case e: Throwable =>
+        // Roll back any open transaction before close: closing a Derby
+        // connection mid-transaction throws 25001 from the finally block,
+        // which would REPLACE the real failure (e.g. the INSERT error in
+        // stagedCopy / exactlyOnceBatchWriter) with a misleading close
+        // error. Rollback failures are suppressed in favor of `e`.
+        try if (!conn.getAutoCommit) conn.rollback()
+        catch { case t: Throwable => e.addSuppressed(t) }
+        throw e
+    }
+    finally conn.close()
   }
 
   /** K4 DDL-ensure pre-action: run `CREATE TABLE` and swallow only the

@@ -58,6 +58,21 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(JdbcSink.read(spark, url, "t_target").count() == 2 * src.count())
   }
 
+  test("a failed transactional publish surfaces the REAL error (rollback before close)") {
+    val url = freshUrl("rollback")
+    val src = Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    // pre-create the target with an incompatible schema: the INSERT-SELECT
+    // publish step must fail, and the caller must see the column-count
+    // SQLException — not Derby's 25001 close-during-transaction error that
+    // an unrolled-back connection would throw from the finally block
+    JdbcSink.ensureTable(url, "t_bad", """"only_col" BIGINT""")
+    val ex = intercept[java.sql.SQLException](
+      JdbcSink.stagedCopy(src, url, "t_bad", "t_bad_stg", ddl))
+    assert(ex.getSQLState != "25001", s"close error masked the real failure: $ex")
+    assert(ex.getSQLState == "42802", s"expected column-count mismatch, got: $ex")
+  }
+
   test("exactlyOnceBatchWriter: a replayed batch commits nothing twice") {
     val url = freshUrl("ledger")
     val src = Tables.nation(spark, sf)

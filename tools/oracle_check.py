@@ -74,12 +74,24 @@ def main(sf_dir: str, out_dir: str) -> int:
     n_pass = n_fail = n_noracle = 0
     for name in expected:
         qdir = os.path.join(out_dir, name)
-        if not os.path.isdir(qdir):
-            detail = errs.get(name, "no dump dir (spark execution failed)")
-            print(f"  [FAIL] {name}: {detail}")
+        # A recorded error wins even when a dump dir exists: a RUNTIME
+        # failure after mode("overwrite") deletes the old dump leaves a
+        # parquet-less dir behind, and read_parquet on it would abort the
+        # whole gate instead of failing one query.
+        if name in errs:
+            print(f"  [FAIL] {name}: {errs[name]}")
             n_fail += 1
             continue
-        got = canon(pd.read_parquet(qdir))
+        if not os.path.isdir(qdir):
+            print(f"  [FAIL] {name}: no dump dir (spark execution failed)")
+            n_fail += 1
+            continue
+        try:
+            got = canon(pd.read_parquet(qdir))
+        except Exception as e:
+            print(f"  [FAIL] {name}: unreadable dump: {e}")
+            n_fail += 1
+            continue
         if name not in oracle:
             n_noracle += 1
             print(f"  [rows-only] {name}: rows={len(got)}")
