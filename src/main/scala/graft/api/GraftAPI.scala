@@ -308,6 +308,22 @@ object GraftAPI {
     * no partition-less window over the data. `quality` MUST be integral
     * (bucket your score first): that keeps the keep-decision arithmetic
     * exact and the spine small. */
+  /** Per-source quota rebalancing: cap any single `source`'s share at
+    * `quota` rows (C4/Pile-style domain balancing). Selection within a
+    * source is by md5-hash rank of the stable `id` — re-runs and
+    * repartitions never change the cut, and the kept subset is an
+    * unbiased uniform sample of the source. The window partitions BY
+    * SOURCE, so the ranking is per-source parallel work, never a global
+    * sort. Output keeps every row with `src_rank` + `kept` (the audit
+    * artifact; filter `kept` for the corpus). Harness twin:
+    * `corpus_source_quota`. */
+  def sourceQuota(df: DataFrame, id: String, source: String, quota: Long): DataFrame = {
+    val w = Window.partitionBy(source)
+      .orderBy(md5(col(id).cast("string")), col(id))
+    df.withColumn("src_rank", row_number().over(w).cast("long"))
+      .withColumn("kept", col("src_rank") <= quota)
+  }
+
   def budgetSelect(df: DataFrame, id: String, quality: String, weight: String,
                    budgetFrac: Double = 0.5): DataFrame = {
     val wSpine = Window.orderBy(col(quality).desc)

@@ -297,4 +297,18 @@ class ApiSpec extends AnyFunSuite {
       assert(g.getAs[Number](2).longValue == w.getAs[Number](2).longValue)
     }
   }
+
+  test("sourceQuota == PipelineOps.corpusSourceQuota at quota 15") {
+    val got = GraftAPI.sourceQuota(
+        docs.select(col("doc_id"), col("source")), "doc_id", "source", 15L)
+      .select("doc_id", "source", "src_rank", "kept")
+      .orderBy("doc_id").collect()
+    val want = ops.PipelineOps.corpusSourceQuota(spark, sf).collect()
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.toSeq == w.toSeq, s"mismatch: $g vs $w")
+    }
+    // the cap actually binds on the fixture
+    assert(got.exists(!_.getBoolean(3)))
+  }
 }
