@@ -239,6 +239,46 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** J6d: NEAREST as-of join — for each purchase, the user's closest
+    * click in EITHER time direction (attribution when the interaction may
+    * log before or after the conversion; ties → the earlier side).
+    * Completes the as-of family (backward [[joinAsof]], forward
+    * [[joinAsofForward]], tolerance [[joinAsofTolerance]]). Same
+    * union-timeline shape: ONE shuffle on user_id carries both the
+    * `last(ignoreNulls)` backward frame and the `first(ignoreNulls)`
+    * forward frame — no self-join, no per-row subquery (the oracle's two
+    * correlated min/max scans ARE that per-row work). Equal timestamps
+    * give gap 0 on both sides and resolve to the backward branch. */
+  def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val wb = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc,
+        when(col("event_type") === "click", 0).otherwise(1).asc,
+        col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc,
+        when(col("event_type") === "click", 1).otherwise(0).asc,
+        col("event_id").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val clickTs = when(col("event_type") === "click", col("ts"))
+    val back = col("prev_click")
+    val fwd = col("next_click")
+    val gapB = unix_micros(col("ts")) - unix_micros(back)
+    val gapF = unix_micros(fwd) - unix_micros(col("ts"))
+    val useBack = fwd.isNull || (back.isNotNull && gapB <= gapF)
+    events(s, dir)
+      .withColumn("click_ts", clickTs)
+      .withColumn("prev_click", last(col("click_ts"), ignoreNulls = true).over(wb))
+      .withColumn("next_click", first(col("click_ts"), ignoreNulls = true).over(wf))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), tsFmt(col("ts")).as("ts_s"),
+        tsFmt(when(useBack, back).otherwise(fwd)).as("nearest_click_s"),
+        when(back.isNull && fwd.isNull, lit(null))
+          .when(useBack, lit("back")).otherwise(lit("fwd")).as("side"),
+        when(useBack, gapB).otherwise(gapF).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** Funnel conversion: per user, first signup → first subsequent
     * purchase, converted iff within 7 days. One conditional-agg pass for
     * signups, one filtered agg for purchases, broadcast-joined — no
@@ -622,6 +662,7 @@ object EventOps {
     "events_paths3"        -> eventsPaths3 _,
     "events_dau_mau"       -> eventsDauMau _,
     "join_asof_forward"    -> joinAsofForward _,
+    "join_asof_nearest"    -> joinAsofNearest _,
     "sessions_concurrency" -> sessionsConcurrency _,
     "events_running_total" -> eventsRunningTotal _,
     "events_anomaly"       -> eventsAnomaly _,
@@ -1050,5 +1091,30 @@ object EventOps {
         |    '%Y-%m-%d %H:%M:%S.%f') AS signup_ts_s
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+    "join_asof_nearest" ->
+      """WITH g AS (
+        |  SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS pts,
+        |    (SELECT max(CAST(c.ts AS TIMESTAMP)) FROM events c
+        |      WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |        AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)) AS back,
+        |    (SELECT min(CAST(c.ts AS TIMESTAMP)) FROM events c
+        |      WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |        AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)) AS fwd
+        |  FROM events p WHERE p.event_type = 'purchase'),
+        |d AS (
+        |  SELECT *, epoch_us(pts) - epoch_us(back) AS gap_b,
+        |    epoch_us(fwd) - epoch_us(pts) AS gap_f,
+        |    (fwd IS NULL OR (back IS NOT NULL AND
+        |      epoch_us(pts) - epoch_us(back) <= epoch_us(fwd) - epoch_us(pts)))
+        |      AS use_back
+        |  FROM g)
+        |SELECT event_id, user_id,
+        |  strftime(pts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  strftime(CASE WHEN use_back THEN back ELSE fwd END,
+        |    '%Y-%m-%d %H:%M:%S.%f') AS nearest_click_s,
+        |  CASE WHEN back IS NULL AND fwd IS NULL THEN NULL
+        |       WHEN use_back THEN 'back' ELSE 'fwd' END AS side,
+        |  CASE WHEN use_back THEN gap_b ELSE gap_f END AS gap_us
+        |FROM d ORDER BY event_id""".stripMargin,
   )
 }
