@@ -80,6 +80,7 @@ object Bench {
     // codegen/JIT path once so measured sf timings reflect steady-state
     // execution, not first-call compilation. Skipped if the SF is absent.
     val warmDir = "/root/testdata/sf0.001"
+    val warmT0 = System.nanoTime()
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
@@ -91,6 +92,16 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
     }
+    val warmSec = (System.nanoTime() - warmT0) / 1e9
+    val sweepT0 = System.nanoTime()
+    // Execution-order (name, minSec, maxSec, err) — persisted to
+    // BENCH_TIMELINE.json below so the round artifact carries the full
+    // per-query min/max timeline, not just the stderr log (VERDICT r5 #2:
+    // driver-vs-builder sweep gaps must be attributable from the artifact
+    // alone — a broad min≈max inflation reads as box noise, isolated
+    // min≪max spikes as per-query first-run cost).
+    val timeline = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Double, Option[String])]
     // Per query: full execution at the target SF, twice; report the min —
     // standard noise control against transient GC/compilation/IO spikes
     // (a single-shot run once showed a 6× outlier on one query). A query
@@ -120,8 +131,10 @@ object Bench {
       System.err.println(
         f"[bench] $name%-24s ${runs.map(_._2).min}%8.3f min  ${runs.map(_._2).max}%8.3f max" +
           firstErr.fold("")(e => s"  FAILED:$e"))
+      timeline += ((name, runs.map(_._2).min, runs.map(_._2).max, firstErr))
       name -> firstErr.toLeft(runs.map(_._2).min)
     }
+    val wallSec = (System.nanoTime() - sweepT0) / 1e9
     val ok = results.collect { case (k, Right(v)) => k -> v }
     val failed = results.collect { case (k, Left(e)) => k -> e }.toSeq.sortBy(_._1)
     val total = ok.values.sum
@@ -129,11 +142,28 @@ object Bench {
       entries.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val failedJson = failed.take(8)
       .map { case (k, e) => "\"" + k + ":" + e + "\"" }.mkString("[", ",", "]")
+    // Full per-query min/max timeline in EXECUTION ORDER → a file the
+    // end-of-round commit picks up (the stdout tail budget can't fit it).
+    // min-of-two is what the totals report; min-vs-max tells inflation
+    // stories apart after the fact.
+    val tlJson = timeline.map { case (n, mn, mx, e) =>
+      s"""{"q":"$n","min":${f3(mn)},"max":${f3(mx)}""" +
+        e.fold("")(err => s""","err":"$err"""") + "}"
+    }.mkString("[\n  ", ",\n  ", "\n]")
+    val tlPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_TIMELINE", "BENCH_TIMELINE.json"))
+    java.nio.file.Files.write(tlPath,
+      s"""{"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"total_min_of_two":${f3(total)},"sweep_wall":${f3(wallSec)},"warmup_wall":${f3(warmSec)},"timeline":$tlJson}\n"""
+        .getBytes("UTF-8"))
+    System.err.println(s"[bench] timeline written to ${tlPath.toAbsolutePath}")
     // Full per-query map — earlier line, human/log consumption only.
     println(s"""{"metric":"total_full","value":${f3(total)},"unit":"sec","queries":${qmap(ok.toSeq.sortBy(_._1))},"failed":$failedJson,"sf":"$sfDir"}""")
-    // Compact line LAST: grand total + counts + headline subset.
+    // Compact line LAST: grand total + counts + headline subset. `wall` /
+    // `warm` carry the sweep + warm-up wall seconds so the artifact shows
+    // how much of the driver's observed runtime was measured queries vs
+    // harness overhead.
     val head = headline.flatMap(k => ok.get(k).map(k -> _))
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":${qmap(head)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","wall":${f3(wallSec)},"warm":${f3(warmSec)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":${qmap(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

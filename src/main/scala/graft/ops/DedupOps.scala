@@ -283,6 +283,11 @@ object DedupOps {
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
 
     val bands = cache(bandTableFrom(shingleRows(s, dir)))
+    // Eagerly materialize: the band table feeds BOTH join sides below, and
+    // a lazy persist lets the two consumers race into computing the
+    // shingle+signature pipeline twice before the cache fills (r5 driver
+    // sweep: 1.0 s → 9.8 s). One count() turns the race into one build.
+    bands.count()
     val index = bands.filter(col("doc_id") < IncrementalCutoff)
       .select("band", "band_key").distinct()
     val batch = bands.filter(col("doc_id") >= IncrementalCutoff)
