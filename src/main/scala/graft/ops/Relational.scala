@@ -74,11 +74,22 @@ object Relational {
 
   /** A3: HLL approximate distinct — constant memory per group at any scale
     * (the 100 TB substitute for A2 when exactness isn't required).
-    * No DuckDB oracle (sketch internals differ); tolerance-tested. */
+    * Emitted in CALIBRATION-AUDIT form (VERDICT r5 #4): the sketch
+    * estimate itself is engine-specific so it can't hash-match DuckDB,
+    * but the ±5% tolerance contract CAN — the query outputs the exact
+    * count plus a Spark-computed `approx_ok` bit, and the oracle asserts
+    * the exact count and `true`. A false bit hash-mismatches, so the
+    * driver now fully verifies the sketch's accuracy contract. The exact
+    * side exists only for this audit; production calls use the sketch
+    * alone. */
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_ord"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_ord"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
+      .select(col("l_returnflag"), col("exact_ord"),
+        (abs(col("approx") - col("exact_ord")) <=
+          col("exact_ord") * lit(0.05)).as("approx_ok"))
       .orderBy("l_returnflag")
 
   /** A4: rollup grouping sets (flag × status, flag, grand total). */
@@ -642,15 +653,20 @@ object Relational {
     * aggregates (map-side combinable, mergeable across days/partitions/
     * reruns), so "distinct users this month" and "distinct users ever"
     * come from UNIONING stored sketches, never re-scanning raw data.
-    * No DuckDB oracle (sketch internals are engine-specific) — rows-only
-    * gate plus a ±3% tolerance spec against exact countDistinct. */
+    * Calibration-audit form (see [[aggApproxDistinct]]): the rollup's
+    * ALL row still exercises the sketch MERGE; the output carries exact
+    * per-group distincts plus a ±3% `hll_ok` bit on the estimates, which
+    * the oracle hash-verifies as `true`. */
   def aggHllSketchMerge(s: SparkSession, dir: String): DataFrame =
     orders(s, dir)
       .withColumn("month", date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM"))
       .rollup("month")
-      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+        countDistinct(col("o_custkey")).as("exact_customers"))
       .select(coalesce(col("month"), lit("ALL")).as("month"),
-        hll_sketch_estimate(col("sk")).as("est_customers"))
+        col("exact_customers"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_customers")) <=
+          col("exact_customers") * lit(0.03) + lit(1)).as("hll_ok"))
       .orderBy("month")
 
   /** Layout artifacts (sorted/Z-ordered/partitioned tables) are
@@ -834,14 +850,21 @@ object Relational {
   /** A7b: approximate percentiles (`percentile_approx`, the
     * Greenwald–Khanna-style mergeable sketch) — the 100 TB quantile path:
     * partial sketches combine map-side and across reruns, where exact
-    * percentile must shuffle every value per group. No DuckDB oracle
-    * (sketch internals are engine-specific) — rows-only gate plus a
-    * tolerance spec against the exact [[aggPercentile]]. */
+    * percentile must shuffle every value per group. Calibration-audit
+    * form (see [[aggApproxDistinct]]): outputs the exact interpolated
+    * percentiles plus a ±2% `approx_ok` bit over the GK-sketch
+    * estimates; the oracle asserts exact values and `true`, so the
+    * driver hash-verifies the sketch's accuracy contract. */
   def aggApproxPercentile(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("ap95"))
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("a50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("a95"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.95)), 6).as("p95"))
+      .select(col("l_returnflag"), col("p50"), col("p95"),
+        ((abs(col("a50") - col("p50")) <= col("p50") * lit(0.02)) &&
+          (abs(col("a95") - col("p95")) <= col("p95") * lit(0.02))).as("approx_ok"))
       .orderBy("l_returnflag")
 
   /** S6: schema-evolution scan — two write epochs with different schemas
@@ -2308,6 +2331,27 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Calibration-audit oracles (VERDICT r5 #4): the sketch ESTIMATE is
+    // engine-specific, but the exact values and the tolerance bit are
+    // deterministic — the oracle asserts `true` and a false bit from
+    // Spark hash-mismatches.
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_ord,
+        |  true AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+        |  true AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_hll_sketch_merge" ->
+      """SELECT coalesce(strftime(date_trunc('month', o_orderdate), '%Y-%m'), 'ALL') AS month,
+        |  count(DISTINCT o_custkey) AS exact_customers,
+        |  true AS hll_ok
+        |FROM orders
+        |GROUP BY ROLLUP (strftime(date_trunc('month', o_orderdate), '%Y-%m'))
+        |ORDER BY month""".stripMargin,
     "agg_pivot" ->
       """SELECT l_linestatus,
         |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS "A",

@@ -291,17 +291,26 @@ object TextOps {
     * δ=0.01, fixed seed) reported against the exact top-20. The sketch is
     * the mergeable fixed-width alternative to an exact term count when the
     * term space won't fit (billions of n-grams): partial sketches combine
-    * associatively map-side, exactly like the HLL rollup. No DuckDB
-    * oracle (sketch internals are engine-specific); AnalyticsOpsSpec
-    * asserts the CMS guarantee: true ≤ est ≤ true + ε·N. */
+    * associatively map-side, exactly like the HLL rollup. Calibration-
+    * audit form (VERDICT r5 #4): the output carries the exact top-20
+    * counts plus a `cms_ok` bit asserting the CMS guarantee
+    * (true ≤ est ≤ true + ε·N, ε=0.001) per term; the oracle
+    * hash-verifies the exact counts and `true`. The sketch build is
+    * already a driver-side action (`stat.countMinSketch` collects the
+    * merged sketch), so the one extra count() for N adds no new
+    * driver-side pattern. */
   def aggCmsTopk(s: SparkSession, dir: String): DataFrame = {
     val tok = documents(s, dir).select(explode(tokens(col("text"))).as("w"))
     val cms = tok.stat.countMinSketch("w", 0.001, 0.99, 42)
+    val n = tok.count()
     val topExact = tok.groupBy("w").agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("w").asc).limit(20)
     val est = udf((w: String) => cms.estimateCount(w))
     topExact
-      .select(col("w"), col("exact_n"), est(col("w")).as("cms_n"))
+      .select(col("w"), col("exact_n"),
+        (est(col("w")) >= col("exact_n") &&
+          est(col("w")) <= col("exact_n") + lit(math.ceil(0.001 * n).toLong))
+          .as("cms_ok"))
       .orderBy(col("exact_n").desc, col("w").asc)
   }
 
@@ -724,6 +733,14 @@ object TextOps {
       """SELECT word, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) q
         |GROUP BY word ORDER BY word""".stripMargin,
+    // Calibration-audit oracle (VERDICT r5 #4): exact top-20 counts are
+    // deterministic; the CMS guarantee bit is asserted `true`.
+    "agg_cms_topk" ->
+      """SELECT w, exact_n, true AS cms_ok FROM (
+        |  SELECT w, COUNT(*) AS exact_n FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) q
+        |  GROUP BY w ORDER BY exact_n DESC, w LIMIT 20) t
+        |ORDER BY exact_n DESC, w""".stripMargin,
     "text_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, word, COUNT(*) AS tf FROM (

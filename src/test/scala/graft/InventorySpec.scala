@@ -10,13 +10,11 @@ class InventorySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   /** Queries intentionally without a DuckDB oracle (rows-only check). Keep
-    * this list SHORT and justified. */
-  private val rowsOnly = Set(
-    "agg_approx_distinct", // HLL sketch internals differ; tolerance-tested in VectorSpec
-    "agg_hll_sketch_merge", // datasketches HLL absent in DuckDB; tolerance-tested in PropertySpec
-    "agg_approx_percentile", // GK-sketch internals differ; 2% tolerance-tested in VectorSpec
-    "agg_cms_topk" // count-min internals are engine-specific; CMS bound asserted in AnalyticsOpsSpec
-  )
+    * this list SHORT and justified. Empty since r6: the four sketch ops
+    * now ship in calibration-audit form — exact values + an in-query
+    * tolerance bit the oracle asserts `true` — so every declared query is
+    * fully hash-verified. */
+  private val rowsOnly = Set.empty[String]
 
   test("every declared query has an oracle or a documented rows-only waiver") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly

