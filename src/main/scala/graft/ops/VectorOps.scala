@@ -100,6 +100,78 @@ object VectorOps {
       .limit(K)
   }
 
+  /** Number of k-means cells — matches the sign-grid's 16 so the recall
+    * comparison runs at EQUAL probe count (1 cell of 16 either way). */
+  private val KmeansCells = 16
+
+  /** 2 Lloyd iterations: (cid, cv) centroid table for IVF. Seeds are the
+    * first [[KmeansCells]] vectors (deterministic, oracle-reproducible);
+    * each iteration = broadcast-argmin assignment (map-side; the only
+    * shuffle is the fixed-width (cid, dim, partial-sum) reduce, exactly
+    * the [[embedCentroids]] shape) + long-form mean → array rebuild.
+    * Determinism for the oracle: distances are 6-dp-snapped with a cid
+    * tie-break, and centroid elements 6-dp-snap BEFORE the decimal sum
+    * ([[graft.Tables.dsum]] rule) so re-runs on any partitioning
+    * byte-match. At 100 TB this table is an INDEX ARTIFACT: train on a
+    * sample, persist, and every probe reads the stored centroids — the
+    * in-plan recompute here is the demo form. */
+  private[graft] def kmeansCentroids(e: DataFrame, iters: Int,
+                                     k: Int = KmeansCells): DataFrame = {
+    // Seeds: the k lowest-id vectors (TakeOrdered — distributed, bounded;
+    // works for sparse id spaces too). cid = the seed's own id: stable,
+    // deterministic tie-break, no dense-0..k assumption.
+    val init = e.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("x").as("cv"))
+    (1 to iters).foldLeft(init) { (cents, _) =>
+      e.crossJoin(broadcast(cents))
+        .groupBy("vec_id")
+        .agg(min(struct(sqDist(col("x"), col("cv")).as("d"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+        .join(e, "vec_id")
+        .select(col("cid"), posexplode(col("x")))
+        .select(col("cid"), col("pos").cast("long").as("dim"), r6(col("col")).as("v"))
+        .groupBy("cid", "dim")
+        .agg(count(lit(1)).as("n"), dsum(col("v")).as("sv"))
+        .select(col("cid"), col("dim"), r6(col("sv") / col("n")).as("c"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("p"))
+        .select(col("cid"), transform(col("p"), x => x.getField("c")).as("cv"))
+    }
+  }
+
+  /** Squared L2 distance via three codegen'd dot products, 6-dp-snapped
+    * so argmin ties resolve identically in both engines. */
+  private def sqDist(x: Column, cv: Column): Column =
+    r6(dot(x, x) - lit(2) * dot(x, cv) + dot(cv, cv))
+
+  /** Broadcast-argmin cell assignment: (vec_id, cell). Map-side scoring
+    * against the broadcast centroid table; the per-vector min is a
+    * partial-agg'd struct (distance, cid) so ties break on cid. */
+  private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .groupBy("vec_id")
+      .agg(min(struct(sqDist(col("x"), col("cv")).as("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+
+  /** L3f: IVF probe over LEARNED centroids (VERDICT r5 #3) — the same
+    * one-cell prune as [[knnIvf]] but with 2-Lloyd-iteration k-means
+    * cells instead of the sign grid, so cell boundaries follow the data
+    * distribution and recall-per-probe improves (measured by
+    * [[knnRecallKmeans]] vs [[knnRecall]] at equal probe count). The
+    * sign-grid variant stays as the centroid-free fallback. */
+  def knnIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("label"), asD(col("embedding")).as("x"))
+    val cells = assignCells(e, kmeansCentroids(e, 2))
+    val ex = e.join(cells, "vec_id")
+    val q = ex.filter(col("vec_id") === 0)
+      .select(col("x").as("qv"), col("cell").as("qcell"))
+    ex.join(broadcast(q), col("cell") === col("qcell"))
+      .select(col("vec_id"), col("cell"), cosine(col("x"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(K)
+  }
+
   /** L4: embedding near-dup — each vector's nearest same-label neighbour
     * (label = coarse bucket), flagged at cosine ≥ 0.35. Window top-1 per
     * vector, ties broken on neighbour id so the result is deterministic. */
@@ -251,6 +323,39 @@ object VectorOps {
       .orderBy("query_id")
   }
 
+  /** L5c: recall harness over the LEARNED-centroid IVF ([[knnIvfKmeans]])
+    * — identical protocol to [[knnRecall]] (3 queries, exact top-10 vs
+    * one probed cell of 16) so the two artifacts are directly comparable
+    * at equal probe count; VectorSpec asserts the k-means cells don't
+    * lose to the sign grid on total recall. */
+  def knnRecallKmeans(s: SparkSession, dir: String): DataFrame = {
+    val ed = embeddings(s, dir)
+      .select(col("vec_id"), col("label"), asD(col("embedding")).as("x"))
+    val e = ed.join(assignCells(ed, kmeansCentroids(ed, 2)), "vec_id")
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("x").as("qv"),
+        col("cell").as("qcell"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("x"), col("qv")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+      .select("query_id", "vec_id")
+    val approx = e.join(broadcast(q), col("cell") === col("qcell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("x"), col("qv")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+      .select("query_id", "vec_id")
+    val hits = exact.join(approx, Seq("query_id", "vec_id"), "leftsemi")
+      .groupBy("query_id").agg(count(lit(1)).as("h"))
+    q.select("query_id").join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("h"), lit(0L)).as("n_hit"),
+        r6(coalesce(col("h"), lit(0L)).cast("double") / lit(K)).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** L3e: binary-hash ANN — each vector collapses to a 60-bit sign
     * signature (one bit per leading dimension: the degenerate form of
     * signed-random-projection LSH, kept deterministic so a SQL oracle can
@@ -372,6 +477,8 @@ object VectorOps {
     "knn_hamming"     -> knnHamming _,
     "knn_batch"       -> knnBatch _,
     "knn_recall"      -> knnRecall _,
+    "knn_recall_kmeans" -> knnRecallKmeans _,
+    "knn_ivf_kmeans"  -> knnIvfKmeans _,
     "embed_normalize" -> embedNormalize _,
     "embed_quantize"  -> embedQuantize _,
     "embed_centroids" -> embedCentroids _,
@@ -398,7 +505,69 @@ object VectorOps {
     .map(j => s"CASE WHEN embedding[$j] > 0 THEN ${1L << (j - 1)} ELSE 0 END")
     .mkString("(", " + ", ")")
 
+  /** DuckDB mirror of [[sqDist]] — same operand order, same 6-dp snap. */
+  private def sqlDist(x: String, cv: String): String =
+    s"""floor((list_dot_product($x, $x) - 2 * list_dot_product($x, $cv) +
+       |      list_dot_product($cv, $cv)) * 1000000 + 0.5) / 1000000""".stripMargin
+
+  /** One Lloyd round in DuckDB: argmin-assign against centroid CTE `$c`,
+    * then 6-dp-snapped long-form mean → ordered-list rebuild (mirrors
+    * [[kmeansCentroids]] exactly, incl. the dsum DECIMAL(25,6) rule). */
+  private def sqlLloydRound(i: Int, c: String): String =
+    s"""a$i AS (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${sqlDist("e.x", "c.cv")} ASC, c.cid ASC) AS rn
+       |  FROM e CROSS JOIN $c c) t WHERE rn = 1),
+       |u$i AS (SELECT a.cid,
+       |    CAST(generate_subscripts(e.x, 1) - 1 AS BIGINT) AS dim,
+       |    floor(unnest(e.x) * 1000000 + 0.5) / 1000000 AS v
+       |  FROM e JOIN a$i a USING (vec_id)),
+       |m$i AS (SELECT cid, dim,
+       |    floor((CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) / count(*))
+       |      * 1000000 + 0.5) / 1000000 AS c
+       |  FROM u$i GROUP BY cid, dim),
+       |c${i + 1} AS (SELECT cid, list(c ORDER BY dim) AS cv FROM m$i GROUP BY cid)""".stripMargin
+
+  /** Shared CTE chain: embeddings → 2 Lloyd rounds → final `cells`
+    * (vec_id, cell) assignment, mirroring kmeansCentroids + assignCells. */
+  private val sqlKmeansCte: String =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, x AS cv FROM e
+       |  ORDER BY vec_id LIMIT $KmeansCells),
+       |${sqlLloydRound(0, "c0")},
+       |${sqlLloydRound(1, "c1")},
+       |cells AS (SELECT vec_id, cid AS cell FROM (
+       |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${sqlDist("e.x", "c.cv")} ASC, c.cid ASC) AS rn
+       |  FROM e CROSS JOIN c2 c) t WHERE rn = 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "knn_ivf_kmeans" ->
+      s"""WITH $sqlKmeansCte,
+         |ex AS (SELECT e.vec_id, e.x, cl.cell FROM e JOIN cells cl USING (vec_id)),
+         |q AS (SELECT x AS qv, cell AS qcell FROM ex WHERE vec_id = 0)
+         |SELECT ex.vec_id, ex.cell, ${sqlCos("ex.x", "q.qv")} AS cos
+         |FROM ex JOIN q ON ex.cell = q.qcell
+         |ORDER BY cos DESC, vec_id ASC LIMIT $K""".stripMargin,
+    "knn_recall_kmeans" ->
+      s"""WITH $sqlKmeansCte,
+         |exx AS (SELECT e.vec_id, e.x, cl.cell FROM e JOIN cells cl USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, x AS qv, cell AS qcell FROM exx
+         |  WHERE vec_id < 3),
+         |ex2 AS (SELECT query_id, vec_id FROM (
+         |  SELECT q.query_id, s.vec_id, row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${sqlCos("s.x", "q.qv")} DESC, s.vec_id ASC) AS rn
+         |  FROM exx s CROSS JOIN q WHERE s.vec_id <> q.query_id) t WHERE rn <= $K),
+         |ap AS (SELECT query_id, vec_id FROM (
+         |  SELECT q.query_id, s.vec_id, row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${sqlCos("s.x", "q.qv")} DESC, s.vec_id ASC) AS rn
+         |  FROM exx s JOIN q ON s.cell = q.qcell WHERE s.vec_id <> q.query_id) t
+         |  WHERE rn <= $K)
+         |SELECT ex2.query_id, CAST(COUNT(ap.vec_id) AS BIGINT) AS n_hit,
+         |  floor((CAST(COUNT(ap.vec_id) AS DOUBLE) / $K) * 1000000 + 0.5)
+         |    / 1000000 AS recall
+         |FROM ex2 LEFT JOIN ap ON ex2.query_id = ap.query_id AND ex2.vec_id = ap.vec_id
+         |GROUP BY ex2.query_id ORDER BY ex2.query_id""".stripMargin,
     "embed_power_iter" ->
       """WITH ex AS (
         |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,

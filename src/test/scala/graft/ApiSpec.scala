@@ -277,6 +277,24 @@ class ApiSpec extends AnyFunSuite {
     assert(got(0).getLong(1) == 2L && math.abs(got(0).getDouble(2) - 0.666667) < 1e-6)
     assert(got(1).getLong(1) == 0L && got(1).getDouble(2) == 0.0)
   }
+  test("kmeansAssign: hand-built 1-D clusters converge to the obvious split") {
+    import spark.implicits._
+    // two tight 2-D blobs around (0,0) and (10,10); ids are SPARSE (seeds
+    // must be the k lowest ids, not ids < k)
+    val pts = Seq(
+      (5L, Array(0.1f, 0.2f)), (7L, Array(-0.1f, 0.0f)), (9L, Array(0.2f, -0.1f)),
+      (11L, Array(10.1f, 9.9f)), (13L, Array(9.8f, 10.2f)), (15L, Array(10.0f, 10.0f))
+    ).toDF("id", "v")
+    val cells = GraftAPI.kmeansAssign(pts, "id", "v", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // seeds are ids 5 and 7 (both in blob A); after the first update one
+    // centroid captures blob B, so the final assignment separates blobs
+    assert(cells.keySet == Set(5L, 7L, 9L, 11L, 13L, 15L))
+    assert(Set(cells(5L), cells(7L), cells(9L)).size == 1, s"blob A split: $cells")
+    assert(Set(cells(11L), cells(13L), cells(15L)).size == 1, s"blob B split: $cells")
+    assert(cells(5L) != cells(11L), s"blobs merged: $cells")
+  }
+
   test("semanticDedup(facade) == VectorOps.semanticDedup on sign-grid clusters") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     // the harness derives the cluster internally (sign-grid cell); hand the

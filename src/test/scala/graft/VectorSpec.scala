@@ -96,6 +96,16 @@ class VectorSpec extends AnyFunSuite {
     assert(out.count(!_.getBoolean(2)) > 0, "no drops — threshold inert on fixture")
   }
 
+  test("k-means IVF recall@10 beats the sign grid at equal probe count (L3f)") {
+    val grid = VectorOps.knnRecall(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val km = VectorOps.knnRecallKmeans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(km.keySet == grid.keySet)
+    assert(km.values.sum > grid.values.sum,
+      s"learned centroids did not improve total hits: $km vs $grid")
+  }
+
   test("approx_count_distinct stays within 5% of exact (A3 tolerance)") {
     // calibration-audit form: the ±5% check runs inside the query as
     // `approx_ok`; the exact column must agree with aggCountDistinct.
