@@ -1,8 +1,11 @@
-# ILLUSTRATIVE ONLY — not imported, not executed by the harness (Airflow is
-# not a dependency of this repo). Shows how the graft engine slots into the
-# orchestration model the reference uses: one Airflow DAG, one task per
-# pipeline stage, each task a `spark-submit` of an engine entry point, XCom
-# carrying ONLY paths (the data plane stays on shared storage).
+# NOT executed by the harness (Airflow is not a dependency of this repo),
+# but every entry point it submits is REAL: graft.jobs.ExtractBooks and
+# graft.jobs.RunBooksPipeline exist in src/main and are smoke-tested
+# end-to-end (JobsSpec runs both mains and asserts idempotent re-runs).
+# Shows how the graft engine slots into the orchestration model the
+# reference uses: one Airflow DAG, one task per pipeline stage, each task a
+# `spark-submit` of an engine entry point, XCom carrying ONLY paths (the
+# data plane stays on shared storage).
 #
 # Design notes vs the reference pipeline:
 #  - each PythonOperator body that did in-process pandas work becomes a

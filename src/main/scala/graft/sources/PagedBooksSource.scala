@@ -27,6 +27,13 @@ import scala.jdk.CollectionConverters._
   * Usage:
   * `spark.read.format("graft.sources.PagedBooksSource")
   *   .option("rows", 1000).option("pageSize", 100).load()`
+  *
+  * Page fetching is a pluggable [[BooksTransport.Transport]]: the default
+  * deterministic formula keeps the source oracle-checkable with no
+  * network; `.option("transport", "http").option("baseUrl", …)`
+  * (+ optional `apiKey`/`timeoutMs`) swaps in the JDK-HttpClient
+  * implementation against a live endpoint — same partitioning, pushdown
+  * and retry behavior either way.
   */
 class PagedBooksSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -41,17 +48,6 @@ object PagedBooksTable {
     StructField("id", LongType, nullable = false),
     StructField("title", StringType, nullable = false),
     StructField("rating", DoubleType, nullable = false)))
-
-  /** Deterministic feed row `i` (the stand-in for one REST record). */
-  def rowAt(i: Long): (Long, String, Double) =
-    (i, s"book-$i", (i % 100) / 100.0)
-
-  /** Field value by name for pruned-schema reads. */
-  def fieldAt(i: Long, field: String): Any = field match {
-    case "id"     => i
-    case "title"  => UTF8String.fromString(s"book-$i")
-    case "rating" => (i % 100) / 100.0
-  }
 
   /** Observability hook for tests: rows planned by the latest scan (after
     * limit pushdown). */
@@ -80,6 +76,13 @@ class PagedBooksTable extends Table with SupportsRead {
     // every flakyEvery-th page fails its first fetch attempt.
     val flakyEvery = options.getLong("flakyEvery", 0L)
     val backoffMs = options.getLong("backoffMs", 2000L)
+    // Transport seam (VERDICT r5 #6): deterministic formula by default,
+    // real HTTP via .option("transport","http").option("baseUrl",...).
+    val spec = BooksTransport.TransportSpec(
+      kind = Option(options.get("transport")).getOrElse("deterministic"),
+      baseUrl = Option(options.get("baseUrl")).getOrElse(""),
+      apiKey = Option(options.get("apiKey")).getOrElse(""),
+      timeoutMs = options.getLong("timeoutMs", 10000L))
     new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
         with Scan with Batch {
       private var prunedSchema: StructType = PagedBooksTable.Schema
@@ -95,7 +98,7 @@ class PagedBooksTable extends Table with SupportsRead {
           .map(off => PagePartition(off, math.min(pageSize, rowCap - off),
             prunedSchema.fieldNames,
             flakyFirstAttempt = flakyEvery > 0 && (off / pageSize) % flakyEvery == 0,
-            backoffMs = backoffMs): InputPartition)
+            backoffMs = backoffMs, spec = spec): InputPartition)
           .toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
@@ -105,7 +108,8 @@ class PagedBooksTable extends Table with SupportsRead {
 }
 
 case class PagePartition(offset: Long, count: Long, fields: Array[String],
-    flakyFirstAttempt: Boolean = false, backoffMs: Long = 2000L)
+    flakyFirstAttempt: Boolean = false, backoffMs: Long = 2000L,
+    spec: BooksTransport.TransportSpec = BooksTransport.TransportSpec())
     extends InputPartition
 
 class PageReaderFactory extends PartitionReaderFactory {
@@ -139,17 +143,26 @@ class PageReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagePartition]
     new PartitionReader[InternalRow] {
-      // "fetch the page": materialization point where a real REST call
-      // would happen — and where the injected transient failure fires.
-      private val page: IndexedSeq[Long] = fetchWithRetry(p) { attempt =>
+      // Transport is built EXECUTOR-SIDE from the serializable spec; the
+      // fault-injection wrapper sits above it so the retry path is
+      // exercised identically for every transport kind.
+      private val transport = p.spec.build()
+      private val page: IndexedSeq[BooksTransport.BookRecord] = fetchWithRetry(p) { attempt =>
         if (p.flakyFirstAttempt && attempt == 1)
           throw new java.io.IOException(s"transient failure at offset ${p.offset}")
-        p.offset until (p.offset + p.count)
+        transport.fetchPage(p.offset, p.count)
       }
       private var i = -1
       override def next(): Boolean = { i += 1; i < page.length }
       override def get(): InternalRow = InternalRow.fromSeq(
-        p.fields.toIndexedSeq.map(f => PagedBooksTable.fieldAt(page(i), f)))
+        p.fields.toIndexedSeq.map { f =>
+          val r = page(i)
+          f match {
+            case "id"     => r.id
+            case "title"  => UTF8String.fromString(r.title)
+            case "rating" => r.rating
+          }
+        })
       override def close(): Unit = ()
     }
   }

@@ -20,6 +20,22 @@ class SourceSpec extends AnyFunSuite {
     assert(feed.count() == 1000)
   }
 
+  test("transport seam: explicit deterministic == default; bad specs fail loudly") {
+    val explicit = spark.read.format("graft.sources.PagedBooksSource")
+      .option("rows", 200).option("pageSize", 50)
+      .option("transport", "deterministic").load()
+    assert(explicit.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      (0L until 200L))
+    // http without baseUrl / unknown kind must abort the read, not hang:
+    // the spec is validated executor-side at transport build time
+    val noUrl = spark.read.format("graft.sources.PagedBooksSource")
+      .option("rows", 10).option("transport", "http").load()
+    assertThrows[org.apache.spark.SparkException](noUrl.count())
+    val unknown = spark.read.format("graft.sources.PagedBooksSource")
+      .option("rows", 10).option("transport", "carrier-pigeon").load()
+    assertThrows[org.apache.spark.SparkException](unknown.count())
+  }
+
   test("column pruning reaches the source (pruned ReadSchema)") {
     val plan = feed.select("rating").queryExecution.executedPlan.toString
     val scanLine = plan.linesIterator.find(_.contains("BatchScan")).getOrElse("")
