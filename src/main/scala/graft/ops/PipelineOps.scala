@@ -440,9 +440,14 @@ object PipelineOps {
     * distinct), and the decimal-routed char sum keeps the record
     * byte-stable across partition orders — same discipline as
     * [[graft.Tables.dsum]]. */
-  def pipelineObserve(s: SparkSession, dir: String): DataFrame = {
+  def pipelineObserve(s: SparkSession, dir: String): DataFrame =
+    observeDocs(s, documents(s, dir))
+
+  /** Observe-metrics core over any (doc_id, text) frame — split out so the
+    * empty-input degenerate case is spec-testable. */
+  private[graft] def observeDocs(s: SparkSession, docs: DataFrame): DataFrame = {
     val obs = org.apache.spark.sql.Observation()
-    documents(s, dir)
+    docs
       .observe(obs,
         count(lit(1)).as("n_docs"),
         sum(when(col("text").isNull || length(col("text")) < 10, 1L)
@@ -454,11 +459,16 @@ object PipelineOps {
       .write.format("noop").mode("overwrite").save()
     val m = obs.get
     import s.implicits._
-    Seq((m("n_docs").asInstanceOf[Long],
-         m("n_degenerate").asInstanceOf[Long],
-         m("sum_chars_dec").asInstanceOf[java.math.BigDecimal].doubleValue,
-         m("min_id").asInstanceOf[Long],
-         m("max_id").asInstanceOf[Long]))
+    // Null-safe extraction (ADVICE r5): on an EMPTY input sum/min/max
+    // observe as null — the degenerate case a DQ record exists to report
+    // must yield a row (0 docs, 0 chars, null id bounds), not an NPE.
+    def asLong(k: String): Long =
+      Option(m(k)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    def idBound(k: String): Option[Long] = Option(m(k)).map(_.asInstanceOf[Long])
+    Seq((asLong("n_docs"), asLong("n_degenerate"),
+         Option(m("sum_chars_dec"))
+           .map(_.asInstanceOf[java.math.BigDecimal].doubleValue).getOrElse(0.0),
+         idBound("min_id"), idBound("max_id")))
       .toDF("n_docs", "n_degenerate", "sum_chars", "min_id", "max_id")
   }
 

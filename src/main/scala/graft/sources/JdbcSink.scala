@@ -38,6 +38,19 @@ object JdbcSink {
     * real server pass their own (e.g. org.postgresql.Driver). */
   val DerbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
 
+  /** Table/staging/ledger names are interpolated into DDL/DML strings
+    * (JDBC has no identifier placeholders), so they are constrained to
+    * plain or schema-qualified SQL identifiers — a non-constant name from
+    * user input cannot smuggle SQL into the statement (ADVICE r5).
+    * Quoted/exotic identifiers are deliberately out of scope; pass plain
+    * names. */
+  private val IdentPattern = "[A-Za-z][A-Za-z0-9_]*(?:\\.[A-Za-z][A-Za-z0-9_]*)?".r
+
+  private def ident(name: String): String =
+    if (IdentPattern.matches(name)) name
+    else throw new IllegalArgumentException(
+      s"illegal SQL identifier '$name' (expected [A-Za-z][A-Za-z0-9_]* with optional schema qualifier)")
+
   /** Derby writes derby.log into user.dir unless told otherwise; keep the
     * repo clean. Idempotent. */
   private lazy val derbyHome: Unit = {
@@ -72,7 +85,7 @@ object JdbcSink {
   def ensureTable(url: String, table: String, columnsDdl: String,
                   driver: String = DerbyDriver): Unit =
     withConnection(url, driver) { conn =>
-      try conn.createStatement().executeUpdate(s"CREATE TABLE $table ($columnsDdl)")
+      try conn.createStatement().executeUpdate(s"CREATE TABLE ${ident(table)} ($columnsDdl)")
       catch {
         case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () // exists
       }
@@ -82,7 +95,7 @@ object JdbcSink {
     * idempotent pre-action for replace-style publishes and staging reuse. */
   def dropIfExists(url: String, table: String, driver: String = DerbyDriver): Unit =
     withConnection(url, driver) { conn =>
-      try conn.createStatement().executeUpdate(s"DROP TABLE $table")
+      try conn.createStatement().executeUpdate(s"DROP TABLE ${ident(table)}")
       catch { case e: java.sql.SQLException if e.getSQLState == "42Y55" => () }
     }
 
@@ -116,8 +129,8 @@ object JdbcSink {
     withConnection(url, driver) { conn =>
       conn.setAutoCommit(false)
       val st = conn.createStatement()
-      st.executeUpdate(s"INSERT INTO $target SELECT * FROM $staging")
-      st.executeUpdate(s"DROP TABLE $staging")
+      st.executeUpdate(s"INSERT INTO ${ident(target)} SELECT * FROM ${ident(staging)}")
+      st.executeUpdate(s"DROP TABLE ${ident(staging)}")
       conn.commit()
     }
   }
@@ -142,7 +155,7 @@ object JdbcSink {
     ensureTable(url, ledger, """"batch_id" BIGINT PRIMARY KEY""", driver)
     val alreadyCommitted = withConnection(url, driver) { conn =>
       conn.createStatement()
-        .executeQuery(s"""SELECT 1 FROM $ledger WHERE "batch_id" = $batchId""")
+        .executeQuery(s"""SELECT 1 FROM ${ident(ledger)} WHERE "batch_id" = $batchId""")
         .next()
     }
     if (!alreadyCommitted) {
@@ -153,9 +166,9 @@ object JdbcSink {
       withConnection(url, driver) { conn =>
         conn.setAutoCommit(false)
         val st = conn.createStatement()
-        st.executeUpdate(s"INSERT INTO $target SELECT * FROM $staging")
-        st.executeUpdate(s"""INSERT INTO $ledger VALUES ($batchId)""")
-        st.executeUpdate(s"DROP TABLE $staging")
+        st.executeUpdate(s"INSERT INTO ${ident(target)} SELECT * FROM ${ident(staging)}")
+        st.executeUpdate(s"""INSERT INTO ${ident(ledger)} VALUES ($batchId)""")
+        st.executeUpdate(s"DROP TABLE ${ident(staging)}")
         conn.commit()
       }
     }

@@ -21,6 +21,21 @@ class JdbcSinkSpec extends AnyFunSuite {
   private val ddl =
     """"n_nationkey" BIGINT, "n_name" VARCHAR(64), "n_regionkey" BIGINT"""
 
+  test("non-identifier table names are rejected before any SQL runs (ADVICE r5)") {
+    val url = freshUrl("inject")
+    // classic injection shape and a few malformed identifiers — all must
+    // throw IllegalArgumentException, not reach the database
+    Seq("t; DROP TABLE x", "t\"y", "1starts_with_digit", "", "a.b.c")
+      .foreach { bad =>
+        intercept[IllegalArgumentException](
+          sources.JdbcSink.ensureTable(url, bad, "\"k\" INT"))
+        intercept[IllegalArgumentException](
+          sources.JdbcSink.dropIfExists(url, bad))
+      }
+    // schema-qualified plain identifiers stay legal
+    sources.JdbcSink.ensureTable(url, "APP.t_ok", "\"k\" INT")
+  }
+
   test("ensureTable is idempotent (second CREATE is swallowed)") {
     val url = freshUrl("ensure")
     JdbcSink.ensureTable(url, "t_ensure", ddl)

@@ -39,6 +39,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("pipeline_observe on an EMPTY input yields a zero row, not a crash") {
+    val sq = spark
+    import sq.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val row = ops.PipelineOps.observeDocs(spark, empty).collect()(0)
+    assert(row.getLong(0) == 0L && row.getLong(1) == 0L)
+    assert(row.getDouble(2) == 0.0)
+    assert(row.isNullAt(3) && row.isNullAt(4))
+  }
+
   test("corpus_dsir_weights: target-language docs score higher on average") {
     import org.apache.spark.sql.functions._
     val sf = TestSpark.Sf0001
