@@ -49,6 +49,14 @@ object DedupOps {
     cachedGen.foreach(_.unpersist(false)); cachedGen.clear()
   }
 
+  /** LAZY persist, deliberately (r6 A/B): an eager count() per cache was
+    * tried to close the multi-consumer double-compute race and made the
+    * composites WORSE (curation_pipeline 5.7 s → 18.2 s same-window A/B)
+    * — serializing one small job per cached frame costs more than the
+    * race, because a single big action materializes every cache branch
+    * with full cluster parallelism. The one op where the race measurably
+    * dominates (dedup_incremental: 4 consumers of the band table, 9.8 s
+    * → 1.3 s) forces materialization explicitly at its own site. */
   private def cache(df: DataFrame): DataFrame = synchronized {
     cachedGen += df; df.persist()
   }
@@ -160,7 +168,9 @@ object DedupOps {
           y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    val sh = shRows.groupBy("doc_id").agg(collect_list(col("x")).as("shingles"))
+    // cached: the shingle-ARRAY table feeds BOTH verify sides; uncached,
+    // each join recomputes the collect_list groupBy over the corpus
+    val sh = cache(shRows.groupBy("doc_id").agg(collect_list(col("x")).as("shingles")))
     cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -174,13 +184,20 @@ object DedupOps {
     * DECISIONS by connected components: every doc in a component keeps the
     * component's min doc_id as cluster id (keep that one, drop the rest).
     *
-    * Distributed min-label propagation: labels live in a DataFrame, each
-    * iteration joins labels across edges and takes the min — data stays
-    * partitioned on doc_id; the driver loop only checks the converged-row
-    * COUNT (control plane, not data). Iteration count = component
-    * diameter, and near-dup components are tiny by construction (bounded
-    * bucket sizes), so this converges in a handful of rounds even at
-    * corpus scale. */
+    * Distributed min-label propagation WITH POINTER JUMPING: each round
+    * takes the min over edge-neighbors' labels AND over the label's own
+    * label (the path-doubling shortcut), so convergence is O(log
+    * diameter) rounds instead of O(diameter). On this fixture components
+    * are small (seeded start + one jump round converge immediately); the
+    * jumping is for the corpus-scale failure mode — boilerplate/template
+    * families chaining thousands of docs into high-diameter components,
+    * where a linear-round loop is the difference between 12 jobs and
+    * 4000. Labels live in a DataFrame partitioned on doc_id; the driver
+    * only checks the converged-row COUNT (control plane, not data). */
+  /** Observability hook (tests + convergence triage): propagation rounds
+    * used by the most recent [[dedupClusters]] invocation. */
+  @volatile private[graft] var lastClusterRounds: Int = -1
+
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val MaxRounds = 50
     val pairs = cache(simPairs(s, dir).select("doc_a", "doc_b"))
@@ -202,12 +219,25 @@ object DedupOps {
     while (!converged && rounds < MaxRounds) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy("src").agg(min(col("lbl")).as("nbr_lbl"))
-      // change flag computed inside the propagation join — one action per
-      // round (materialize + convergence count together)
-      val step = labels.join(nbrMin, col("id") === col("src"), "left")
+      val half = labels.join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
-          (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).as("changed"))
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+      // POINTER JUMPING (r6): also shortcut to the label's own label
+      // (lbl ← min(lbl, lbl(lbl))) — the label-of-label hop halves
+      // remaining path lengths each round, turning the worst case from
+      // O(diameter) to O(log diameter) rounds. The b-side re-reads
+      // `half`'s plan over this round's cached inputs (AQE reuses the
+      // exchange when it can); the round stays ONE action.
+      val jump = half.as("a")
+        .join(half.select(col("id").as("jid"), col("lbl").as("jlbl")).as("b"),
+          col("a.lbl") === col("jid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.lbl"), coalesce(col("jlbl"), col("a.lbl"))).as("lbl"))
+      // change flag vs the round's starting labels — one action per round
+      // (materialize + convergence count together)
+      val step = labels.select(col("id"), col("lbl").as("old"))
+        .join(jump, "id")
+        .select(col("id"), col("lbl"), (col("lbl") < col("old")).as("changed"))
       // Lineage truncation: each round's plan nests the previous round's,
       // so analyzer time and lost-block recompute depth grow linearly.
       // Near-dup components have tiny diameters (bounded buckets) and
@@ -229,6 +259,7 @@ object DedupOps {
       labels = next.select("id", "lbl")
       rounds += 1
     }
+    lastClusterRounds = rounds
     // Register BEFORE the convergence check: on the throw path prev must
     // still be retired by the next invocation, not leak for the session.
     synchronized { cachedGen += prev }
@@ -283,10 +314,12 @@ object DedupOps {
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
 
     val bands = cache(bandTableFrom(shingleRows(s, dir)))
-    // Eagerly materialize: the band table feeds BOTH join sides below, and
-    // a lazy persist lets the two consumers race into computing the
-    // shingle+signature pipeline twice before the cache fills (r5 driver
-    // sweep: 1.0 s → 9.8 s). One count() turns the race into one build.
+    // Eager materialization AT THIS SITE (r5→r6 fix, see cache()'s
+    // scaladoc for why cache itself stays lazy): the band table feeds
+    // FOUR consumers below (index, batch, the semi-join probe, the spine
+    // distinct) and the lazy persist let them race into recomputing the
+    // shingle+signature pipeline (driver sweep 1.0 s → 9.8 s; isolated
+    // min-of-two back to 1.3 s with this count()).
     bands.count()
     val index = bands.filter(col("doc_id") < IncrementalCutoff)
       .select("band", "band_key").distinct()
