@@ -558,6 +558,39 @@ object PipelineOps {
     * partition slice, so the rank is per-source-partitioned work, never a
     * global sort. Output: every doc with its rank + kept flag (the audit
     * artifact; filter `kept` for the corpus). */
+  /** P17: temperature-scaled source mixing — the multilingual-corpus
+    * rebalancing rule (α-smoothed sampling, the XLM/mT5 family's
+    * `p^α / Σp^α` with α = 0.5): big sources are down-weighted, rare
+    * sources up-weighted, and `rep_factor` = q/p is the expected
+    * duplication each source needs under the smoothed draw (> 1 ⇒
+    * upsample). Complements [[corpusMixEpochs]] (fixed target shares)
+    * and [[corpusSourceQuota]] (hard caps) with the smooth-exponent
+    * policy.
+    *
+    * Scale shape: one map-side-combined groupBy(source) over the corpus;
+    * everything after runs on the source-cardinality table (broadcast
+    * totals, no window, no second corpus pass). Determinism: α = 0.5 is
+    * applied as `sqrt` (correctly-rounded IEEE op, bit-identical in
+    * DuckDB, unlike `pow`); ratios 6-dp-snap and the normalizer is a
+    * [[graft.Tables.dsum]] DECIMAL sum, so the weights are
+    * partition-order independent. */
+  def corpusTemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val src = documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val tot = src.agg(sum(col("n_tokens")).as("nt"))
+    val withP = src.crossJoin(broadcast(tot))
+      .withColumn("p", r6(col("n_tokens").cast("double") / col("nt")))
+      .withColumn("sq", r6(sqrt(col("p"))))
+    val z = withP.agg(dsum(col("sq")).as("z"))
+    withP.crossJoin(broadcast(z))
+      .withColumn("q", r6(col("sq") / col("z")))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("p"), col("q"),
+        r6(col("q") / col("p")).as("rep_factor"))
+      .orderBy("source")
+  }
+
   def corpusSourceQuota(s: SparkSession, dir: String): DataFrame = {
     val Quota = 15L // max docs any source may contribute
     val w = Window.partitionBy("source")
@@ -574,6 +607,7 @@ object PipelineOps {
     "corpus_dsir_weights"  -> corpusDsirWeights _,
     "sink_compact"         -> sinkCompact _,
     "corpus_source_quota"  -> corpusSourceQuota _,
+    "corpus_temperature_mix" -> corpusTemperatureMix _,
     "sample_weighted"      -> sampleWeighted _,
     "sample_per_group"     -> samplePerGroup _,
     "row_global_index"     -> rowGlobalIndex _,
@@ -592,6 +626,21 @@ object PipelineOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_temperature_mix" ->
+      """WITH src AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS nt FROM src),
+        |p AS (SELECT src.*, floor((n_tokens::DOUBLE / nt) * 1000000 + 0.5) / 1000000 AS p
+        |  FROM src CROSS JOIN t),
+        |sq AS (SELECT *, floor(sqrt(p) * 1000000 + 0.5) / 1000000 AS sq FROM p),
+        |z AS (SELECT CAST(SUM(CAST(sq AS DECIMAL(25,6))) AS DOUBLE) AS z FROM sq),
+        |q AS (SELECT sq.*, floor((sq / z) * 1000000 + 0.5) / 1000000 AS q
+        |  FROM sq CROSS JOIN z)
+        |SELECT source, n_docs, n_tokens, p, q,
+        |  floor((q / p) * 1000000 + 0.5) / 1000000 AS rep_factor
+        |FROM q ORDER BY source""".stripMargin,
     "corpus_source_quota" ->
       """SELECT doc_id, source,
         |  CAST(row_number() OVER (PARTITION BY source

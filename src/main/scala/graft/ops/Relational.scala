@@ -867,6 +867,38 @@ object Relational {
           (abs(col("a95") - col("p95")) <= col("p95") * lit(0.02))).as("approx_ok"))
       .orderBy("l_returnflag")
 
+  /** A26: KLL mergeable quantile sketch (Spark 4.1 datasketches
+    * built-ins) — the store-sketches-merge-later quantile counterpart of
+    * [[aggHllSketchMerge]]: per-group `kll_sketch_agg_double` sketches
+    * combine associatively across partitions/reruns where exact
+    * percentile must shuffle every value. Calibration-audit form (same
+    * discipline as [[aggApproxDistinct]]): phase 1 derives the KLL
+    * p50/p95 estimates per group; phase 2 broadcasts those 3 rows back
+    * over the fact scan and measures the EXACT rank of each estimate —
+    * `kll_ok` asserts the sketch's rank-error contract (±3 rank points,
+    * comfortably above the k=200 default's ~1.65%), and the oracle
+    * hash-verifies the exact percentiles and the bit. */
+  def aggKllQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val est = lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(expr("kll_sketch_get_quantile_double(" +
+        "kll_sketch_agg_double(cast(l_extendedprice as double)), " +
+        "array(0.5d, 0.95d))").as("q"))
+      .select(col("l_returnflag").as("ef"),
+        element_at(col("q"), 1).as("e50"), element_at(col("q"), 2).as("e95"))
+    lineitem(s, dir).join(broadcast(est), col("l_returnflag") === col("ef"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.95)), 6).as("p95"),
+        avg(when(col("l_extendedprice") <= col("e50"), 1.0).otherwise(0.0)).as("r50"),
+        avg(when(col("l_extendedprice") <= col("e95"), 1.0).otherwise(0.0)).as("r95"))
+      .select(col("l_returnflag"), col("n"), col("p50"), col("p95"),
+        ((abs(col("r50") - lit(0.5)) <= lit(0.03)) &&
+          (abs(col("r95") - lit(0.95)) <= lit(0.03))).as("kll_ok"))
+      .orderBy("l_returnflag")
+  }
+
   /** S6: schema-evolution scan — two write epochs with different schemas
     * (epoch 2 adds a column), read back with `mergeSchema`: Spark unions
     * the footers' schemas and nulls the missing column in old files. At
@@ -2070,6 +2102,7 @@ object Relational {
     "join_range_binned"   -> joinRangeBinned _,
     "cogroup_merge"       -> cogroupMerge _,
     "agg_hll_sketch_merge" -> aggHllSketchMerge _,
+    "agg_kll_quantiles"   -> aggKllQuantiles _,
     "subquery_scalar"     -> subqueryScalar _,
     "subquery_correlated" -> subqueryCorrelated _,
     "sample_hash"         -> sampleHash _,
@@ -2344,6 +2377,12 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
         |  true AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_kll_quantiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+        |  true AS kll_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_hll_sketch_merge" ->
       """SELECT coalesce(strftime(date_trunc('month', o_orderdate), '%Y-%m'), 'ALL') AS month,

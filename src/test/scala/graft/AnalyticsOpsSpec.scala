@@ -144,6 +144,16 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("KLL quantile estimates stay within the rank-error contract (A26)") {
+    val rows = ops.Relational.aggKllQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4), s"KLL rank error blown for ${r.getString(0)}")
+      // exact percentiles sane: p50 <= p95
+      assert(r.getDouble(2) <= r.getDouble(3))
+    }
+  }
+
   test("count-min estimates obey the CMS guarantee: true <= est <= true + eps*N") {
     // calibration-audit form: the guarantee check runs inside the query
     // as `cms_ok`; exact counts must match an independent recount.

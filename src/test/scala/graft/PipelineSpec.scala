@@ -39,6 +39,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("corpus_temperature_mix: smoothed weights normalize and tilt toward rare sources") {
+    val rows = ops.PipelineOps.corpusTemperatureMix(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length > 1)
+    // q is a distribution (up to 6-dp snapping per source)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3)
+    // rep_factor = q/p is monotone DECREASING in source size: the rarest
+    // source gets the largest upsampling factor, the biggest the smallest
+    val byTokens = rows.sortBy(_._2)
+    assert(byTokens.head._4 >= byTokens.last._4, s"no tilt: $byTokens")
+    // α-smoothing must actually move mass: biggest source down-weighted
+    assert(byTokens.last._4 < 1.0, s"dominant source not down-weighted: ${byTokens.last}")
+  }
+
   test("pipeline_observe on an EMPTY input yields a zero row, not a crash") {
     val sq = spark
     import sq.implicits._
