@@ -53,7 +53,13 @@ object Explain {
                   // fragment + compaction writes eagerly, so explaining it
                   // would execute two write jobs to print a read-back plan.)
                   "semantic_dedup", "corpus_dsir_weights",
-                  "scan_hub_models")) {
+                  "scan_hub_models",
+                  // round 6: learned-centroid IVF (Lloyd training in-plan),
+                  // its recall twin, KLL rank-audit, temperature mixing,
+                  // calibration-audit sketch forms
+                  "knn_ivf_kmeans", "knn_recall_kmeans", "agg_kll_quantiles",
+                  "corpus_temperature_mix", "agg_approx_distinct",
+                  "agg_cms_topk")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
