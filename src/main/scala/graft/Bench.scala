@@ -23,7 +23,8 @@ object Bench {
     "join_range_binned", "window_rank", "topk_native",
     "dedup_exact", "dedup_minhash", "dedup_clusters", "simjoin_lsh",
     "dedup_ngram_jaccard", "decontam_ngram", "dedup_incremental",
-    "knn_cosine", "knn_ivf", "knn_batch", "embed_neardup", "embed_centroids",
+    "knn_cosine", "knn_ivf", "knn_ivf_kmeans", "knn_batch", "embed_neardup",
+    "embed_centroids", "agg_kll_quantiles", "corpus_temperature_mix",
     "text_tfidf", "text_bm25", "text_logprob", "lang_id_ngram", "token_count",
     "docs_quality_filter", "curation_pipeline", "shard_pack_tokens",
     "corpus_mix_epochs", "events_session", "events_retention",

@@ -468,6 +468,29 @@ object GraftAPI {
     * vectors. Corpus-side scoring is map-side (queries broadcast); the
     * per-query top-k is the row_number idiom → native TopKPerGroup under
     * GraftExtensions. At IVF scale, pre-bucket the corpus instead. */
+  /** Temperature-scaled source mixing (the multilingual-corpus
+    * rebalancing rule): per-source token share p, smoothed share
+    * q ∝ p^alpha, and rep_factor = q/p — the expected per-source
+    * duplication under the smoothed draw (> 1 ⇒ upsample). One
+    * map-side-combined groupBy over the corpus; everything after is
+    * source-cardinality math. `weight` is the per-row mass column
+    * (token count, char count, …). */
+  def temperatureMix(df: DataFrame, source: String, weight: String,
+                     alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    val src = df.groupBy(col(source).as("source"))
+      .agg(count(lit(1)).as("n_rows"), sum(col(weight)).cast("double").as("mass"))
+    val tot = src.agg(sum(col("mass")).as("total"))
+    val withP = src.crossJoin(broadcast(tot))
+      .withColumn("p", col("mass") / col("total"))
+      .withColumn("pa", pow(col("p"), alpha))
+    val z = withP.agg(sum(col("pa")).as("z"))
+    withP.crossJoin(broadcast(z))
+      .withColumn("q", col("pa") / col("z"))
+      .select(col("source"), col("n_rows"), col("mass"), col("p"), col("q"),
+        (col("q") / col("p")).as("rep_factor"))
+  }
+
   /** k-means IVF cell assignment (VERDICT r5 #3): `iters` Lloyd rounds
     * (seeds = the `k` lowest-id vectors, broadcast-argmin assignment,
     * 6-dp-snapped distances and centroid means so re-runs byte-match on

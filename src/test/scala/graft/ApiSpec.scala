@@ -277,6 +277,20 @@ class ApiSpec extends AnyFunSuite {
     assert(got(0).getLong(1) == 2L && math.abs(got(0).getDouble(2) - 0.666667) < 1e-6)
     assert(got(1).getLong(1) == 0L && got(1).getDouble(2) == 0.0)
   }
+  test("temperatureMix: alpha=1 is identity, alpha<1 flattens toward uniform") {
+    import spark.implicits._
+    val rows = Seq(("big", 900L), ("mid", 90L), ("tiny", 10L))
+      .flatMap { case (s, n) => (1L to n).map(i => (s, 1L)) }.toDF("src", "w")
+    val id = GraftAPI.temperatureMix(rows, "src", "w", alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    id.values.foreach(v => assert(math.abs(v - 1.0) < 1e-9, s"alpha=1 not identity: $id"))
+    val sm = GraftAPI.temperatureMix(rows, "src", "w", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> (r.getDouble(4), r.getDouble(5))).toMap
+    assert(math.abs(sm.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(sm("tiny")._2 > 1.0 && sm("big")._2 < 1.0, s"no tilt: $sm")
+    assert(sm("tiny")._2 > sm("mid")._2 && sm("mid")._2 > sm("big")._2)
+  }
+
   test("kmeansAssign: hand-built 1-D clusters converge to the obvious split") {
     import spark.implicits._
     // two tight 2-D blobs around (0,0) and (10,10); ids are SPARSE (seeds

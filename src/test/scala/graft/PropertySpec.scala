@@ -74,6 +74,26 @@ class PropertySpec extends AnyFunSuite {
     assert(survivors.dropDuplicates("text").count() == survivors.count())
   }
 
+  test("kmeansAssign: total assignment, cells drawn from seed ids, re-run stable") {
+    val sq = spark; import sq.implicits._
+    // deterministic pseudo-random points over SPARSE ids
+    val pts = (0 until 200).map { i =>
+      val id = i * 3 + 7L
+      (id, Array.tabulate(8)(d => (((id * 2654435761L + d * 97) % 1000) / 500.0f) - 1.0f))
+    }.toDF("id", "v")
+    val k = 16
+    def run() = graft.api.GraftAPI.kmeansAssign(pts, "id", "v", k = k, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val a = run()
+    // every input id assigned exactly once
+    assert(a.map(_._1) == pts.collect().map(_.getLong(0)).sorted.toSeq)
+    // every cell is one of the k lowest ids (seeds label clusters)
+    val seeds = (0 until k).map(i => i * 3 + 7L).toSet
+    assert(a.forall(p => seeds(p._2)), s"foreign cell id: ${a.filterNot(p => seeds(p._2)).take(3)}")
+    // byte-stable across re-runs (different partition order, same result)
+    assert(run() == a)
+  }
+
   test("HLL sketch rollup-merge estimates within 3% of exact distinct counts") {
     // calibration-audit form: (month, exact_customers, hll_ok) — the ±3%
     // comparison runs inside the query; every row's bit must hold, and
