@@ -661,7 +661,12 @@ object Relational {
     orders(s, dir)
       .withColumn("month", date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM"))
       .rollup("month")
-      .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+      // lgConfigK = 14 (not the default 12): the audit spans ~80 rollup
+      // groups, so the bound must hold at every one — at lgK 12 the ±3%
+      // bit is a ~2σ bound (relative error ≈ 1.6%) and one group tripping
+      // it somewhere in the corpus is EXPECTED (observed at sf0.1); at
+      // lgK 14 (error ≈ 0.8%) the same 3% is ≈ 4σ across all groups.
+      .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"),
         countDistinct(col("o_custkey")).as("exact_customers"))
       .select(coalesce(col("month"), lit("ALL")).as("month"),
         col("exact_customers"),
