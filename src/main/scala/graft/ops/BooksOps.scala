@@ -141,6 +141,51 @@ object BooksOps {
     flat(flattenRawBooks(s.read.schema(rawSchema).json(path)))
   }
 
+  /** S7: XML ingest round-trip (Spark 4 native `from_xml`) — the same
+    * raw feed serialized as one XML document per book, parsed back with
+    * a DECLARED schema (repeated `<author>`/`<genre>` elements become
+    * arrays via the standard wrapper-struct mapping), reshaped to the
+    * ingest struct and run through the reference flatten. Same oracle as
+    * the JSON round-trip: the XML hop must be lossless, including the
+    * omitted-element → NULL convention (`image`) and the string-typed
+    * coercion fields (`id`, `rating.average` stay strings until the
+    * flatten's try_cast — E1/E2 discipline). XML building is a pure
+    * column concat (codegen'd); parsing is schema-declared, never
+    * inferred — at 100 TB inference is a full extra pass. */
+  def scanXmlRaw(s: SparkSession, dir: String): DataFrame = {
+    val b = element_at(col("raw"), 1)
+    val authorsXml = concat_ws("",
+      transform(b.getField("authors"), a => concat(
+        lit("<author><id>"), a.getField("id"), lit("</id><name>"),
+        a.getField("name"), lit("</name></author>"))))
+    val genresXml = concat_ws("",
+      transform(b.getField("genres"), g => concat(lit("<genre>"), g, lit("</genre>"))))
+    val xml = concat(
+      lit("<book><id>"), b.getField("id"), lit("</id>"),
+      lit("<title>"), b.getField("title"), lit("</title>"),
+      lit("<subtitle>"), b.getField("subtitle"), lit("</subtitle>"),
+      coalesce(concat(lit("<image>"), b.getField("image"), lit("</image>")), lit("")),
+      lit("<authors>"), authorsXml, lit("</authors>"),
+      lit("<genres>"), genresXml, lit("</genres>"),
+      lit("<rating><average>"), b.getField("rating").getField("average"),
+      lit("</average></rating></book>"))
+    val parsed = from_xml(xml,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id string, title string, subtitle string, image string, " +
+          "authors struct<author: array<struct<id: bigint, name: string>>>, " +
+          "genres struct<genre: array<string>>, " +
+          "rating struct<average: string>"))
+    val raw = syntheticRaw(s, dir)
+      .select(parsed.as("p"))
+      .select(array(struct(
+        col("p.id").as("id"), col("p.title").as("title"),
+        col("p.subtitle").as("subtitle"), col("p.image").as("image"),
+        col("p.authors.author").as("authors"),
+        col("p.genres.genre").as("genres"),
+        col("p.rating").as("rating"))).as("raw"))
+    flat(flattenRawBooks(raw))
+  }
+
   /** S5: model-hub catalog extract — driver-side client fetch lifted to a
     * DataFrame, top-50 by downloads (the deleted HuggingFace DAG's
     * extract step; see [[graft.sources.HubModelsSource]]). The formula
@@ -167,6 +212,7 @@ object BooksOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "flatten_raw_books" -> flattenRawBooksQuery _,
     "scan_json_raw"     -> scanJsonRaw _,
+    "scan_xml_raw"      -> scanXmlRaw _,
     "scan_rest_pages"   -> scanRestPages _,
     "scan_hub_models"   -> scanHubModels _,
   )
@@ -195,6 +241,7 @@ object BooksOps {
   val oracleSql: Map[String, String] = Map(
     "flatten_raw_books" -> flattenOracle,
     "scan_json_raw"     -> flattenOracle,
+    "scan_xml_raw"      -> flattenOracle,
     "scan_rest_pages" ->
       """SELECT COUNT(*) AS n,
         |  CAST(SUM(CAST((i % 100) / 100.0 AS DECIMAL(25,6))) AS DOUBLE) AS sum_rating,

@@ -1017,6 +1017,38 @@ object Relational {
     * (the [[graft.Tables.dsum]] rule in SQL form): the products carry ≤ 6
     * true decimal digits, so the decimal snap is exact and the aggregate
     * is partition-order independent. */
+  /** SQL23: RECURSIVE CTE (Spark 4's `WITH RECURSIVE`) — bounded
+    * transitive reachability over a deterministic 25-node functional
+    * graph derived from `nation` (edges i → (2i+1) mod 25 and
+    * i → (3i+2) mod 25). The level cap bounds the fixpoint (the graph
+    * has cycles — an uncapped closure would still terminate on the
+    * DISTINCT frontier, but the cap keeps both engines' iteration
+    * visibly identical), and min-level dedup keeps one row per reached
+    * node. The 100 TB shape: each recursive step is a self-contained
+    * join of the frontier against the (broadcast-scale here,
+    * co-partitioned in general) edge table — exactly the
+    * [[graft.ops.DedupOps.dedupClusters]] loop, expressed in pure SQL. */
+  def sqlReachability(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """WITH RECURSIVE reach(node, lvl) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS lvl
+        |  UNION ALL
+        |  SELECT e.dst, r.lvl + 1 FROM reach r
+        |  JOIN (
+        |    SELECT CAST(n_nationkey AS BIGINT) AS src,
+        |           CAST((2 * n_nationkey + 1) % 25 AS BIGINT) AS dst FROM nation
+        |    UNION ALL
+        |    SELECT CAST(n_nationkey AS BIGINT),
+        |           CAST((3 * n_nationkey + 2) % 25 AS BIGINT) FROM nation
+        |  ) e ON e.src = r.node
+        |  WHERE r.lvl < 4
+        |)
+        |SELECT node, CAST(min(lvl) AS BIGINT) AS first_level,
+        |  CAST(count(*) AS BIGINT) AS n_paths
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin)
+  }
+
   def sqlPricingSummary(s: SparkSession, dir: String): DataFrame = {
     registerViews(s, dir)
     s.sql(
@@ -2103,6 +2135,7 @@ object Relational {
     "join_dpp"            -> joinDpp _,
     "join_nullsafe"       -> joinNullSafe _,
     "sql_pricing_summary" -> sqlPricingSummary _,
+    "sql_reachability"    -> sqlReachability _,
     "agg_approx_percentile" -> aggApproxPercentile _,
     "join_range_binned"   -> joinRangeBinned _,
     "cogroup_merge"       -> cogroupMerge _,
@@ -2383,6 +2416,23 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
         |  true AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sql_reachability" ->
+      """WITH RECURSIVE reach(node, lvl) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS lvl
+        |  UNION ALL
+        |  SELECT e.dst, r.lvl + 1 FROM reach r
+        |  JOIN (
+        |    SELECT CAST(n_nationkey AS BIGINT) AS src,
+        |           CAST((2 * n_nationkey + 1) % 25 AS BIGINT) AS dst FROM nation
+        |    UNION ALL
+        |    SELECT CAST(n_nationkey AS BIGINT),
+        |           CAST((3 * n_nationkey + 2) % 25 AS BIGINT) FROM nation
+        |  ) e ON e.src = r.node
+        |  WHERE r.lvl < 4
+        |)
+        |SELECT node, CAST(min(lvl) AS BIGINT) AS first_level,
+        |  CAST(count(*) AS BIGINT) AS n_paths
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin,
     "agg_kll_quantiles" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
