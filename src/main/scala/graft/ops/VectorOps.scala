@@ -172,6 +172,67 @@ object VectorOps {
       .limit(K)
   }
 
+  /** PQ geometry: 8 subspaces × 8 dims over the 64-dim embeddings, 16
+    * centroids each → a 4-bit code per subspace, 4 bytes per vector
+    * (64× compression). */
+  private val PqM = 8
+  private val PqSub = 8
+
+  /** L3g: product quantization with asymmetric-distance scoring (the
+    * IVF's natural partner at corpus scale — Jégou et al.'s PQ): each
+    * 16-dim subvector is Lloyd-trained and assigned independently
+    * (reusing [[kmeansCentroids]]/[[assignCells]] per slice), so a
+    * vector compresses to 8 small cell ids, and a query scores the WHOLE
+    * corpus from 4 broadcast lookup tables of query-to-centroid
+    * distances — no float vectors touched at scan time. ADC distance =
+    * Σ_m d(q_m, centroid(code_m)); top-K by that estimate, vec_id
+    * tie-break (identical codes share a distance). At 100 TB the code
+    * table is 4 bytes/vector + the tiny codebook: the scan that serves
+    * ANN probes never reads the embedding column at all. Every stage is
+    * 6-dp-snapped, so the full train→encode→score path hash-matches the
+    * DuckDB mirror. */
+  def knnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("label"), asD(col("embedding")).as("x"))
+    val subs = (0 until PqM).map { m =>
+      val em = e.select(col("vec_id"), slice(col("x"), m * PqSub + 1, PqSub).as("x"))
+      val cents = kmeansCentroids(em, 2)
+      (m, em, cents, assignCells(em, cents))
+    }
+    // per-subspace query→centroid distance tables (16 rows each, broadcast)
+    val dts = subs.map { case (m, em, cents, _) =>
+      val qm = em.filter(col("vec_id") === 0).select(col("x").as("qv"))
+      cents.crossJoin(broadcast(qm))
+        .select(col("cid").as(s"cid$m"), sqDist(col("qv"), col("cv")).as(s"d$m"))
+    }
+    val codes = subs.map { case (m, _, _, cells) =>
+      cells.select(col("vec_id"), col("cell").as(s"c$m"))
+    }.reduce(_.join(_, "vec_id"))
+    val scored = dts.zipWithIndex.foldLeft(codes) { case (acc, (dt, m)) =>
+      acc.join(broadcast(dt), col(s"c$m") === col(s"cid$m"))
+    }.select(col("vec_id"),
+      r6((0 until PqM).map(m => col(s"d$m")).reduce(_ + _)).as("adc"))
+    // Production read path: the 4-byte codes produce an ADC SHORTLIST
+    // (PqShortlist ≫ K — only these rows' float vectors are ever
+    // fetched), then exact L2 reranks the shortlist to the final top-K.
+    // Recall of the answer = recall of the shortlist, which is the knob
+    // the shortlist size buys.
+    val shortlist = scored.filter(col("vec_id") =!= 0)
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(PqShortlist)
+    val q = e.filter(col("vec_id") === 0).select(col("x").as("qv"))
+    e.join(shortlist.select("vec_id", "adc"), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("adc"),
+        sqDist(col("x"), col("qv")).as("sd"))
+      .orderBy(col("sd").asc, col("vec_id").asc)
+      .limit(K)
+  }
+
+  /** ADC shortlist size before the exact rerank (10% of the sf0.01
+    * corpus; at scale this is the "candidates fetched" budget). */
+  private val PqShortlist = 50
+
   /** L4: embedding near-dup — each vector's nearest same-label neighbour
     * (label = coarse bucket), flagged at cosine ≥ 0.35. Window top-1 per
     * vector, ties broken on neighbour id so the result is deterministic. */
@@ -479,6 +540,7 @@ object VectorOps {
     "knn_recall"      -> knnRecall _,
     "knn_recall_kmeans" -> knnRecallKmeans _,
     "knn_ivf_kmeans"  -> knnIvfKmeans _,
+    "knn_pq"          -> knnPq _,
     "embed_normalize" -> embedNormalize _,
     "embed_quantize"  -> embedQuantize _,
     "embed_centroids" -> embedCentroids _,
@@ -512,36 +574,70 @@ object VectorOps {
 
   /** One Lloyd round in DuckDB: argmin-assign against centroid CTE `$c`,
     * then 6-dp-snapped long-form mean → ordered-list rebuild (mirrors
-    * [[kmeansCentroids]] exactly, incl. the dsum DECIMAL(25,6) rule). */
-  private def sqlLloydRound(i: Int, c: String): String =
-    s"""a$i AS (SELECT vec_id, cid FROM (
+    * [[kmeansCentroids]] exactly, incl. the dsum DECIMAL(25,6) rule).
+    * `p` prefixes every CTE name (and the source table `${p}e`) so
+    * several independent trainings — one per PQ subspace — compose in a
+    * single WITH chain. */
+  private def sqlLloydRound(i: Int, c: String, p: String = ""): String =
+    s"""${p}a$i AS (SELECT vec_id, cid FROM (
        |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
        |    ORDER BY ${sqlDist("e.x", "c.cv")} ASC, c.cid ASC) AS rn
-       |  FROM e CROSS JOIN $c c) t WHERE rn = 1),
-       |u$i AS (SELECT a.cid,
+       |  FROM ${p}e e CROSS JOIN $c c) t WHERE rn = 1),
+       |${p}u$i AS (SELECT a.cid,
        |    CAST(generate_subscripts(e.x, 1) - 1 AS BIGINT) AS dim,
        |    floor(unnest(e.x) * 1000000 + 0.5) / 1000000 AS v
-       |  FROM e JOIN a$i a USING (vec_id)),
-       |m$i AS (SELECT cid, dim,
+       |  FROM ${p}e e JOIN ${p}a$i a USING (vec_id)),
+       |${p}m$i AS (SELECT cid, dim,
        |    floor((CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) / count(*))
        |      * 1000000 + 0.5) / 1000000 AS c
-       |  FROM u$i GROUP BY cid, dim),
-       |c${i + 1} AS (SELECT cid, list(c ORDER BY dim) AS cv FROM m$i GROUP BY cid)""".stripMargin
+       |  FROM ${p}u$i GROUP BY cid, dim),
+       |${p}c${i + 1} AS (SELECT cid, list(c ORDER BY dim) AS cv FROM ${p}m$i GROUP BY cid)""".stripMargin
+
+  /** Prefixed 2-round training + assignment: `${p}e` (vec_id, x) →
+    * `${p}cells` (vec_id, cell). */
+  private def sqlKmeansChain(p: String): String =
+    s"""${p}c0 AS (SELECT vec_id AS cid, x AS cv FROM ${p}e
+       |  ORDER BY vec_id LIMIT $KmeansCells),
+       |${sqlLloydRound(0, s"${p}c0", p)},
+       |${sqlLloydRound(1, s"${p}c1", p)},
+       |${p}cells AS (SELECT vec_id, cid AS cell FROM (
+       |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${sqlDist("e.x", "c.cv")} ASC, c.cid ASC) AS rn
+       |  FROM ${p}e e CROSS JOIN ${p}c2 c) t WHERE rn = 1)""".stripMargin
 
   /** Shared CTE chain: embeddings → 2 Lloyd rounds → final `cells`
     * (vec_id, cell) assignment, mirroring kmeansCentroids + assignCells. */
   private val sqlKmeansCte: String =
     s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, x AS cv FROM e
-       |  ORDER BY vec_id LIMIT $KmeansCells),
-       |${sqlLloydRound(0, "c0")},
-       |${sqlLloydRound(1, "c1")},
-       |cells AS (SELECT vec_id, cid AS cell FROM (
-       |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-       |    ORDER BY ${sqlDist("e.x", "c.cv")} ASC, c.cid ASC) AS rn
-       |  FROM e CROSS JOIN c2 c) t WHERE rn = 1)""".stripMargin
+       |${sqlKmeansChain("")}""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "knn_pq" -> {
+      val subs = (0 until PqM).map { m =>
+        s"""s${m}e AS (SELECT vec_id, list_slice(x, ${m * PqSub + 1}, ${(m + 1) * PqSub}) AS x FROM e),
+           |${sqlKmeansChain(s"s$m")},
+           |s${m}q AS (SELECT x AS qv FROM s${m}e WHERE vec_id = 0),
+           |s${m}dt AS (SELECT c.cid, ${sqlDist("q.qv", "c.cv")} AS d
+           |  FROM s${m}c2 c CROSS JOIN s${m}q q)""".stripMargin
+      }.mkString(",\n")
+      val joins = (0 until PqM).map(m =>
+        s"JOIN s${m}cells cl$m USING (vec_id) JOIN s${m}dt dt$m ON dt$m.cid = cl$m.cell")
+        .mkString("\n  ")
+      val adcSum = (0 until PqM).map(m => s"dt$m.d").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
+         |$subs,
+         |short AS (
+         |  SELECT e.vec_id, e.label, e.x,
+         |    floor(($adcSum) * 1000000 + 0.5) / 1000000 AS adc
+         |  FROM e
+         |    $joins
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY adc ASC, vec_id ASC LIMIT $PqShortlist),
+         |q AS (SELECT x AS qv FROM e WHERE vec_id = 0)
+         |SELECT vec_id, label, adc, ${sqlDist("short.x", "q.qv")} AS sd
+         |FROM short CROSS JOIN q
+         |ORDER BY sd ASC, vec_id ASC LIMIT $K""".stripMargin
+    },
     "knn_ivf_kmeans" ->
       s"""WITH $sqlKmeansCte,
          |ex AS (SELECT e.vec_id, e.x, cl.cell FROM e JOIN cells cl USING (vec_id)),

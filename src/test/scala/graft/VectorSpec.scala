@@ -96,6 +96,28 @@ class VectorSpec extends AnyFunSuite {
     assert(out.count(!_.getBoolean(2)) > 0, "no drops — threshold inert on fixture")
   }
 
+  test("PQ shortlist+rerank recalls the exact-L2 top-10 well above chance (L3g)") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+    val q = e.filter(col("vec_id") === 0).select(col("x").as("qv"))
+    val d = graft.functions.VectorFunctions.graftDot _
+    val exact = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        (d(col("x"), col("x")) - lit(2) * d(col("x"), col("qv")) +
+          d(col("qv"), col("qv"))).as("sd"))
+      .orderBy(col("sd").asc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val pq = VectorOps.knnPq(spark, sf).collect()
+    assert(pq.length == 10)
+    // rerank output is sorted by exact shortlist distance
+    val sds = pq.map(_.getDouble(3))
+    assert(sds.zip(sds.tail).forall { case (a, b) => a <= b })
+    // chance overlap of a 50-of-499 shortlist is ~1/10; require >= 4
+    val hits = pq.map(_.getLong(0)).toSet.intersect(exact).size
+    assert(hits >= 4, s"PQ recall@10 collapsed: $hits/10")
+  }
+
   test("k-means IVF recall@10 beats the sign grid at equal probe count (L3f)") {
     val grid = VectorOps.knnRecall(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
