@@ -362,6 +362,53 @@ object EventOps {
     * month, joined so each day carries its month's MAU and the DAU/MAU
     * ratio (the standard engagement metric). Two distinct-aggs over the
     * same scan; the month-level side is tiny → broadcast back. */
+  /** E19: rolling 7-day MEDIAN of daily volume — an aggregate (exact
+    * interpolated `percentile`) as a WINDOW function over a RANGE frame:
+    * the robust-smoothing counterpart of the mean-based `orders_ma7`
+    * family (a single spike day moves a mean, not a median). The frame
+    * key is integer days-since-epoch so RANGE arithmetic is exact and
+    * identical in both engines; per-type partitions keep the window
+    * shuffle on event_type. */
+  def eventsRollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("du", datediff(col("d"), lit("1995-01-01")))
+    val w = Window.partitionBy("event_type").orderBy("du").rangeBetween(-6, 0)
+    daily
+      .select(col("event_type"), dateFmt(col("d")).as("day"), col("n"),
+        r6(percentile(col("n"), lit(0.5)).over(w)).as("med7"))
+      .orderBy("event_type", "day")
+  }
+
+  /** E20: CUSUM drift detection — per-type cumulative sum of daily-count
+    * deviations from the type's own mean, flagged when |cusum| crosses a
+    * Poisson-scaled band (3·√mean). The classic change-point screen a
+    * pipeline runs over ingest volumes: a level shift accumulates
+    * linearly in the cusum where day-to-day noise cancels. Deviations
+    * 6-dp-snap BEFORE the running DECIMAL sum ([[graft.Tables.dsum]]
+    * rule windowed), so the running statistic is partition-order
+    * independent and oracle-exact; per-type windows keep everything on
+    * one event_type shuffle. */
+  def eventsCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("event_type")
+      .agg(r6(dsum(col("n").cast("double")) / count(lit(1))).as("mean"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("dev", r6(col("n") - col("mean")))
+      .withColumn("cusum",
+        r6(sum(col("dev").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+          .over(w).cast("double")))
+      .select(col("event_type"), dateFmt(col("d")).as("day"), col("n"),
+        col("cusum"),
+        (abs(col("cusum")) > r6(lit(3.0) * sqrt(col("mean")))).as("drift"))
+      .orderBy("event_type", "day")
+  }
+
   def eventsDauMau(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).select(col("user_id"),
       to_date(col("ts")).as("d"),
@@ -661,6 +708,8 @@ object EventOps {
     "events_transitions"   -> eventsTransitions _,
     "events_paths3"        -> eventsPaths3 _,
     "events_dau_mau"       -> eventsDauMau _,
+    "events_rolling_median" -> eventsRollingMedian _,
+    "events_cusum"         -> eventsCusum _,
     "join_asof_forward"    -> joinAsofForward _,
     "join_asof_nearest"    -> joinAsofNearest _,
     "sessions_concurrency" -> sessionsConcurrency _,
@@ -859,6 +908,35 @@ object EventOps {
         |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
         |FROM e WHERE t3 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, n_users DESC, path LIMIT 20""".stripMargin,
+    "events_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |du AS (SELECT *, d - DATE '1995-01-01' AS du FROM daily)
+        |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
+        |  floor(quantile_cont(n, 0.5) OVER (PARTITION BY event_type ORDER BY du
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) * 1000000 + 0.5) / 1000000
+        |    AS med7
+        |FROM du ORDER BY event_type, day""".stripMargin,
+    "events_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type,
+        |    floor((CAST(SUM(CAST(n AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*))
+        |      * 1000000 + 0.5) / 1000000 AS mean
+        |  FROM daily GROUP BY 1),
+        |dev AS (SELECT daily.*, st.mean,
+        |    floor((n - mean) * 1000000 + 0.5) / 1000000 AS dev
+        |  FROM daily JOIN st USING (event_type)),
+        |cs AS (SELECT *, floor(CAST(SUM(CAST(dev AS DECIMAL(25,6))) OVER (
+        |    PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000 AS cusum
+        |  FROM dev)
+        |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n, cusum,
+        |  abs(cusum) > floor(3.0 * sqrt(mean) * 1000000 + 0.5) / 1000000 AS drift
+        |FROM cs ORDER BY event_type, day""".stripMargin,
     "events_dau_mau" ->
       """WITH e AS (
         |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
