@@ -509,6 +509,32 @@ object GraftAPI {
       .select(col("vec_id").as(id), col("cell"))
   }
 
+  /** Product-quantization encoder: split `vec` into `m` equal subvectors,
+    * Lloyd-train `k` centroids per subspace ([[kmeansAssign]] machinery)
+    * and emit one (id, code) row with the m-element cell-id array — the
+    * 4-bytes-per-vector storage form ANN serves from at corpus scale
+    * (floats stay out of the probe path; see `knn_pq` for the ADC
+    * shortlist + exact rerank read side). Codebooks are deterministic
+    * (lowest-id seeds, snapped arithmetic), so re-encoding is
+    * backfill-stable. */
+  def pqEncode(df: DataFrame, id: String, vec: String,
+               m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
+    require(m > 0 && k > 0 && iters > 0, s"m/k/iters must be positive: $m/$k/$iters")
+    val e = df.select(col(id).as("vec_id"), col(vec).cast("array<double>").as("x"))
+    val dims = e.select(size(col("x"))).limit(1)
+    val n = dims.head().getInt(0)
+    require(n % m == 0, s"vector length $n not divisible by m=$m subspaces")
+    val sub = n / m
+    (0 until m).map { i =>
+      val em = e.select(col("vec_id"), slice(col("x"), i * sub + 1, sub).as("x"))
+      graft.ops.VectorOps.assignCells(em,
+          graft.ops.VectorOps.kmeansCentroids(em, iters, k))
+        .select(col("vec_id"), col("cell").as(s"c$i"))
+    }.reduce(_.join(_, "vec_id"))
+      .select(col("vec_id").as(id),
+        array((0 until m).map(i => col(s"c$i")): _*).as("code"))
+  }
+
   def cosineTopK(queries: DataFrame, corpus: DataFrame,
                  qId: String, cId: String, vec: String, k: Int): DataFrame = {
     val q = l2Normalize(queries.select(col(qId).as("query_id"), col(vec)), vec)

@@ -291,6 +291,21 @@ class ApiSpec extends AnyFunSuite {
     assert(sm("tiny")._2 > sm("mid")._2 && sm("mid")._2 > sm("big")._2)
   }
 
+  test("pqEncode: m-element codes over the fixture embeddings, stable re-run") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def run() = GraftAPI.pqEncode(emb, "vec_id", "embedding", m = 4, k = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
+    val a = run()
+    assert(a.length == emb.count())
+    assert(a.forall(_._2.length == 4))
+    // codes draw from the 8 lowest ids (the subspace seeds)
+    val seeds = a.map(_._1).sorted.take(8).toSet
+    assert(a.forall(_._2.forall(seeds.contains)))
+    assert(run() == a)
+    // vectors must not all collapse to one code
+    assert(a.map(_._2).distinct.length > 1)
+  }
+
   test("kmeansAssign: hand-built 1-D clusters converge to the obvious split") {
     import spark.implicits._
     // two tight 2-D blobs around (0,0) and (10,10); ids are SPARSE (seeds
