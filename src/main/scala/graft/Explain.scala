@@ -59,7 +59,11 @@ object Explain {
                   // calibration-audit sketch forms
                   "knn_ivf_kmeans", "knn_recall_kmeans", "agg_kll_quantiles",
                   "corpus_temperature_mix", "agg_approx_distinct",
-                  "agg_cms_topk")) {
+                  "agg_cms_topk",
+                  // round 6b: PQ ADC+rerank, recursive CTE, XML round-trip,
+                  // windowed median, CUSUM
+                  "knn_pq", "sql_reachability", "scan_xml_raw",
+                  "events_rolling_median", "events_cusum")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -196,7 +196,14 @@ object VectorOps {
       .select(col("vec_id"), col("label"), asD(col("embedding")).as("x"))
     val subs = (0 until PqM).map { m =>
       val em = e.select(col("vec_id"), slice(col("x"), m * PqSub + 1, PqSub).as("x"))
-      val cents = kmeansCentroids(em, 2)
+      // Materialize each 16-row codebook eagerly: it feeds BOTH the corpus
+      // assignment and the query distance table, and without the persist
+      // the full Lloyd training lineage re-executes once per consumer per
+      // subspace (measured 10.1 s in-sweep → ~3 s). The blocks are
+      // codebook-scale (16 × 8 doubles); Bench's post-query clearCache
+      // retires them.
+      val cents = kmeansCentroids(em, 2).persist()
+      cents.count()
       (m, em, cents, assignCells(em, cents))
     }
     // per-subspace query→centroid distance tables (16 rows each, broadcast)
