@@ -151,12 +151,21 @@ object Bench {
       s"""{"q":"$n","min":${f3(mn)},"max":${f3(mx)}""" +
         e.fold("")(err => s""","err":"$err"""") + "}"
     }.mkString("[\n  ", ",\n  ", "\n]")
-    val tlPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_TIMELINE", "BENCH_TIMELINE.json"))
-    java.nio.file.Files.write(tlPath,
-      s"""{"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"total_min_of_two":${f3(total)},"sweep_wall":${f3(wallSec)},"warmup_wall":${f3(warmSec)},"timeline":$tlJson}\n"""
-        .getBytes("UTF-8"))
-    System.err.println(s"[bench] timeline written to ${tlPath.toAbsolutePath}")
+    // The file write must NOT be able to discard the sweep (review r6):
+    // an unwritable path after a multi-minute run would otherwise throw
+    // before the stdout contract lines print. Best-effort, loud on
+    // stderr either way.
+    try {
+      val tlPath = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_TIMELINE", "BENCH_TIMELINE.json"))
+      java.nio.file.Files.write(tlPath,
+        s"""{"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"total_min_of_two":${f3(total)},"sweep_wall":${f3(wallSec)},"warmup_wall":${f3(warmSec)},"timeline":$tlJson}\n"""
+          .getBytes("UTF-8"))
+      System.err.println(s"[bench] timeline written to ${tlPath.toAbsolutePath}")
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] timeline write FAILED (results below unaffected): $e")
+    }
     // Full per-query map — earlier line, human/log consumption only.
     println(s"""{"metric":"total_full","value":${f3(total)},"unit":"sec","queries":${qmap(ok.toSeq.sortBy(_._1))},"failed":$failedJson,"sf":"$sfDir"}""")
     // Compact line LAST: grand total + counts + headline subset. `wall` /

@@ -61,7 +61,12 @@ object Explain {
                   "corpus_temperature_mix", "agg_approx_distinct",
                   "agg_cms_topk",
                   // round 6b: PQ ADC+rerank, recursive CTE, XML round-trip,
-                  // windowed median, CUSUM
+                  // windowed median, CUSUM. Unlike sink_compact's excluded
+                  // WRITE jobs, the eager work some of these run at plan
+                  // time (PQ codebook training, CMS sketch build,
+                  // dedup_incremental's band materialization) is read-only
+                  // and sf0.01-small — accepted to get their plans on
+                  // record.
                   "knn_pq", "sql_reachability", "scan_xml_raw",
                   "events_rolling_median", "events_cusum")) {
       println(s"===== $q =====")

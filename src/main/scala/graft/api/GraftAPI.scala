@@ -521,8 +521,14 @@ object GraftAPI {
                m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
     require(m > 0 && k > 0 && iters > 0, s"m/k/iters must be positive: $m/$k/$iters")
     val e = df.select(col(id).as("vec_id"), col(vec).cast("array<double>").as("x"))
-    val dims = e.select(size(col("x"))).limit(1)
-    val n = dims.head().getInt(0)
+    // Dimensionality is probed from one row (an eager O(1) job — callers
+    // encode a materialized embedding table, not a lazy pipeline). The
+    // encoder assumes UNIFORM vector length, as every embedding store
+    // does; ragged inputs should be length-validated upstream.
+    val n = e.select(size(col("x"))).limit(1).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"pqEncode: input has no rows — cannot infer vector dimensionality from '$vec'"))
     require(n % m == 0, s"vector length $n not divisible by m=$m subspaces")
     val sub = n / m
     (0 until m).map { i =>

@@ -160,15 +160,23 @@ object BooksOps {
         a.getField("name"), lit("</name></author>"))))
     val genresXml = concat_ws("",
       transform(b.getField("genres"), g => concat(lit("<genre>"), g, lit("</genre>"))))
+    // Every nullable field serializes via the omit-element-when-null
+    // convention (review r6: `concat` nulls the WHOLE string if any one
+    // argument is null — a null subtitle must drop its element, not the
+    // record). Values here are alphanumeric by construction; a general
+    // feed would additionally escape &/< before concat.
+    def opt(tag: String, v: Column): Column =
+      coalesce(concat(lit(s"<$tag>"), v, lit(s"</$tag>")), lit(""))
     val xml = concat(
-      lit("<book><id>"), b.getField("id"), lit("</id>"),
-      lit("<title>"), b.getField("title"), lit("</title>"),
-      lit("<subtitle>"), b.getField("subtitle"), lit("</subtitle>"),
-      coalesce(concat(lit("<image>"), b.getField("image"), lit("</image>")), lit("")),
+      lit("<book>"),
+      opt("id", b.getField("id")),
+      opt("title", b.getField("title")),
+      opt("subtitle", b.getField("subtitle")),
+      opt("image", b.getField("image")),
       lit("<authors>"), authorsXml, lit("</authors>"),
       lit("<genres>"), genresXml, lit("</genres>"),
-      lit("<rating><average>"), b.getField("rating").getField("average"),
-      lit("</average></rating></book>"))
+      lit("<rating>"), opt("average", b.getField("rating").getField("average")),
+      lit("</rating></book>"))
     val parsed = from_xml(xml,
       org.apache.spark.sql.types.StructType.fromDDL(
         "id string, title string, subtitle string, image string, " +

@@ -194,29 +194,44 @@ object DedupOps {
     * where a linear-round loop is the difference between 12 jobs and
     * 4000. Labels live in a DataFrame partitioned on doc_id; the driver
     * only checks the converged-row COUNT (control plane, not data). */
-  /** Observability hook (tests + convergence triage): propagation rounds
-    * used by the most recent [[dedupClusters]] invocation. */
+  /** Observability hook (asserted by DedupSpec's path-graph convergence
+    * test): propagation rounds used by the most recent
+    * [[propagateMinLabels]] invocation. */
   @volatile private[graft] var lastClusterRounds: Int = -1
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val MaxRounds = 50
     val pairs = cache(simPairs(s, dir).select("doc_a", "doc_b"))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
+    propagateMinLabels(edges)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Pointer-jumped min-label propagation over a SYMMETRIC (src, dst)
+    * edge list → one (id, lbl) row per node with lbl = its component's
+    * min id. Split out of [[dedupClusters]] so the convergence behavior
+    * is directly testable on synthetic topologies (DedupSpec runs a
+    * 64-node path graph and pins the O(log diameter) round count —
+    * plain neighbor-min propagation would need 63 rounds and trip
+    * MaxRounds). Persisted label frames are registered in the dedup
+    * cache generation; non-convergence throws loudly. */
+  private[graft] def propagateMinLabels(edges: DataFrame,
+                                        maxRounds: Int = 50): DataFrame = {
     // `prev` is always THE frame persist() was called on (unpersisting a
     // derived select is a cache-manager no-op); `labels` is the id/lbl
     // view of it fed to the next round.
     // Seeded start: round 1 of propagation (lbl = min(id, neighbors)) is
     // a plain groupBy over the symmetric edge list — one aggregation
     // instead of the loop's join+agg+join, and one fewer iteration. Every
-    // node appears as src because edges are symmetrized above.
+    // node appears as src because edges are symmetrized.
     var prev = edges.groupBy("src")
       .agg(least(col("src"), min(col("dst"))).as("lbl"))
       .select(col("src").as("id"), col("lbl")).persist()
     var labels = prev
     var converged = false
     var rounds = 0
-    while (!converged && rounds < MaxRounds) {
+    while (!converged && rounds < maxRounds) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy("src").agg(min(col("lbl")).as("nbr_lbl"))
       val half = labels.join(nbrMin, col("id") === col("src"), "left")
@@ -238,16 +253,17 @@ object DedupOps {
       val step = labels.select(col("id"), col("lbl").as("old"))
         .join(jump, "id")
         .select(col("id"), col("lbl"), (col("lbl") < col("old")).as("changed"))
-      // Lineage truncation: each round's plan nests the previous round's,
-      // so analyzer time and lost-block recompute depth grow linearly.
-      // Near-dup components have tiny diameters (bounded buckets) and
-      // rarely need > a few rounds — but every 10th round truncate via
-      // localCheckpoint so the 50-round worst case stays flat. (On a real
-      // cluster, a reliable `checkpoint()` dir replaces localCheckpoint:
-      // localCheckpointed blocks die with their executor.)
-      val next =
-        if (rounds > 0 && rounds % 10 == 0) step.localCheckpoint(eager = false).persist()
-        else step.persist()
+      // Lineage truncation EVERY round (r6 — found by the path-graph
+      // spec): the pointer-jumping self-join puts `half` into the round
+      // plan TWICE, so an untruncated chain grows as 3^rounds logical
+      // nodes and Catalyst analysis hangs the driver by round ~8 (the
+      // pre-jump linear chain tolerated a 10-round truncation cadence;
+      // the jumped one does not). localCheckpoint snaps the plan to the
+      // materialized RDD; labels are (id, lbl) pairs, so the per-round
+      // checkpoint is trivially small. (On a real cluster, a reliable
+      // `checkpoint()` dir replaces localCheckpoint: localCheckpointed
+      // blocks die with their executor.)
+      val next = step.localCheckpoint(eager = false).persist()
       // count(), NOT isEmpty: isEmpty short-circuits after the first
       // non-empty partition, leaving the rest of the persisted `next`
       // unmaterialized — unpersisting prev would then force later rounds
@@ -264,13 +280,12 @@ object DedupOps {
     // still be retired by the next invocation, not leak for the session.
     synchronized { cachedGen += prev }
     // Silent truncation would return plausible-but-wrong cluster ids;
-    // a diameter > MaxRounds component must fail loudly instead.
+    // an unconverged run must fail loudly instead.
     if (!converged)
       throw new IllegalStateException(
-        s"dedupClusters: min-label propagation not converged after $MaxRounds rounds " +
-          "(a connected component has diameter > MaxRounds)")
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-      .orderBy("doc_id")
+        s"propagateMinLabels: not converged after $maxRounds rounds " +
+          "(a component needs more pointer-jumped rounds — raise maxRounds)")
+    labels
   }
 
   /** L13: test-set decontamination — flag training docs sharing any word

@@ -27,6 +27,24 @@ import org.apache.spark.sql.expressions.Window
   */
 object VectorOps {
 
+  /** Persisted codebooks from the PREVIOUS [[knnPq]] invocation — same
+    * generational lifecycle as [[DedupOps]]: lazy results can't be
+    * unpersisted before their consumer's action runs, so each new
+    * invocation retires the previous one's blocks instead of leaking one
+    * set per call (review r6: Verify/Explain/specs never run Bench's
+    * clearCache). */
+  private val cachedGen = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def freshGen(): Unit = synchronized {
+    cachedGen.foreach(_.unpersist(false)); cachedGen.clear()
+  }
+
+  private def cacheEager(df: DataFrame): DataFrame = {
+    synchronized { cachedGen += df; df.persist() }
+    df.count()
+    df
+  }
+
   /** Double-cast view of the embedding column. */
   private def asD(c: Column): Column = c.cast("array<double>")
 
@@ -192,6 +210,7 @@ object VectorOps {
     * 6-dp-snapped, so the full train→encode→score path hash-matches the
     * DuckDB mirror. */
   def knnPq(s: SparkSession, dir: String): DataFrame = {
+    freshGen() // retire the previous invocation's codebook blocks
     val e = embeddings(s, dir)
       .select(col("vec_id"), col("label"), asD(col("embedding")).as("x"))
     val subs = (0 until PqM).map { m =>
@@ -199,11 +218,9 @@ object VectorOps {
       // Materialize each 16-row codebook eagerly: it feeds BOTH the corpus
       // assignment and the query distance table, and without the persist
       // the full Lloyd training lineage re-executes once per consumer per
-      // subspace (measured 10.1 s in-sweep → ~3 s). The blocks are
-      // codebook-scale (16 × 8 doubles); Bench's post-query clearCache
-      // retires them.
-      val cents = kmeansCentroids(em, 2).persist()
-      cents.count()
+      // subspace (measured 10.1 s in-sweep → ~4 s isolated). Registered
+      // in the cache generation above, retired at the next invocation.
+      val cents = cacheEager(kmeansCentroids(em, 2))
       (m, em, cents, assignCells(em, cents))
     }
     // per-subspace query→centroid distance tables (16 rows each, broadcast)

@@ -92,10 +92,18 @@ object BooksTransport {
         case 200 =>
           val root = mapper.readTree(resp.body())
           require(root.isArray, s"expected JSON array page, got ${root.getNodeType}")
+          // Missing fields abort with the FIELD AND RECORD named (review
+          // r6: a bare NPE is opaque) and deliberately NOT as IOException
+          // — a malformed payload is not transient, retrying it would
+          // just re-fetch the same bad page.
+          def req(n: com.fasterxml.jackson.databind.JsonNode,
+                  i: Int, f: String): com.fasterxml.jackson.databind.JsonNode =
+            Option(n.get(f)).getOrElse(throw new IllegalStateException(
+              s"malformed feed record at offset $offset index $i: missing field '$f'"))
           (0 until root.size()).map { i =>
             val n = root.get(i)
-            BookRecord(n.get("id").asLong(), n.get("title").asText(),
-              n.get("rating").asDouble())
+            BookRecord(req(n, i, "id").asLong(), req(n, i, "title").asText(),
+              req(n, i, "rating").asDouble())
           }
         case 429 => throw new java.io.IOException(
           s"quota exhausted at offset $offset (remaining=${quotaRemaining.get})")

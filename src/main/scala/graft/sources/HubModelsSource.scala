@@ -90,13 +90,18 @@ object HubModelsSource {
         val tags = Option(n.get("tags")).filter(_.isArray)
           .map(t => (0 until t.size()).map(j => t.get(j).asText()))
           .getOrElse(Seq.empty)
+        // missing required fields fail with the field and record named,
+        // never as a bare NPE (review r6)
+        def req(f: String): com.fasterxml.jackson.databind.JsonNode =
+          Option(n.get(f)).getOrElse(throw new IllegalArgumentException(
+            s"malformed hub record $i: missing field '$f'"))
         HubModel(
-          model_id = n.get("model_id").asText(),
-          author = n.get("author").asText(),
-          pipeline_tag = n.get("pipeline_tag").asText(),
+          model_id = req("model_id").asText(),
+          author = req("author").asText(),
+          pipeline_tag = req("pipeline_tag").asText(),
           tags = tags,
-          downloads = n.get("downloads").asLong(),
-          last_modified = Timestamp.from(Instant.parse(n.get("last_modified").asText())))
+          downloads = req("downloads").asLong(),
+          last_modified = Timestamp.from(Instant.parse(req("last_modified").asText())))
       }
     }
   }

@@ -71,6 +71,21 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("pointer-jumped propagation: 64-node path converges in O(log d) rounds") {
+    val sq = spark; import sq.implicits._
+    // a path 0-1-2-...-63 (diameter 63): plain neighbor-min propagation
+    // needs 63 rounds and would trip maxRounds=50; pointer jumping must
+    // land every node on label 0 within ~log2(64)+slack rounds
+    val fwd = (0L until 63L).map(i => (i, i + 1))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val labels = DedupOps.propagateMinLabels(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == (0L to 63L).toSet)
+    assert(labels.values.forall(_ == 0L), s"wrong labels: ${labels.filter(_._2 != 0L)}")
+    val rounds = DedupOps.lastClusterRounds
+    assert(rounds <= 10, s"pointer jumping degraded to linear rounds: $rounds")
+  }
+
   test("decontam flags only train docs, every overlap positive") {
     val rows = DedupOps.decontamNgram(spark, sf).collect()
     assert(rows.nonEmpty)
