@@ -253,17 +253,20 @@ object DedupOps {
       val step = labels.select(col("id"), col("lbl").as("old"))
         .join(jump, "id")
         .select(col("id"), col("lbl"), (col("lbl") < col("old")).as("changed"))
-      // Lineage truncation EVERY round (r6 — found by the path-graph
-      // spec): the pointer-jumping self-join puts `half` into the round
-      // plan TWICE, so an untruncated chain grows as 3^rounds logical
-      // nodes and Catalyst analysis hangs the driver by round ~8 (the
-      // pre-jump linear chain tolerated a 10-round truncation cadence;
-      // the jumped one does not). localCheckpoint snaps the plan to the
-      // materialized RDD; labels are (id, lbl) pairs, so the per-round
-      // checkpoint is trivially small. (On a real cluster, a reliable
-      // `checkpoint()` dir replaces localCheckpoint: localCheckpointed
-      // blocks die with their executor.)
-      val next = step.localCheckpoint(eager = false).persist()
+      // Lineage truncation every 3rd round (r6 — cadence found by the
+      // path-graph spec + sweep A/B): the pointer-jumping self-join puts
+      // `half` into the round plan TWICE, so an untruncated chain grows
+      // as 3^rounds logical nodes and Catalyst ANALYSIS hangs the driver
+      // by round ~8 (the pre-jump linear chain tolerated a 10-round
+      // cadence; the jumped one does not). Every-3rd bounds the nested
+      // plan at 3³ ≈ 27 copies of a tiny plan, and costs nothing on
+      // corpora that converge in 1-2 rounds — an EVERY-round checkpoint
+      // measured ~24 s of pure overhead in the sweep. (On a real
+      // cluster, a reliable `checkpoint()` dir replaces localCheckpoint:
+      // localCheckpointed blocks die with their executor.)
+      val next =
+        if (rounds % 3 == 2) step.localCheckpoint(eager = false).persist()
+        else step.persist()
       // count(), NOT isEmpty: isEmpty short-circuits after the first
       // non-empty partition, leaving the rest of the persisted `next`
       // unmaterialized — unpersisting prev would then force later rounds
