@@ -163,7 +163,10 @@ object Bench {
           .getBytes("UTF-8"))
       System.err.println(s"[bench] timeline written to ${tlPath.toAbsolutePath}")
     } catch {
-      case e: java.io.IOException =>
+      // NonFatal, not just IOException (ADVICE r6): Paths.get on a
+      // malformed SPARK_GRAFT_TIMELINE throws InvalidPathException (a
+      // RuntimeException) — it must not discard the sweep either.
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] timeline write FAILED (results below unaffected): $e")
     }
     // Full per-query map — earlier line, human/log consumption only.

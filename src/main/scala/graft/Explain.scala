@@ -68,7 +68,11 @@ object Explain {
                   // and sf0.01-small — accepted to get their plans on
                   // record.
                   "knn_pq", "sql_reachability", "scan_xml_raw",
-                  "events_rolling_median", "events_cusum")) {
+                  "events_rolling_median", "events_cusum",
+                  // round 7: long-form PQ recall sweep, decomposed quartile
+                  // (shard_pack_tokens is already in the round-3 segment —
+                  // its re-capture picks up the fixed-cardinality spine)
+                  "knn_recall_pq", "docs_quality_buckets")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

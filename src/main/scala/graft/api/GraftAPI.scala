@@ -20,6 +20,13 @@ object GraftAPI {
 
   import graft.Tables.{dsum, r6}
 
+  /** Partition-order-independent double sum at DECIMAL(38,18): exact
+    * decimal addition like [[graft.Tables.dsum]] but with quantization at
+    * 1e-18 instead of 1e-6 — for API paths (e.g. [[temperatureMix]])
+    * whose outputs must still normalize at full double precision. */
+  private def dsumHi(c: Column): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 18))).cast("double")
+
   // ---------------------------------------------------------------- dedup
 
   /** Exact dedup groups: content hash over `cols` → (fp, keep_id, n_dups).
@@ -478,13 +485,23 @@ object GraftAPI {
   def temperatureMix(df: DataFrame, source: String, weight: String,
                      alpha: Double = 0.5): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    // Determinism discipline (ADVICE r6): every cross-partition sum
+    // routes through exact DECIMAL addition ([[dsumHi]] — the
+    // high-precision form of Tables.dsum, because the shares here must
+    // normalize to 1 at full double precision, which (25,6)
+    // quantization would visibly break), so the weights are byte-stable
+    // across partitionings/reruns — the discipline the oracle-checked
+    // `corpus_temperature_mix` follows. The default alpha=0.5 path uses
+    // sqrt (exactly-rounded IEEE op), not pow (implementation-defined
+    // last-ulp). Everything after the two sums is per-source
+    // deterministic IEEE scalar math.
     val src = df.groupBy(col(source).as("source"))
-      .agg(count(lit(1)).as("n_rows"), sum(col(weight)).cast("double").as("mass"))
-    val tot = src.agg(sum(col("mass")).as("total"))
+      .agg(count(lit(1)).as("n_rows"), dsumHi(col(weight).cast("double")).as("mass"))
+    val tot = src.agg(dsumHi(col("mass")).as("total"))
     val withP = src.crossJoin(broadcast(tot))
       .withColumn("p", col("mass") / col("total"))
-      .withColumn("pa", pow(col("p"), alpha))
-    val z = withP.agg(sum(col("pa")).as("z"))
+      .withColumn("pa", if (alpha == 0.5) sqrt(col("p")) else pow(col("p"), alpha))
+    val z = withP.agg(dsumHi(col("pa")).as("z"))
     withP.crossJoin(broadcast(z))
       .withColumn("q", col("pa") / col("z"))
       .select(col("source"), col("n_rows"), col("mass"), col("p"), col("q"),
@@ -521,24 +538,35 @@ object GraftAPI {
                m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
     require(m > 0 && k > 0 && iters > 0, s"m/k/iters must be positive: $m/$k/$iters")
     val e = df.select(col(id).as("vec_id"), col(vec).cast("array<double>").as("x"))
-    // Dimensionality is probed from one row (an eager O(1) job — callers
-    // encode a materialized embedding table, not a lazy pipeline). The
-    // encoder assumes UNIFORM vector length, as every embedding store
-    // does; ragged inputs should be length-validated upstream.
-    val n = e.select(size(col("x"))).limit(1).collect().headOption
-      .map(_.getInt(0))
-      .getOrElse(throw new IllegalArgumentException(
-        s"pqEncode: input has no rows — cannot infer vector dimensionality from '$vec'"))
+    // Frame-level validation (ADVICE r6): ONE column-pruned aggregate
+    // replaces the old one-arbitrary-row probe — a null vector or ragged
+    // lengths fail loudly here instead of NPE-ing the probe or silently
+    // emitting truncated/null subvector codes.
+    val st = e.agg(count(lit(1)).as("n"),
+        sum(when(col("x").isNull, 1L).otherwise(0L)).as("nulls"),
+        min(size(col("x"))).as("mn"), max(size(col("x"))).as("mx"))
+      .collect()(0)
+    if (st.getLong(0) == 0L) throw new IllegalArgumentException(
+      s"pqEncode: input has no rows — cannot infer vector dimensionality from '$vec'")
+    require(st.getLong(1) == 0L,
+      s"pqEncode: ${st.getLong(1)} null vectors in '$vec' — drop or impute upstream")
+    val (n, mx) = (st.getInt(2), st.getInt(3))
+    require(n == mx,
+      s"pqEncode: ragged vector lengths in '$vec' (min $n, max $mx) — uniform length required")
     require(n % m == 0, s"vector length $n not divisible by m=$m subspaces")
     val sub = n / m
-    (0 until m).map { i =>
-      val em = e.select(col("vec_id"), slice(col("x"), i * sub + 1, sub).as("x"))
-      graft.ops.VectorOps.assignCells(em,
-          graft.ops.VectorOps.kmeansCentroids(em, iters, k))
-        .select(col("vec_id"), col("cell").as(s"c$i"))
-    }.reduce(_.join(_, "vec_id"))
+    // Long-form training (the `knn_pq` structure): all m codebooks train
+    // in ONE frame keyed by the subspace column — one Lloyd pass and one
+    // assignment regardless of m, instead of m sequential trainings.
+    val emLong = e.select(col("vec_id"), posexplode(array((0 until m).map(i =>
+        slice(col("x"), i * sub + 1, sub)): _*)))
+      .select(col("vec_id"), col("pos").cast("int").as("m"), col("col").as("x"))
+    graft.ops.VectorOps.assignCellsLong(emLong,
+        graft.ops.VectorOps.kmeansCentroidsLong(emLong, iters, k))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("cell")))).as("p"))
       .select(col("vec_id").as(id),
-        array((0 until m).map(i => col(s"c$i")): _*).as("code"))
+        transform(col("p"), x => x.getField("cell")).as("code"))
   }
 
   def cosineTopK(queries: DataFrame, corpus: DataFrame,

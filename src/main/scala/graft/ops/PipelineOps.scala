@@ -150,19 +150,50 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Fixed spine cardinality for the two-pass prefix sums below: the
+    * only unpartitioned window and the offsets broadcast are O(4096)
+    * REGARDLESS of corpus size. */
+  private val SpineBuckets = 4096L
+
+  /** Fixed-cardinality ORDERED range bucket (VERDICT r6 #3):
+    * `id·K div (max_id+1)` — monotone in id (so bucket offset +
+    * within-bucket position == the global prefix sum) and bounded at
+    * [[SpineBuckets]] buckets at ANY corpus size, unlike the old
+    * `doc_id/100` spine whose single-task window and offsets broadcast
+    * grew O(n). Costs one column-pruned max() scan; exact integer
+    * arithmetic (`div`) so both engines bucket identically.
+    * [[rowGlobalIndex]]'s month spine is the calendar-keyed form of the
+    * same rule. */
+  private def withRangeBucket(df: DataFrame, id: String,
+                              maxSource: DataFrame): DataFrame = {
+    // max() over `maxSource` — pass the cheapest frame that bounds the id
+    // domain (a column-pruned base-table scan), NOT an expensive derived
+    // frame: the broadcast subtree re-executes once per consumer of the
+    // result. Any upper bound preserves monotonicity + fixed cardinality.
+    val nmax = maxSource.agg((max(col(id)) + lit(1L)).as("nmax1"))
+    df.crossJoin(broadcast(nmax))
+      .withColumn("bucket", expr(s"$id * $SpineBuckets div nmax1"))
+      .drop("nmax1")
+  }
+
   /** L11: token-budget shard packing — assign documents to training
     * shards by cumulative token count. A naive global running sum is a
     * single-task window; this is the SCALABLE two-pass prefix sum:
-    * (1) partition docs into ordered buckets and take a parallel
-    * per-bucket running sum, (2) prefix-sum the tiny per-bucket totals
-    * (one row per bucket — driver-scale even at 100 TB), (3) global
-    * offset = bucket offset + within-bucket position. Every heavy window
-    * is partitioned; the only global window runs over n/100 rows. */
+    * (1) partition docs into ordered fixed-cardinality range buckets
+    * ([[withRangeBucket]]) and take a parallel per-bucket running sum,
+    * (2) prefix-sum the per-bucket totals (≤ [[SpineBuckets]] rows —
+    * driver-scale even at 100 TB), (3) global offset = bucket offset +
+    * within-bucket position. Every heavy window is partitioned; the only
+    * global window runs over a FIXED number of rows. The oracle is the
+    * naive single-task global running sum — proving the decomposition
+    * exact. */
   def shardPackTokens(s: SparkSession, dir: String): DataFrame = {
     val Budget = 10000L
-    val toks = documents(s, dir)
-      .select(col("doc_id"), (col("doc_id") / lit(100)).cast("long").as("bucket"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val toks = withRangeBucket(
+      documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      "doc_id", documents(s, dir).select("doc_id"))
     val wIn = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val withBucketPos = toks
@@ -281,22 +312,31 @@ object PipelineOps {
     // 2. exact-dedup keepers (within the quality-kept set)
     val exactKeep = quality.groupBy("fp").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    // 3. near-dup cluster non-representatives (corpus-level artifact)
-    val clusterDrops = DedupOps.dedupClusters(s, dir)
-      .filter(col("cluster_id") =!= col("doc_id")).select("doc_id")
+    // 3. near-dup cluster non-representatives (corpus-level artifact).
+    //    TRUNCATED (VERDICT r6 #1/#7): the drop-list is tiny (dup-volume
+    //    rows) but its lineage is the whole LSH+verify+propagation DAG —
+    //    left in place, every AQE re-plan and codegen pass of the final
+    //    pipeline re-traverses it (measured 60+ s of driver-side
+    //    between-job time on the first run). DedupOps.truncate cuts the
+    //    finished stage out of the downstream plan, exactly what a
+    //    production pipeline does by writing stage outputs to a table.
+    val clusterDrops = DedupOps.truncate(DedupOps.dedupClusters(s, dir)
+      .filter(col("cluster_id") =!= col("doc_id")).select("doc_id"))
     // 4. contaminated train docs (corpus-level artifact): ≥ 30% of the
     //    doc's shingles seen in eval; eval slice itself is excluded by
-    //    the % 50 filter below
-    val contaminated = DedupOps.decontamNgram(s, dir)
-      .filter(col("contam_ratio") >= 0.3).select("doc_id")
-    val survivors = quality
-      .join(exactKeep, Seq("doc_id"), "left_semi")
-      .join(clusterDrops, Seq("doc_id"), "left_anti")
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .filter(col("doc_id") % 50 =!= 0)
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
-        (col("doc_id") / lit(100)).cast("long").as("bucket"))
-    // 5. two-pass prefix sum -> shard ids
+    //    the % 50 filter below. Same truncation rationale as stage 3.
+    val contaminated = DedupOps.truncate(DedupOps.decontamNgram(s, dir)
+      .filter(col("contam_ratio") >= 0.3).select("doc_id"))
+    val survivors = withRangeBucket(
+      quality
+        .join(exactKeep, Seq("doc_id"), "left_semi")
+        .join(clusterDrops, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("lang"), col("n_tokens")),
+      "doc_id", docs.select("doc_id"))
+    // 5. two-pass prefix sum over the FIXED-cardinality range-bucket
+    //    spine ([[withRangeBucket]]) -> shard ids
     val wIn = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val withPos = survivors
@@ -803,42 +843,29 @@ object PipelineOps {
         |WHERE CAST('0x' || substring(md5(doc_id::VARCHAR), 1, 4) AS BIGINT) % 100
         |      < CASE WHEN lang = 'en' THEN 10 ELSE 40 END
         |ORDER BY doc_id""".stripMargin,
+    // The oracle IS the naive single-task global running sum the two-pass
+    // range-bucket decomposition replaces — bucket-independent by design.
     "shard_pack_tokens" ->
       """WITH toks AS (
-        |  SELECT doc_id, doc_id // 100 AS bucket,
-        |    len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
         |  FROM documents),
-        |pos AS (
-        |  SELECT doc_id, bucket, n_tokens,
-        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS within
-        |  FROM toks),
-        |offs AS (
-        |  SELECT bucket,
-        |    COALESCE(SUM(SUM(n_tokens)) OVER (ORDER BY bucket
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-        |  FROM toks GROUP BY bucket)
-        |SELECT doc_id, n_tokens, CAST((off + within) // 10000 AS BIGINT) AS shard
-        |FROM pos JOIN offs USING (bucket)
-        |ORDER BY doc_id""".stripMargin,
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, CAST(cum // 10000 AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
     "shard_manifest" ->
       """WITH toks AS (
-        |  SELECT doc_id, doc_id // 100 AS bucket,
-        |    len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
         |  FROM documents),
-        |pos AS (
-        |  SELECT doc_id, bucket, n_tokens,
-        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS within
-        |  FROM toks),
-        |offs AS (
-        |  SELECT bucket,
-        |    COALESCE(SUM(SUM(n_tokens)) OVER (ORDER BY bucket
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-        |  FROM toks GROUP BY bucket),
         |asg AS (
-        |  SELECT doc_id, n_tokens, CAST((off + within) // 10000 AS BIGINT) AS shard
-        |  FROM pos JOIN offs USING (bucket))
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 10000
+        |      AS BIGINT) AS shard
+        |  FROM toks)
         |SELECT shard, count(*) AS n_docs,
         |  CAST(SUM(a.n_tokens) AS BIGINT) AS tot_tokens,
         |  CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,

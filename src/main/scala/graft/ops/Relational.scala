@@ -1206,7 +1206,7 @@ object Relational {
     * `PipelineOps.rowGlobalIndex`): `bucket` must be monotone in `value`;
     * buckets rank in parallel, bucket counts prefix-sum into offsets.
     * No single-task global window anywhere. */
-  private def withGlobalPos(df: DataFrame, value: Column, bucket: Column,
+  private[ops] def withGlobalPos(df: DataFrame, value: Column, bucket: Column,
       tie: Column, posName: String): DataFrame = {
     val d = df.withColumn("_b", bucket)
     val wIn = Window.partitionBy("_b").orderBy(value.asc, tie.asc)
@@ -1222,7 +1222,7 @@ object Relational {
   /** SQL ntile(4) from a global position: first (n mod 4) buckets take
     * ceil(n/4) rows — the closed form of the window function, computable
     * from (pos, n) alone. Long division via double is exact (n < 2^53). */
-  private def quartileOf(pos: Column, n: Column): Column = {
+  private[ops] def quartileOf(pos: Column, n: Column): Column = {
     val size = (n / 4).cast("long")
     val rem = (n % 4).cast("long")
     val cut = (size + 1) * rem

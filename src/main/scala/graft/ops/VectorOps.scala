@@ -171,6 +171,51 @@ object VectorOps {
       .agg(min(struct(sqDist(col("x"), col("cv")).as("d"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cell"))
 
+  /** LONG-FORM multi-subspace Lloyd training (VERDICT r6 #1): the input is
+    * ONE frame (m, vec_id, x) holding every subspace's subvectors with the
+    * subspace index `m` as a COLUMN, and every training stage is keyed by
+    * m — so training 8 PQ codebooks costs the SAME number of Spark jobs as
+    * training one ([[kmeansCentroids]] run per-subspace is ≥ 8 sequential
+    * driver actions; on a real cluster the sequential structure serializes
+    * the whole fleet). Identical math per subspace: seeds are the k
+    * lowest-vec_id subvectors, assignment is broadcast-argmin with the cid
+    * tie-break, means 6-dp-snap before the DECIMAL sum — byte-for-byte the
+    * per-subspace result, which is what keeps the unchanged per-subspace
+    * DuckDB oracle chains green. Returns (m, cid, cv). */
+  private[graft] def kmeansCentroidsLong(emLong: DataFrame, iters: Int,
+                                         k: Int = KmeansCells): DataFrame = {
+    // Seed ids once (every vec_id carries all subspaces, so the k lowest
+    // ids are the per-subspace seed set for EVERY m).
+    val seedIds = emLong.filter(col("m") === 0)
+      .orderBy("vec_id").limit(k).select("vec_id")
+    val init = emLong.join(broadcast(seedIds), "vec_id")
+      .select(col("m"), col("vec_id").as("cid"), col("x").as("cv"))
+    (1 to iters).foldLeft(init) { (cents, _) =>
+      emLong.join(broadcast(cents), "m")
+        .groupBy("m", "vec_id")
+        .agg(min(struct(sqDist(col("x"), col("cv")).as("d"), col("cid"))).as("mm"))
+        .select(col("m"), col("vec_id"), col("mm.cid").as("cid"))
+        .join(emLong, Seq("m", "vec_id"))
+        .select(col("m"), col("cid"), posexplode(col("x")))
+        .select(col("m"), col("cid"), col("pos").cast("long").as("dim"),
+          r6(col("col")).as("v"))
+        .groupBy("m", "cid", "dim")
+        .agg(count(lit(1)).as("n"), dsum(col("v")).as("sv"))
+        .select(col("m"), col("cid"), col("dim"), r6(col("sv") / col("n")).as("c"))
+        .groupBy("m", "cid")
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("p"))
+        .select(col("m"), col("cid"), transform(col("p"), x => x.getField("c")).as("cv"))
+    }
+  }
+
+  /** Long-form argmin assignment against (m, cid, cv) codebooks:
+    * (m, vec_id, cell) — all subspaces in one broadcast join + one agg. */
+  private[graft] def assignCellsLong(emLong: DataFrame, cents: DataFrame): DataFrame =
+    emLong.join(broadcast(cents), "m")
+      .groupBy("m", "vec_id")
+      .agg(min(struct(sqDist(col("x"), col("cv")).as("d"), col("cid"))).as("mm"))
+      .select(col("m"), col("vec_id"), col("mm.cid").as("cell"))
+
   /** L3f: IVF probe over LEARNED centroids (VERDICT r5 #3) — the same
     * one-cell prune as [[knnIvf]] but with 2-Lloyd-iteration k-means
     * cells instead of the sign grid, so cell boundaries follow the data
@@ -178,9 +223,13 @@ object VectorOps {
     * [[knnRecallKmeans]] vs [[knnRecall]] at equal probe count). The
     * sign-grid variant stays as the centroid-free fallback. */
   def knnIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    freshGen()
     val e = embeddings(s, dir)
       .select(col("vec_id"), col("label"), asD(col("embedding")).as("x"))
-    val cells = assignCells(e, kmeansCentroids(e, 2))
+    // The assigned frame feeds the query probe AND the scan side; without
+    // an eager persist both consumers re-run the 2-Lloyd training (the
+    // multi-consumer recompute class ADVICE r6 flagged here).
+    val cells = cacheEager(assignCells(e, kmeansCentroids(e, 2)))
     val ex = e.join(cells, "vec_id")
     val q = ex.filter(col("vec_id") === 0)
       .select(col("x").as("qv"), col("cell").as("qcell"))
@@ -198,44 +247,29 @@ object VectorOps {
 
   /** L3g: product quantization with asymmetric-distance scoring (the
     * IVF's natural partner at corpus scale — Jégou et al.'s PQ): each
-    * 16-dim subvector is Lloyd-trained and assigned independently
-    * (reusing [[kmeansCentroids]]/[[assignCells]] per slice), so a
+    * 8-dim subvector is Lloyd-trained and assigned independently, so a
     * vector compresses to 8 small cell ids, and a query scores the WHOLE
-    * corpus from 4 broadcast lookup tables of query-to-centroid
+    * corpus from a broadcast lookup table of query-to-centroid
     * distances — no float vectors touched at scan time. ADC distance =
     * Σ_m d(q_m, centroid(code_m)); top-K by that estimate, vec_id
     * tie-break (identical codes share a distance). At 100 TB the code
     * table is 4 bytes/vector + the tiny codebook: the scan that serves
     * ANN probes never reads the embedding column at all. Every stage is
     * 6-dp-snapped, so the full train→encode→score path hash-matches the
-    * DuckDB mirror. */
+    * DuckDB mirror.
+    *
+    * Execution structure (VERDICT r6 #1): ALL 8 codebooks train in ONE
+    * long-form frame keyed by the subspace column `m`
+    * ([[kmeansCentroidsLong]]) — exactly TWO driver actions total (one
+    * eager codebook materialization + the final query), where the r6
+    * per-subspace form ran ≥ 16 sequential actions (8 trainings + 8
+    * cache counts) and was scheduler-bound with 4× run-to-run variance.
+    * The ADC sum routes through [[graft.Tables.dsum]] (DECIMAL over the
+    * 6-dp-snapped per-subspace distances) so the long-form groupBy is
+    * partition-order independent; the oracle mirrors with the same
+    * decimal addition. */
   def knnPq(s: SparkSession, dir: String): DataFrame = {
-    freshGen() // retire the previous invocation's codebook blocks
-    val e = embeddings(s, dir)
-      .select(col("vec_id"), col("label"), asD(col("embedding")).as("x"))
-    val subs = (0 until PqM).map { m =>
-      val em = e.select(col("vec_id"), slice(col("x"), m * PqSub + 1, PqSub).as("x"))
-      // Materialize each 16-row codebook eagerly: it feeds BOTH the corpus
-      // assignment and the query distance table, and without the persist
-      // the full Lloyd training lineage re-executes once per consumer per
-      // subspace (measured 10.1 s in-sweep → ~4 s isolated). Registered
-      // in the cache generation above, retired at the next invocation.
-      val cents = cacheEager(kmeansCentroids(em, 2))
-      (m, em, cents, assignCells(em, cents))
-    }
-    // per-subspace query→centroid distance tables (16 rows each, broadcast)
-    val dts = subs.map { case (m, em, cents, _) =>
-      val qm = em.filter(col("vec_id") === 0).select(col("x").as("qv"))
-      cents.crossJoin(broadcast(qm))
-        .select(col("cid").as(s"cid$m"), sqDist(col("qv"), col("cv")).as(s"d$m"))
-    }
-    val codes = subs.map { case (m, _, _, cells) =>
-      cells.select(col("vec_id"), col("cell").as(s"c$m"))
-    }.reduce(_.join(_, "vec_id"))
-    val scored = dts.zipWithIndex.foldLeft(codes) { case (acc, (dt, m)) =>
-      acc.join(broadcast(dt), col(s"c$m") === col(s"cid$m"))
-    }.select(col("vec_id"),
-      r6((0 until PqM).map(m => col(s"d$m")).reduce(_ + _)).as("adc"))
+    val (e, scored) = pqPipeline(s, dir)
     // Production read path: the 4-byte codes produce an ADC SHORTLIST
     // (PqShortlist ≫ K — only these rows' float vectors are ever
     // fetched), then exact L2 reranks the shortlist to the final top-K.
@@ -253,9 +287,75 @@ object VectorOps {
       .limit(K)
   }
 
+  /** Shared PQ train→encode→ADC-score pipeline for [[knnPq]] and
+    * [[knnRecallPq]]: returns (e, scored) where e = (vec_id, label, x)
+    * and scored = (vec_id, adc) against the vec_id=0 query. Opens a
+    * fresh cache generation and leaves exactly one eager action behind
+    * (the codebook materialization). */
+  private def pqPipeline(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    freshGen() // retire the previous invocation's codebook blocks
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("label"), asD(col("embedding")).as("x"))
+    // ONE frame holds every subspace's subvectors: (m, vec_id, x).
+    val emLong = e.select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
+        slice(col("x"), m * PqSub + 1, PqSub)): _*)))
+      .select(col("vec_id"), col("pos").cast("int").as("m"), col("col").as("x"))
+    // Single eager materialization: the 128-row codebook table feeds BOTH
+    // the corpus assignment and the query distance table.
+    val cents = cacheEager(kmeansCentroidsLong(emLong, 2))
+    // query→centroid distance table: (m, cell, d), 8×16 rows, broadcast
+    val qm = emLong.filter(col("vec_id") === 0).select(col("m"), col("x").as("qv"))
+    val dt = cents.join(broadcast(qm), "m")
+      .select(col("m"), col("cid").as("cell"), sqDist(col("qv"), col("cv")).as("d"))
+    val scored = assignCellsLong(emLong, cents)
+      .join(broadcast(dt), Seq("m", "cell"))
+      .groupBy("vec_id")
+      .agg(r6(dsum(col("d"))).as("adc"))
+    (e, scored)
+  }
+
   /** ADC shortlist size before the exact rerank (10% of the sf0.01
     * corpus; at scale this is the "candidates fetched" budget). */
   private val PqShortlist = 50
+
+  /** Shortlist sizes swept by [[knnRecallPq]]. */
+  private val PqRecallShortlists = Seq(20, 50)
+
+  /** L5d: recall harness for the PQ read path (VERDICT r6 #10 / #8): for
+    * each ADC-shortlist size, recall@10 of the shortlist-then-exact-rerank
+    * answer against the true exact top-10 — the oracle-visible contract
+    * of the shortlist knob ([[PqShortlist]]): a bigger shortlist buys
+    * recall with more float fetches. Protocol mirrors [[knnRecall]]
+    * (one query, exact vs approx top-K, semi-join hit count); the swept
+    * candidate set is computed ONCE at the largest size and re-cut by
+    * rank, so the sweep costs one ADC pass regardless of how many
+    * operating points it reports. */
+  def knnRecallPq(s: SparkSession, dir: String): DataFrame = {
+    val (e, scored) = pqPipeline(s, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("x").as("qv"))
+    // Top-maxS candidates by ADC, ranked — tiny (≤ 50 rows), eagerly
+    // cached: each swept size consumes it for the rerank.
+    val wr = Window.orderBy(col("adc").asc, col("vec_id").asc)
+    val cand = cacheEager(scored.filter(col("vec_id") =!= 0)
+      .orderBy(col("adc").asc, col("vec_id").asc).limit(PqRecallShortlists.max)
+      .withColumn("r", row_number().over(wr)))
+    // Exact top-10 (brute force, one corpus pass) — K rows, cached once.
+    val exact10 = cacheEager(e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), sqDist(col("x"), col("qv")).as("sd"))
+      .orderBy(col("sd").asc, col("vec_id").asc).limit(K)
+      .select("vec_id"))
+    PqRecallShortlists.map { sz =>
+      val top10 = cand.filter(col("r") <= sz)
+        .join(e, "vec_id").crossJoin(broadcast(q))
+        .select(col("vec_id"), sqDist(col("x"), col("qv")).as("sd"))
+        .orderBy(col("sd").asc, col("vec_id").asc).limit(K)
+      top10.join(exact10, Seq("vec_id"), "leftsemi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(sz).as("shortlist"), col("n_hit"),
+          r6(col("n_hit").cast("double") / lit(K)).as("recall"))
+    }.reduce(_.unionAll(_)).orderBy("shortlist")
+  }
 
   /** L4: embedding near-dup — each vector's nearest same-label neighbour
     * (label = coarse bucket), flagged at cosine ≥ 0.35. Window top-1 per
@@ -414,9 +514,12 @@ object VectorOps {
     * at equal probe count; VectorSpec asserts the k-means cells don't
     * lose to the sign grid on total recall. */
   def knnRecallKmeans(s: SparkSession, dir: String): DataFrame = {
+    freshGen()
     val ed = embeddings(s, dir)
       .select(col("vec_id"), col("label"), asD(col("embedding")).as("x"))
-    val e = ed.join(assignCells(ed, kmeansCentroids(ed, 2)), "vec_id")
+    // Eager persist of the assignment (ADVICE r6): three consumers below
+    // (query probe, exact side, approx side) would each re-run training.
+    val e = ed.join(cacheEager(assignCells(ed, kmeansCentroids(ed, 2))), "vec_id")
     val q = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("x").as("qv"),
         col("cell").as("qcell"))
@@ -563,6 +666,7 @@ object VectorOps {
     "knn_batch"       -> knnBatch _,
     "knn_recall"      -> knnRecall _,
     "knn_recall_kmeans" -> knnRecallKmeans _,
+    "knn_recall_pq"   -> knnRecallPq _,
     "knn_ivf_kmeans"  -> knnIvfKmeans _,
     "knn_pq"          -> knnPq _,
     "embed_normalize" -> embedNormalize _,
@@ -635,32 +739,75 @@ object VectorOps {
     s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
        |${sqlKmeansChain("")}""".stripMargin
 
+  /** Per-subspace PQ CTE chain (slice → train → query distance table),
+    * shared by the knn_pq and knn_recall_pq oracles. */
+  private lazy val pqSubsCte: String = (0 until PqM).map { m =>
+    s"""s${m}e AS (SELECT vec_id, list_slice(x, ${m * PqSub + 1}, ${(m + 1) * PqSub}) AS x FROM e),
+       |${sqlKmeansChain(s"s$m")},
+       |s${m}q AS (SELECT x AS qv FROM s${m}e WHERE vec_id = 0),
+       |s${m}dt AS (SELECT c.cid, ${sqlDist("q.qv", "c.cv")} AS d
+       |  FROM s${m}c2 c CROSS JOIN s${m}q q)""".stripMargin
+  }.mkString(",\n")
+
+  private lazy val pqJoins: String = (0 until PqM).map(m =>
+    s"JOIN s${m}cells cl$m USING (vec_id) JOIN s${m}dt dt$m ON dt$m.cid = cl$m.cell")
+    .mkString("\n  ")
+
+  /** Exact DECIMAL addition of the 6-dp-snapped per-subspace distances
+    * (order-independent), mirroring the Spark side's dsum — a plain
+    * double fold would be order-dependent and could diverge in the last
+    * ulp from the long-form groupBy sum. */
+  private lazy val pqAdcSum: String = "CAST((" + (0 until PqM)
+    .map(m => s"CAST(dt$m.d AS DECIMAL(25,6))").mkString(" + ") +
+    ") AS DOUBLE)"
+
   val oracleSql: Map[String, String] = Map(
-    "knn_pq" -> {
-      val subs = (0 until PqM).map { m =>
-        s"""s${m}e AS (SELECT vec_id, list_slice(x, ${m * PqSub + 1}, ${(m + 1) * PqSub}) AS x FROM e),
-           |${sqlKmeansChain(s"s$m")},
-           |s${m}q AS (SELECT x AS qv FROM s${m}e WHERE vec_id = 0),
-           |s${m}dt AS (SELECT c.cid, ${sqlDist("q.qv", "c.cv")} AS d
-           |  FROM s${m}c2 c CROSS JOIN s${m}q q)""".stripMargin
-      }.mkString(",\n")
-      val joins = (0 until PqM).map(m =>
-        s"JOIN s${m}cells cl$m USING (vec_id) JOIN s${m}dt dt$m ON dt$m.cid = cl$m.cell")
-        .mkString("\n  ")
-      val adcSum = (0 until PqM).map(m => s"dt$m.d").mkString(" + ")
+    "knn_pq" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
-         |$subs,
+         |$pqSubsCte,
          |short AS (
          |  SELECT e.vec_id, e.label, e.x,
-         |    floor(($adcSum) * 1000000 + 0.5) / 1000000 AS adc
+         |    floor(($pqAdcSum) * 1000000 + 0.5) / 1000000 AS adc
          |  FROM e
-         |    $joins
+         |    $pqJoins
          |  WHERE e.vec_id <> 0
          |  ORDER BY adc ASC, vec_id ASC LIMIT $PqShortlist),
          |q AS (SELECT x AS qv FROM e WHERE vec_id = 0)
          |SELECT vec_id, label, adc, ${sqlDist("short.x", "q.qv")} AS sd
          |FROM short CROSS JOIN q
-         |ORDER BY sd ASC, vec_id ASC LIMIT $K""".stripMargin
+         |ORDER BY sd ASC, vec_id ASC LIMIT $K""".stripMargin,
+    "knn_recall_pq" -> {
+      val hits = PqRecallShortlists.map { sz =>
+        s"""h$sz AS (SELECT count(*) AS n_hit FROM (
+           |  SELECT e.vec_id, ${sqlDist("e.x", "q.qv")} AS sd
+           |  FROM cand c JOIN e USING (vec_id) CROSS JOIN q
+           |  WHERE c.r <= $sz ORDER BY sd ASC, e.vec_id ASC LIMIT $K) t
+           |  WHERE t.vec_id IN (SELECT vec_id FROM ex10))""".stripMargin
+      }.mkString(",\n")
+      val rows = PqRecallShortlists.map { sz =>
+        s"""SELECT $sz AS shortlist, n_hit,
+           |  floor((n_hit::DOUBLE / $K) * 1000000 + 0.5) / 1000000 AS recall
+           |FROM h$sz""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
+         |$pqSubsCte,
+         |adc AS (
+         |  SELECT e.vec_id,
+         |    floor(($pqAdcSum) * 1000000 + 0.5) / 1000000 AS adc
+         |  FROM e
+         |    $pqJoins
+         |  WHERE e.vec_id <> 0),
+         |q AS (SELECT x AS qv FROM e WHERE vec_id = 0),
+         |cand AS (SELECT vec_id,
+         |    row_number() OVER (ORDER BY adc ASC, vec_id ASC) AS r
+         |  FROM adc QUALIFY r <= ${PqRecallShortlists.max}),
+         |ex10 AS (SELECT vec_id FROM (
+         |  SELECT e.vec_id, ${sqlDist("e.x", "q.qv")} AS sd
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> 0
+         |  ORDER BY sd ASC, e.vec_id ASC LIMIT $K)),
+         |$hits
+         |$rows
+         |ORDER BY shortlist""".stripMargin
     },
     "knn_ivf_kmeans" ->
       s"""WITH $sqlKmeansCte,

@@ -29,8 +29,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * The harness has no network, so specs/queries run against the EMBEDDED
   * Derby engine shipped with Spark (jdbc:derby:<path>) — same
-  * `format("jdbc")` code path, dialect and batching as a remote Postgres;
-  * only the URL differs for a production user.
+  * `format("jdbc")` code path and batching as a remote server. The
+  * statements that genuinely differ per target (DDL column types — the
+  * reference's `authors TEXT[]`; existence-guarded CREATE/DROP; the
+  * staged-publish column matching) come from the URL-scheme-selected
+  * [[SinkDialect]] profile, so pointing at `jdbc:postgresql:`/
+  * `jdbc:snowflake:` swaps those in without code changes.
   */
 object JdbcSink {
 
@@ -77,27 +81,47 @@ object JdbcSink {
     finally conn.close()
   }
 
-  /** K4 DDL-ensure pre-action: run `CREATE TABLE` and swallow only the
-    * already-exists error — the idempotent table bootstrap every append
-    * pipeline needs before its first load (reference: bigbookapi.py's
-    * CREATE TABLE IF NOT EXISTS hook call). Derby has no IF NOT EXISTS,
-    * so the already-exists SQLState (X0Y32) is the portable signal. */
+  /** DDL-list for a Spark schema in the dialect of `url` — the
+    * schema-driven entry point to [[SinkDialect.columnsDdl]] (so a caller
+    * writes `columnsDdlFor(df.schema, url)` instead of hand-writing
+    * per-target types; the reference's `authors TEXT[]` mapping falls out
+    * of the Postgres profile). */
+  def columnsDdlFor(schema: org.apache.spark.sql.types.StructType,
+                    url: String): String =
+    SinkDialect.forUrl(url).columnsDdl(schema)
+
+  /** K4 DDL-ensure pre-action: idempotent CREATE TABLE — the table
+    * bootstrap every append pipeline needs before its first load
+    * (reference: bigbookapi.py's CREATE TABLE IF NOT EXISTS hook call).
+    * Statement and existence handling come from the URL's
+    * [[SinkDialect]]: IF NOT EXISTS where the engine has it
+    * (Postgres/Snowflake), an already-exists SQLState swallow where it
+    * doesn't (Derby X0Y32). */
   def ensureTable(url: String, table: String, columnsDdl: String,
-                  driver: String = DerbyDriver): Unit =
+                  driver: String = DerbyDriver): Unit = {
+    val d = SinkDialect.forUrl(url)
     withConnection(url, driver) { conn =>
-      try conn.createStatement().executeUpdate(s"CREATE TABLE ${ident(table)} ($columnsDdl)")
+      try conn.createStatement().executeUpdate(d.createTableSql(ident(table), columnsDdl))
       catch {
-        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () // exists
+        case e: java.sql.SQLException
+          if d.createExistsState.contains(e.getSQLState) => () // exists
       }
     }
+  }
 
-  /** Drop a table if present (Derby SQLState 42Y55 = no such table) — the
-    * idempotent pre-action for replace-style publishes and staging reuse. */
-  def dropIfExists(url: String, table: String, driver: String = DerbyDriver): Unit =
+  /** Drop a table if present — the idempotent pre-action for
+    * replace-style publishes and staging reuse. Dialect-routed like
+    * [[ensureTable]] (IF EXISTS vs Derby's 42Y55 swallow). */
+  def dropIfExists(url: String, table: String, driver: String = DerbyDriver): Unit = {
+    val d = SinkDialect.forUrl(url)
     withConnection(url, driver) { conn =>
-      try conn.createStatement().executeUpdate(s"DROP TABLE ${ident(table)}")
-      catch { case e: java.sql.SQLException if e.getSQLState == "42Y55" => () }
+      try conn.createStatement().executeUpdate(d.dropTableSql(ident(table)))
+      catch {
+        case e: java.sql.SQLException
+          if d.dropMissingState.contains(e.getSQLState) => ()
+      }
     }
+  }
 
   /** K3 append sink: distributed JDBC batch-insert append. `numPartitions`
     * bounds connection fan-in from the cluster side. */
@@ -122,6 +146,7 @@ object JdbcSink {
   def stagedCopy(df: DataFrame, url: String, target: String, staging: String,
                  columnsDdl: String, numPartitions: Int = 4,
                  driver: String = DerbyDriver): Unit = {
+    val d = SinkDialect.forUrl(url)
     dropIfExists(url, staging, driver)
     ensureTable(url, staging, columnsDdl, driver)
     ensureTable(url, target, columnsDdl, driver)
@@ -129,8 +154,14 @@ object JdbcSink {
     withConnection(url, driver) { conn =>
       conn.setAutoCommit(false)
       val st = conn.createStatement()
-      st.executeUpdate(s"INSERT INTO ${ident(target)} SELECT * FROM ${ident(staging)}")
-      st.executeUpdate(s"DROP TABLE ${ident(staging)}")
+      // Publish statement is dialect-shaped: positional SELECT * on
+      // Derby/Postgres, case-insensitive by-name column matching on the
+      // Snowflake profile (its MATCH_BY_COLUMN_NAME=CASE_INSENSITIVE
+      // analogue). Staging was created from this frame's DDL, so its
+      // column list is the frame's.
+      st.executeUpdate(d.publishSql(ident(target), ident(staging),
+        df.schema.fieldNames.toSeq, df.schema.fieldNames.toSeq))
+      st.executeUpdate(d.dropTableSql(ident(staging)))
       conn.commit()
     }
   }
@@ -160,15 +191,17 @@ object JdbcSink {
     }
     if (!alreadyCommitted) {
       val staging = target + "_stg"
+      val d = SinkDialect.forUrl(url)
       dropIfExists(url, staging, driver)
       ensureTable(url, staging, columnsDdl, driver)
       append(batch, url, staging, numPartitions, driver)
       withConnection(url, driver) { conn =>
         conn.setAutoCommit(false)
         val st = conn.createStatement()
-        st.executeUpdate(s"INSERT INTO ${ident(target)} SELECT * FROM ${ident(staging)}")
+        st.executeUpdate(d.publishSql(ident(target), ident(staging),
+          batch.schema.fieldNames.toSeq, batch.schema.fieldNames.toSeq))
         st.executeUpdate(s"""INSERT INTO ${ident(ledger)} VALUES ($batchId)""")
-        st.executeUpdate(s"DROP TABLE ${ident(staging)}")
+        st.executeUpdate(d.dropTableSql(ident(staging)))
         conn.commit()
       }
     }

@@ -86,6 +86,38 @@ class DedupSpec extends AnyFunSuite {
     assert(rounds <= 10, s"pointer jumping degraded to linear rounds: $rounds")
   }
 
+  test("propagation converges under the RELIABLE checkpoint mechanism too") {
+    // DedupOps.truncate picks reliable checkpoint() when the session has a
+    // checkpoint dir (the cluster-correct mechanism) and localCheckpoint
+    // otherwise; the path-graph test above exercised the fallback — this
+    // one pins the same convergence with a checkpoint dir set, so both
+    // truncation mechanisms are spec-verified (VERDICT r6 #7).
+    val sq = spark; import sq.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val prev = Option(spark.sparkContext.getCheckpointDir.orNull)
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val fwd = (0L until 63L).map(i => (i, i + 1))
+      val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+      val labels = DedupOps.propagateMinLabels(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.keySet == (0L to 63L).toSet)
+      assert(labels.values.forall(_ == 0L))
+      assert(DedupOps.lastClusterRounds <= 10)
+    } finally {
+      // restore: Spark has no un-set API; point back at the previous dir
+      // or a throwaway to keep later suites on the localCheckpoint path
+      prev.foreach(spark.sparkContext.setCheckpointDir)
+      if (prev.isEmpty) {
+        // SparkContext.checkpointDir is private; clearing via reflection
+        // keeps the shared session's behavior identical for other suites.
+        val f = spark.sparkContext.getClass.getDeclaredField("checkpointDir")
+        f.setAccessible(true)
+        f.set(spark.sparkContext, None)
+      }
+    }
+  }
+
   test("decontam flags only train docs, every overlap positive") {
     val rows = DedupOps.decontamNgram(spark, sf).collect()
     assert(rows.nonEmpty)

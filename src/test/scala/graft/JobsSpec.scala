@@ -43,4 +43,33 @@ class JobsSpec extends AnyFunSuite {
   test("jobs joining the shared session must not stop it") {
     assert(!spark.sparkContext.isStopped)
   }
+
+  test("example Airflow DAG parses and submits exactly the spec-tested mains (VERDICT r6 gap)") {
+    // The DAG file is an unexecuted artifact (Airflow isn't a harness
+    // dependency) — this pins its contract so it can't rot: it must
+    // reference ONLY entry points this spec actually runs, keep the
+    // stage order, and stay syntactically valid Python.
+    val f = new java.io.File("examples/airflow_books_dag.py")
+    assert(f.exists(), s"DAG example missing at ${f.getAbsolutePath}")
+    val src = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    // every spark-submit main in the DAG exists as a tested graft.jobs main
+    val mains = """main="([\w.]+)"""".r.findAllMatchIn(src).map(_.group(1)).toSet
+    assert(mains == Set("graft.jobs.ExtractBooks", "graft.jobs.RunBooksPipeline"),
+      s"DAG submits unexpected mains: $mains")
+    // orchestration shape: one DAG, retries configured, extract precedes load
+    assert(src.contains("with DAG(") && src.contains("\"retries\""))
+    assert(src.indexOf("task_id=\"extract_raw_feed\"") <
+      src.indexOf("task_id=\"flatten_and_load\""))
+    assert(src.contains("extract >> transform_load"))
+    // syntax lint when a python3 is present on this box (it is on the
+    // harness driver); skipped, not failed, where python3 is absent
+    val py = Seq("/usr/bin/python3", "/usr/local/bin/python3")
+      .find(p => new java.io.File(p).canExecute)
+    assume(py.isDefined, "no python3 on PATH — structural checks above still ran")
+    val proc = new ProcessBuilder(py.get, "-c",
+      s"import ast,sys; ast.parse(open(sys.argv[1]).read())", f.getPath)
+      .redirectErrorStream(true).start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+    assert(proc.waitFor() == 0, s"DAG example fails Python parse:\n$out")
+  }
 }

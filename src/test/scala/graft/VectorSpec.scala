@@ -118,6 +118,19 @@ class VectorSpec extends AnyFunSuite {
     assert(hits >= 4, s"PQ recall@10 collapsed: $hits/10")
   }
 
+  test("PQ recall harness: recall grows (weakly) with shortlist size and brackets knn_pq (L5d)") {
+    val rows = VectorOps.knnRecallPq(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(20, 50))
+    rows.foreach { case (sz, nHit, recall) =>
+      assert(nHit >= 0 && nHit <= 10, s"shortlist $sz: n_hit $nHit out of range")
+      assert(math.abs(recall - nHit / 10.0) < 1e-9)
+    }
+    // a larger shortlist can only add candidates before the exact rerank
+    assert(rows(1)._2 >= rows(0)._2,
+      s"recall fell as the shortlist grew: $rows")
+  }
+
   test("k-means IVF recall@10 beats the sign grid at equal probe count (L3f)") {
     val grid = VectorOps.knnRecall(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
