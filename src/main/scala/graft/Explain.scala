@@ -69,10 +69,11 @@ object Explain {
                   // record.
                   "knn_pq", "sql_reachability", "scan_xml_raw",
                   "events_rolling_median", "events_cusum",
-                  // round 7: long-form PQ recall sweep, decomposed quartile
+                  // round 7: long-form PQ recall sweep, decomposed quartile,
+                  // IVF+residual-PQ composition
                   // (shard_pack_tokens is already in the round-3 segment —
                   // its re-capture picks up the fixed-cardinality spine)
-                  "knn_recall_pq", "docs_quality_buckets")) {
+                  "knn_recall_pq", "docs_quality_buckets", "knn_ivf_pq")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

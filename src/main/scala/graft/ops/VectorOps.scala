@@ -357,6 +357,76 @@ object VectorOps {
     }.reduce(_.unionAll(_)).orderBy("shortlist")
   }
 
+  /** L3h: IVF + residual PQ (the full FAISS-IVFADC composition — Jégou
+    * et al. §IV): a learned coarse quantizer prunes the corpus to the
+    * query's cell, and PQ codebooks trained on RESIDUALS (x − coarse
+    * centroid) score the survivors by ADC — residual magnitudes are far
+    * smaller than raw vectors, so the same 4-byte code budget quantizes
+    * much finer than [[knnPq]]'s raw-vector PQ. At 100 TB this is THE
+    * production ANN layout: corpus partitioned by coarse cell, 4-byte
+    * residual codes per vector, probes read one cell's codes + one
+    * broadcast distance table and touch float vectors only for the
+    * shortlist rerank.
+    *
+    * Execution structure matches [[pqPipeline]]'s long-form discipline:
+    * exactly THREE driver actions (residual-frame materialization,
+    * codebook materialization, the final query) regardless of subspace
+    * count. The query's probe cell IS its own coarse assignment (argmin
+    * over the same centroid table), so its residual row doubles as the
+    * ADC base — no separate probe pass. Every stage 6-dp-snaps, so the
+    * whole coarse→residual→train→encode→score→rerank chain hash-matches
+    * the DuckDB mirror. */
+  def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    freshGen()
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("label"), asD(col("embedding")).as("x"))
+    // Coarse quantizer: learned cells (same 2-Lloyd training as knnIvfKmeans)
+    val coarse = kmeansCentroids(e, 2)
+    val cells = assignCells(e, coarse)
+    // Residuals, 6-dp-snapped elementwise (zip_with is codegen'd; both
+    // engines compute the identical IEEE subtraction before the snap),
+    // already exploded into the long (m, vec_id, cell, x) PQ form.
+    val resid = e.join(cells, "vec_id")
+      .join(broadcast(coarse), col("cell") === col("cid"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("x"), col("cv"), (a, b) => r6(a - b)).as("rx"))
+    val emLong = cacheEager(resid
+      .select(col("vec_id"), col("cell"), posexplode(array((0 until PqM).map(m =>
+        slice(col("rx"), m * PqSub + 1, PqSub)): _*)))
+      .select(col("vec_id"), col("cell"), col("pos").cast("int").as("m"),
+        col("col").as("x")))
+    // ONE long-form training over all residual subspaces; the codebook is
+    // the second (and last) eager action.
+    val cents = cacheEager(kmeansCentroidsLong(emLong.select("m", "vec_id", "x"), 2))
+    // Probe cell = the query's own coarse assignment; its residual
+    // subvectors are the ADC base.
+    val qcell = emLong.filter(col("vec_id") === 0 && col("m") === 0)
+      .select(col("cell").as("qcell"))
+    val qm = emLong.filter(col("vec_id") === 0).select(col("m"), col("x").as("qv"))
+    val dt = cents.join(broadcast(qm), "m")
+      .select(col("m"), col("cid").as("cell"), sqDist(col("qv"), col("cv")).as("d"))
+    // IVF prune BEFORE encoding: only the probed cell's vectors get codes
+    // on the read path (the index would store all codes; the probe reads
+    // one cell's worth).
+    val probed = emLong.crossJoin(broadcast(qcell))
+      .filter(col("cell") === col("qcell") && col("vec_id") =!= 0)
+      .select("m", "vec_id", "x")
+    val scored = assignCellsLong(probed, cents)
+      .join(broadcast(dt), Seq("m", "cell"))
+      .groupBy("vec_id")
+      .agg(r6(dsum(col("d"))).as("adc"))
+    // ADC shortlist → exact rerank on the ORIGINAL vectors (same read
+    // path as knnPq: floats fetched only for the shortlist).
+    val q = e.filter(col("vec_id") === 0).select(col("x").as("qv"))
+    e.join(scored.orderBy(col("adc").asc, col("vec_id").asc).limit(PqShortlist),
+        "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("adc"),
+        sqDist(col("x"), col("qv")).as("sd"))
+      .orderBy(col("sd").asc, col("vec_id").asc)
+      .limit(K)
+  }
+
   /** L4: embedding near-dup — each vector's nearest same-label neighbour
     * (label = coarse bucket), flagged at cosine ≥ 0.35. Window top-1 per
     * vector, ties broken on neighbour id so the result is deterministic. */
@@ -668,6 +738,7 @@ object VectorOps {
     "knn_recall_kmeans" -> knnRecallKmeans _,
     "knn_recall_pq"   -> knnRecallPq _,
     "knn_ivf_kmeans"  -> knnIvfKmeans _,
+    "knn_ivf_pq"      -> knnIvfPq _,
     "knn_pq"          -> knnPq _,
     "embed_normalize" -> embedNormalize _,
     "embed_quantize"  -> embedQuantize _,
@@ -739,15 +810,19 @@ object VectorOps {
     s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
        |${sqlKmeansChain("")}""".stripMargin
 
-  /** Per-subspace PQ CTE chain (slice → train → query distance table),
-    * shared by the knn_pq and knn_recall_pq oracles. */
-  private lazy val pqSubsCte: String = (0 until PqM).map { m =>
-    s"""s${m}e AS (SELECT vec_id, list_slice(x, ${m * PqSub + 1}, ${(m + 1) * PqSub}) AS x FROM e),
+  /** Per-subspace PQ CTE chain (slice → train → query distance table)
+    * over any (vec_id, x) source table — `e` for the raw-vector PQ
+    * oracles, the residual table for the IVF+PQ oracle. */
+  private def pqSubsCteFrom(src: String): String = (0 until PqM).map { m =>
+    s"""s${m}e AS (SELECT vec_id, list_slice(x, ${m * PqSub + 1}, ${(m + 1) * PqSub}) AS x FROM $src),
        |${sqlKmeansChain(s"s$m")},
        |s${m}q AS (SELECT x AS qv FROM s${m}e WHERE vec_id = 0),
        |s${m}dt AS (SELECT c.cid, ${sqlDist("q.qv", "c.cv")} AS d
        |  FROM s${m}c2 c CROSS JOIN s${m}q q)""".stripMargin
   }.mkString(",\n")
+
+  /** Shared by the knn_pq and knn_recall_pq oracles. */
+  private lazy val pqSubsCte: String = pqSubsCteFrom("e")
 
   private lazy val pqJoins: String = (0 until PqM).map(m =>
     s"JOIN s${m}cells cl$m USING (vec_id) JOIN s${m}dt dt$m ON dt$m.cid = cl$m.cell")
@@ -809,6 +884,37 @@ object VectorOps {
          |$rows
          |ORDER BY shortlist""".stripMargin
     },
+    // IVF + residual PQ: the coarse chain (shared with knn_ivf_kmeans)
+    // feeds a long-form residual rebuild (unnest + per-dim subtraction +
+    // ordered re-list — the same idiom the Lloyd rounds use), then the
+    // standard per-subspace PQ chain trains on the residual table and
+    // scores ONLY the query's coarse cell.
+    "knn_ivf_pq" ->
+      s"""WITH $sqlKmeansCte,
+         |el AS (SELECT e.vec_id, CAST(generate_subscripts(e.x, 1) - 1 AS BIGINT) AS dim,
+         |    unnest(e.x) AS v FROM e),
+         |cvl AS (SELECT c.cid, CAST(generate_subscripts(c.cv, 1) - 1 AS BIGINT) AS dim,
+         |    unnest(c.cv) AS cv FROM c2 c),
+         |re AS (SELECT el.vec_id, cl.cell,
+         |    list(floor((el.v - cvl.cv) * 1000000 + 0.5) / 1000000 ORDER BY el.dim) AS x
+         |  FROM el JOIN cells cl USING (vec_id)
+         |    JOIN cvl ON cvl.cid = cl.cell AND cvl.dim = el.dim
+         |  GROUP BY el.vec_id, cl.cell),
+         |${pqSubsCteFrom("re")},
+         |qc AS (SELECT cell AS qcell FROM re WHERE vec_id = 0),
+         |short AS (
+         |  SELECT e.vec_id, e.label, e.x,
+         |    floor(($pqAdcSum) * 1000000 + 0.5) / 1000000 AS adc
+         |  FROM e
+         |    JOIN cells cl USING (vec_id)
+         |    $pqJoins
+         |  CROSS JOIN qc
+         |  WHERE e.vec_id <> 0 AND cl.cell = qc.qcell
+         |  ORDER BY adc ASC, vec_id ASC LIMIT $PqShortlist),
+         |q AS (SELECT x AS qv FROM e WHERE vec_id = 0)
+         |SELECT vec_id, label, adc, ${sqlDist("short.x", "q.qv")} AS sd
+         |FROM short CROSS JOIN q
+         |ORDER BY sd ASC, vec_id ASC LIMIT $K""".stripMargin,
     "knn_ivf_kmeans" ->
       s"""WITH $sqlKmeansCte,
          |ex AS (SELECT e.vec_id, e.x, cl.cell FROM e JOIN cells cl USING (vec_id)),

@@ -118,6 +118,25 @@ class VectorSpec extends AnyFunSuite {
     assert(hits >= 4, s"PQ recall@10 collapsed: $hits/10")
   }
 
+  test("IVF+PQ: all answers come from the query's coarse cell and reranks sort exactly (L3h)") {
+    import org.apache.spark.sql.functions._
+    val rows = VectorOps.knnIvfPq(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(!rows.map(_.getLong(0)).contains(0L)) // query never answers itself
+    // rerank output sorted by exact distance, vec_id tie-break
+    val sds = rows.map(_.getDouble(3))
+    assert(sds.zip(sds.tail).forall { case (a, b) => a <= b })
+    // IVF contract: every answer sits in the SAME learned coarse cell as
+    // the query — recompute the coarse assignment independently and check
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+    val cells = VectorOps.assignCells(e, VectorOps.kmeansCentroids(e, 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qcell = cells(0L)
+    rows.foreach(r => assert(cells(r.getLong(0)) == qcell,
+      s"vec ${r.getLong(0)} from cell ${cells(r.getLong(0))}, probe cell $qcell"))
+  }
+
   test("PQ recall harness: recall grows (weakly) with shortlist size and brackets knn_pq (L5d)") {
     val rows = VectorOps.knnRecallPq(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
