@@ -538,23 +538,7 @@ object GraftAPI {
                m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
     require(m > 0 && k > 0 && iters > 0, s"m/k/iters must be positive: $m/$k/$iters")
     val e = df.select(col(id).as("vec_id"), col(vec).cast("array<double>").as("x"))
-    // Frame-level validation (ADVICE r6): ONE column-pruned aggregate
-    // replaces the old one-arbitrary-row probe — a null vector or ragged
-    // lengths fail loudly here instead of NPE-ing the probe or silently
-    // emitting truncated/null subvector codes.
-    val st = e.agg(count(lit(1)).as("n"),
-        sum(when(col("x").isNull, 1L).otherwise(0L)).as("nulls"),
-        min(size(col("x"))).as("mn"), max(size(col("x"))).as("mx"))
-      .collect()(0)
-    if (st.getLong(0) == 0L) throw new IllegalArgumentException(
-      s"pqEncode: input has no rows — cannot infer vector dimensionality from '$vec'")
-    require(st.getLong(1) == 0L,
-      s"pqEncode: ${st.getLong(1)} null vectors in '$vec' — drop or impute upstream")
-    val (n, mx) = (st.getInt(2), st.getInt(3))
-    require(n == mx,
-      s"pqEncode: ragged vector lengths in '$vec' (min $n, max $mx) — uniform length required")
-    require(n % m == 0, s"vector length $n not divisible by m=$m subspaces")
-    val sub = n / m
+    val sub = validatedDim(e, vec, m) / m
     // Long-form training (the `knn_pq` structure): all m codebooks train
     // in ONE frame keyed by the subspace column — one Lloyd pass and one
     // assignment regardless of m, instead of m sequential trainings.
@@ -567,6 +551,63 @@ object GraftAPI {
       .agg(array_sort(collect_list(struct(col("m"), col("cell")))).as("p"))
       .select(col("vec_id").as(id),
         transform(col("p"), x => x.getField("cell")).as("code"))
+  }
+
+  /** Frame-level vector validation shared by the PQ encoders (ADVICE
+    * r6): ONE column-pruned aggregate replaces the old one-arbitrary-row
+    * probe — a null vector or ragged lengths fail loudly here instead of
+    * NPE-ing the probe or silently emitting truncated/null subvector
+    * codes. Returns the (uniform) dimensionality. */
+  private def validatedDim(e: DataFrame, vec: String, m: Int): Int = {
+    val st = e.agg(count(lit(1)).as("n"),
+        sum(when(col("x").isNull, 1L).otherwise(0L)).as("nulls"),
+        min(size(col("x"))).as("mn"), max(size(col("x"))).as("mx"))
+      .collect()(0)
+    if (st.getLong(0) == 0L) throw new IllegalArgumentException(
+      s"no rows — cannot infer vector dimensionality from '$vec'")
+    require(st.getLong(1) == 0L,
+      s"${st.getLong(1)} null vectors in '$vec' — drop or impute upstream")
+    val (n, mx) = (st.getInt(2), st.getInt(3))
+    require(n == mx,
+      s"ragged vector lengths in '$vec' (min $n, max $mx) — uniform length required")
+    require(n % m == 0, s"vector length $n not divisible by m=$m subspaces")
+    n
+  }
+
+  /** IVF + residual-PQ index encoder — the artifact producer for the
+    * `knn_ivf_pq` read path: each vector coarse-assigns to a learned
+    * cell, and its RESIDUAL (vector − coarse centroid, 6-dp-snapped)
+    * PQ-encodes against codebooks trained long-form across all `m`
+    * subspaces (one Lloyd pass regardless of m). Emits
+    * (id, cell, code[m]) — the complete ANN index row: write it
+    * partitioned by `cell` and a probe reads ONE cell's m-byte codes
+    * plus the small codebooks, never the float vectors (those are
+    * fetched only for the shortlist rerank). Deterministic (lowest-id
+    * seeds, snapped arithmetic), so re-encoding is backfill-stable. */
+  def ivfPqEncode(df: DataFrame, id: String, vec: String,
+                  cells: Int = 16, m: Int = 8, k: Int = 16,
+                  iters: Int = 2): DataFrame = {
+    require(cells > 0 && m > 0 && k > 0 && iters > 0,
+      s"cells/m/k/iters must be positive: $cells/$m/$k/$iters")
+    val e = df.select(col(id).as("vec_id"), col(vec).cast("array<double>").as("x"))
+    val sub = validatedDim(e, vec, m) / m
+    val coarse = graft.ops.VectorOps.kmeansCentroids(e, iters, cells)
+    val asg = graft.ops.VectorOps.assignCells(e, coarse)
+    val emLong = e.join(asg, "vec_id")
+      .join(broadcast(coarse), col("cell") === col("cid"))
+      .select(col("vec_id"),
+        zip_with(col("x"), col("cv"), (a, b) => r6(a - b)).as("rx"))
+      .select(col("vec_id"), posexplode(array((0 until m).map(i =>
+        slice(col("rx"), i * sub + 1, sub)): _*)))
+      .select(col("vec_id"), col("pos").cast("int").as("m"), col("col").as("x"))
+    graft.ops.VectorOps.assignCellsLong(emLong,
+        graft.ops.VectorOps.kmeansCentroidsLong(emLong, iters, k))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("cell")))).as("p"))
+      .select(col("vec_id"),
+        transform(col("p"), x => x.getField("cell")).as("code"))
+      .join(asg, "vec_id")
+      .select(col("vec_id").as(id), col("cell"), col("code"))
   }
 
   def cosineTopK(queries: DataFrame, corpus: DataFrame,

@@ -1926,24 +1926,45 @@ object Relational {
 
   /** A23: Pareto / cumulative-share analysis — customers ranked by total
     * order revenue, with each one's cumulative share of grand revenue and
-    * the "top 80%" flag. The windows run over the AGGREGATED per-customer
-    * table (customer cardinality, not orders), and the running sum is
-    * decimal-exact so cum_share is summation-order-independent. The global
-    * ORDER BY window is output-scale here; at 100 TB the same two-pass
-    * bucket decomposition as `row_global_index` applies. */
+    * the "top 80%" flag.
+    *
+    * The per-customer table is corpus-proportional, so (VERDICT r6 class)
+    * there is NO global window over it: the rank AND the running revenue
+    * sum decompose over a FIXED-cardinality bucket spine — bucket =
+    * `(mxl − ⌊rev⌋)·4096 div (mxl+1)` (pure integer arithmetic on the
+    * DECIMAL's whole part; monotone non-decreasing along the
+    * rev-DESC sort, ≤ 4096 buckets at any revenue range), per-bucket
+    * row_number + running DECIMAL sum in parallel, then count/revenue
+    * offsets from the ≤4096-row spine broadcast back. DECIMAL addition
+    * is associative, so bucket-wise partial sums + offsets equal the
+    * naive global running sum EXACTLY — the oracle stays the naive
+    * global-window form, proving it. */
   def ordersPareto(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(25, 6)
     val rev = orders(s, dir)
       .groupBy("o_custkey")
-      .agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
-        .as("rev"))
-    val w = Window.orderBy(col("rev").desc, col("o_custkey").asc)
-    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rev
-      .withColumn("rk", row_number().over(w).cast("long"))
+      .agg(sum(col("o_totalprice").cast(dec)).as("rev"))
+    // one column-pruned pass for the bucket bound + grand total
+    val bounds = rev.agg(floor(max(col("rev"))).cast("long").as("mxl"),
+      sum(col("rev")).as("tot"))
+    val bucketed = rev.crossJoin(broadcast(bounds))
+      .withColumn("_b", expr("(mxl - CAST(floor(rev) AS BIGINT)) * 4096 div (mxl + 1)"))
+    val wIn = Window.partitionBy("_b").orderBy(col("rev").desc, col("o_custkey").asc)
+    val withPos = bucketed
+      .withColumn("rn", row_number().over(wIn).cast("long"))
+      .withColumn("cum_in", sum(col("rev")).over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSpine = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy("_b")
+      .agg(count(lit(1)).as("bn"), sum(col("rev")).as("brev"))
+      .select(col("_b"),
+        coalesce(sum(col("bn")).over(wSpine), lit(0L)).as("cnt_before"),
+        coalesce(sum(col("brev")).over(wSpine), lit(0).cast(dec)).as("rev_before"))
+    withPos.join(broadcast(offs), "_b")
+      .withColumn("rk", col("cnt_before") + col("rn"))
       .withColumn("cum_share",
-        r6(sum(col("rev")).over(wCum).cast("double") /
-          sum(col("rev")).over(Window.rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing)).cast("double")))
+        r6((col("rev_before") + col("cum_in")).cast("double") /
+          col("tot").cast("double")))
       .select(col("o_custkey"), col("rev").cast("double").as("revenue"),
         col("rk"), col("cum_share"),
         (col("cum_share") <= 0.8).as("in_top80"))

@@ -306,6 +306,29 @@ class ApiSpec extends AnyFunSuite {
     assert(a.map(_._2).distinct.length > 1)
   }
 
+  test("ivfPqEncode: (id, cell, code) index rows consistent with kmeansAssign, stable re-run") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def run() = GraftAPI.ivfPqEncode(emb, "vec_id", "embedding",
+        cells = 8, m = 4, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .sortBy(_._1).toSeq
+    val a = run()
+    assert(a.length == emb.count())
+    assert(a.forall(_._3.length == 4))
+    // the cell column IS the coarse assignment kmeansAssign computes
+    val cells = GraftAPI.kmeansAssign(emb, "vec_id", "embedding", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.foreach { case (id, cell, _) => assert(cells(id) == cell) }
+    assert(run() == a) // backfill-stable
+    // a null vector must fail loudly, not encode garbage
+    import org.apache.spark.sql.functions._
+    val withNull = emb.withColumn("embedding",
+      when(col("vec_id") === 5, lit(null)).otherwise(col("embedding")))
+    val e = intercept[IllegalArgumentException](
+      GraftAPI.ivfPqEncode(withNull, "vec_id", "embedding"))
+    assert(e.getMessage.contains("null vectors"))
+  }
+
   test("kmeansAssign: hand-built 1-D clusters converge to the obvious split") {
     import spark.implicits._
     // two tight 2-D blobs around (0,0) and (10,10); ids are SPARSE (seeds
