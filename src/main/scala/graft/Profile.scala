@@ -5,7 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Ad-hoc phase profiler (dev-only, not part of the driver contract):
   * times the dedup_clusters sub-stages one action at a time so composite
-  * latency attributes to a stage instead of needing bisection. */
+  * latency attributes to a stage instead of needing bisection.
+  *
+  * CAVEAT (review r7): the inlined stage fragments below (quality-filter
+  * thresholds, shingle window) are SNAPSHOTS of the production constants
+  * in PipelineOps/DedupOps, copied so each fragment times in isolation.
+  * If those constants move, re-sync before trusting per-stage numbers —
+  * the composite timings (`dedup_clusters total`, `curation execute`)
+  * always run the real registry functions and stay trustworthy. */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

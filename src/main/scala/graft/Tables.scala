@@ -56,6 +56,14 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "embeddings")
 
+  /** Fixed cardinality for every two-pass prefix-sum / global-rank spine
+    * in the engine (`shard_pack_tokens`, curation stage 5,
+    * `orders_pareto`, …): the only unpartitioned window and the offsets
+    * broadcast in those decompositions are O(this) REGARDLESS of corpus
+    * size. One shared constant so the bound can't drift per call site
+    * (review r7). */
+  val SpineBuckets = 4096L
+
   /** Exact, order-independent sum of a double column: route through
     * DECIMAL(25,6) so every partition ordering yields bit-identical output,
     * then surface as double. DuckDB mirror:

@@ -20,12 +20,16 @@ object GraftAPI {
 
   import graft.Tables.{dsum, r6}
 
-  /** Partition-order-independent double sum at DECIMAL(38,18): exact
-    * decimal addition like [[graft.Tables.dsum]] but with quantization at
-    * 1e-18 instead of 1e-6 — for API paths (e.g. [[temperatureMix]])
-    * whose outputs must still normalize at full double precision. */
-  private def dsumHi(c: Column): Column =
-    sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 18))).cast("double")
+  /** Partition-order-independent double sum via exact decimal addition,
+    * like [[graft.Tables.dsum]] but with finer quantization — for API
+    * paths (e.g. [[temperatureMix]]) whose outputs must still normalize
+    * at full double precision. `scale` picks the range/precision trade:
+    * 12 ⇒ ±1e26 range at 1e-12 granularity (mass-like sums — any real
+    * corpus's token/char mass fits; values beyond the range would cast
+    * to NULL and silently drop, so don't shrink the range further), 18 ⇒
+    * ±1e20 at 1e-18 (sums of (0,1]-bounded terms like p^alpha). */
+  private def dsumHi(c: Column, scale: Int): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(38, scale))).cast("double")
 
   // ---------------------------------------------------------------- dedup
 
@@ -496,12 +500,13 @@ object GraftAPI {
     // last-ulp). Everything after the two sums is per-source
     // deterministic IEEE scalar math.
     val src = df.groupBy(col(source).as("source"))
-      .agg(count(lit(1)).as("n_rows"), dsumHi(col(weight).cast("double")).as("mass"))
-    val tot = src.agg(dsumHi(col("mass")).as("total"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsumHi(col(weight).cast("double"), scale = 12).as("mass"))
+    val tot = src.agg(dsumHi(col("mass"), scale = 12).as("total"))
     val withP = src.crossJoin(broadcast(tot))
       .withColumn("p", col("mass") / col("total"))
       .withColumn("pa", if (alpha == 0.5) sqrt(col("p")) else pow(col("p"), alpha))
-    val z = withP.agg(dsumHi(col("pa")).as("z"))
+    val z = withP.agg(dsumHi(col("pa"), scale = 18).as("z"))
     withP.crossJoin(broadcast(z))
       .withColumn("q", col("pa") / col("z"))
       .select(col("source"), col("n_rows"), col("mass"), col("p"), col("q"),
@@ -541,16 +546,31 @@ object GraftAPI {
     val sub = validatedDim(e, vec, m) / m
     // Long-form training (the `knn_pq` structure): all m codebooks train
     // in ONE frame keyed by the subspace column — one Lloyd pass and one
-    // assignment regardless of m, instead of m sequential trainings.
-    val emLong = e.select(col("vec_id"), posexplode(array((0 until m).map(i =>
+    // assignment regardless of m, instead of m sequential trainings. The
+    // subvector frame and the trained codebook are pinned ([[pinned]])
+    // so the Lloyd fold's and the assignment's many plan references read
+    // cached blocks instead of re-running the upstream scan per
+    // reference.
+    val emLong = pinned(e.select(col("vec_id"), posexplode(array((0 until m).map(i =>
         slice(col("x"), i * sub + 1, sub)): _*)))
-      .select(col("vec_id"), col("pos").cast("int").as("m"), col("col").as("x"))
-    graft.ops.VectorOps.assignCellsLong(emLong,
-        graft.ops.VectorOps.kmeansCentroidsLong(emLong, iters, k))
+      .select(col("vec_id"), col("pos").cast("int").as("m"), col("col").as("x")))
+    val cents = pinned(graft.ops.VectorOps.kmeansCentroidsLong(emLong, iters, k))
+    graft.ops.VectorOps.assignCellsLong(emLong, cents)
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("m"), col("cell")))).as("p"))
       .select(col("vec_id").as(id),
         transform(col("p"), x => x.getField("cell")).as("code"))
+  }
+
+  /** Eagerly-materialized persist for the encoders' shared frames: the
+    * Lloyd training folds and the final assignment reference these
+    * frames many times in one plan, and without a cache every reference
+    * re-executes the upstream subtree (the multi-consumer recompute
+    * class the ops twins pin with their generation-managed caches).
+    * Blocks are MEMORY_AND_DISK and evict LRU; a caller looping over
+    * many encode jobs can `spark.catalog.clearCache()` between them. */
+  private def pinned(df: DataFrame): DataFrame = {
+    df.persist(); df.count(); df
   }
 
   /** Frame-level vector validation shared by the PQ encoders (ADVICE
@@ -591,17 +611,22 @@ object GraftAPI {
       s"cells/m/k/iters must be positive: $cells/$m/$k/$iters")
     val e = df.select(col(id).as("vec_id"), col(vec).cast("array<double>").as("x"))
     val sub = validatedDim(e, vec, m) / m
-    val coarse = graft.ops.VectorOps.kmeansCentroids(e, iters, cells)
-    val asg = graft.ops.VectorOps.assignCells(e, coarse)
-    val emLong = e.join(asg, "vec_id")
+    // Pin the coarse centroids, the assignment, and the residual long
+    // form (review r7): coarse feeds the assignment AND the residual
+    // broadcast, asg feeds the residual build AND the final cell join,
+    // emLong feeds the Lloyd fold and the code assignment — unpinned,
+    // each plan reference would re-run the full coarse training subtree.
+    val coarse = pinned(graft.ops.VectorOps.kmeansCentroids(e, iters, cells))
+    val asg = pinned(graft.ops.VectorOps.assignCells(e, coarse))
+    val emLong = pinned(e.join(asg, "vec_id")
       .join(broadcast(coarse), col("cell") === col("cid"))
       .select(col("vec_id"),
         zip_with(col("x"), col("cv"), (a, b) => r6(a - b)).as("rx"))
       .select(col("vec_id"), posexplode(array((0 until m).map(i =>
         slice(col("rx"), i * sub + 1, sub)): _*)))
-      .select(col("vec_id"), col("pos").cast("int").as("m"), col("col").as("x"))
-    graft.ops.VectorOps.assignCellsLong(emLong,
-        graft.ops.VectorOps.kmeansCentroidsLong(emLong, iters, k))
+      .select(col("vec_id"), col("pos").cast("int").as("m"), col("col").as("x")))
+    val cents = pinned(graft.ops.VectorOps.kmeansCentroidsLong(emLong, iters, k))
+    graft.ops.VectorOps.assignCellsLong(emLong, cents)
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("m"), col("cell")))).as("p"))
       .select(col("vec_id"),

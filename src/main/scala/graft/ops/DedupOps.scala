@@ -70,11 +70,28 @@ object DedupOps {
     * pipelines to cut a finished stage's giant lineage out of downstream
     * plans — without it, every AQE re-plan and codegen pass of the
     * consumer re-traverses the whole upstream DAG (measured: 60+ s of
-    * driver-side between-job time on curation_pipeline's first run). */
+    * driver-side between-job time on curation_pipeline's first run).
+    *
+    * Reliable-checkpoint cost note (review r7): Spark's checkpoint WRITE
+    * is a second job over the input RDD, so an unpersisted eager
+    * checkpoint computes its plan twice. The eager path therefore pins
+    * the input in cache for the duration (compute once into cache, write
+    * job reads cache, unpersist); the lazy path relies on the CALLER
+    * persisting the returned frame before its first action — exactly
+    * what the propagation loop does — which makes the deferred write job
+    * read the cached blocks. Checkpoint files accumulate for the session
+    * unless `spark.cleaner.referenceTracking.cleanCheckpoints` is set —
+    * the standard cluster hygiene knob, documented here rather than
+    * managed. */
   private[ops] def truncate(df: DataFrame, eager: Boolean = true): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager)
-    else df.localCheckpoint(eager)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      if (eager) {
+        val p = df.persist()
+        val out = p.checkpoint(eager = true)
+        p.unpersist(blocking = false)
+        out
+      } else df.checkpoint(eager = false)
+    } else df.localCheckpoint(eager)
 
   /** Dev-only stage timing to stderr when SPARK_GRAFT_DEBUG is set. */
   private def timed[A](name: String)(f: => A): A =

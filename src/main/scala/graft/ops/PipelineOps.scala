@@ -150,10 +150,9 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
-  /** Fixed spine cardinality for the two-pass prefix sums below: the
-    * only unpartitioned window and the offsets broadcast are O(4096)
-    * REGARDLESS of corpus size. */
-  private val SpineBuckets = 4096L
+  /** Fixed spine cardinality for the two-pass prefix sums below — the
+    * engine-wide shared bound ([[graft.Tables.SpineBuckets]]). */
+  private val SpineBuckets = graft.Tables.SpineBuckets
 
   /** Fixed-cardinality ORDERED range bucket (VERDICT r6 #3):
     * `id·K div (max_id+1)` — monotone in id (so bucket offset +

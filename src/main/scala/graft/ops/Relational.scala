@@ -1948,7 +1948,8 @@ object Relational {
     val bounds = rev.agg(floor(max(col("rev"))).cast("long").as("mxl"),
       sum(col("rev")).as("tot"))
     val bucketed = rev.crossJoin(broadcast(bounds))
-      .withColumn("_b", expr("(mxl - CAST(floor(rev) AS BIGINT)) * 4096 div (mxl + 1)"))
+      .withColumn("_b", expr(
+        s"(mxl - CAST(floor(rev) AS BIGINT)) * ${graft.Tables.SpineBuckets} div (mxl + 1)"))
     val wIn = Window.partitionBy("_b").orderBy(col("rev").desc, col("o_custkey").asc)
     val withPos = bucketed
       .withColumn("rn", row_number().over(wIn).cast("long"))

@@ -123,6 +123,30 @@ object JdbcSink {
     }
   }
 
+  /** Ordered column list of an EXISTING table, from JDBC metadata — the
+    * real target's shape, which the by-name publish must match against
+    * (review r7: matching the frame's own columns against themselves made
+    * the Snowflake profile's case-insensitive matching vacuous on any
+    * pre-existing target). Identifier case is normalized per the driver's
+    * declared folding (Derby folds unquoted names upper; quoted column
+    * names come back as stored). Empty ⇒ table absent. */
+  private[graft] def tableColumns(conn: Connection, table: String): Seq[String] = {
+    val md = conn.getMetaData
+    val parts = table.split("\\.")
+    val (schema, name) =
+      if (parts.length == 2) (parts(0), parts(1)) else (null, parts.head)
+    def norm(s: String): String =
+      if (s == null) null
+      else if (md.storesUpperCaseIdentifiers) s.toUpperCase
+      else if (md.storesLowerCaseIdentifiers) s.toLowerCase
+      else s
+    val rs = md.getColumns(null, norm(schema), norm(name), null)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    while (rs.next())
+      buf += ((rs.getInt("ORDINAL_POSITION"), rs.getString("COLUMN_NAME")))
+    buf.sortBy(_._1).map(_._2).toSeq
+  }
+
   /** K3 append sink: distributed JDBC batch-insert append. `numPartitions`
     * bounds connection fan-in from the cluster side. */
   def append(df: DataFrame, url: String, table: String,
@@ -158,9 +182,17 @@ object JdbcSink {
       // Derby/Postgres, case-insensitive by-name column matching on the
       // Snowflake profile (its MATCH_BY_COLUMN_NAME=CASE_INSENSITIVE
       // analogue). Staging was created from this frame's DDL, so its
-      // column list is the frame's.
+      // column list is the frame's; the TARGET's list comes from live
+      // JDBC metadata (the pre-existing table may be differently cased
+      // or wider than the frame — the exact situation by-name matching
+      // exists for), frame columns as the fallback if the driver
+      // returns nothing.
+      val tgtCols = tableColumns(conn, target) match {
+        case Seq() => df.schema.fieldNames.toSeq
+        case cols  => cols
+      }
       st.executeUpdate(d.publishSql(ident(target), ident(staging),
-        df.schema.fieldNames.toSeq, df.schema.fieldNames.toSeq))
+        tgtCols, df.schema.fieldNames.toSeq))
       st.executeUpdate(d.dropTableSql(ident(staging)))
       conn.commit()
     }
@@ -198,8 +230,13 @@ object JdbcSink {
       withConnection(url, driver) { conn =>
         conn.setAutoCommit(false)
         val st = conn.createStatement()
+        // target columns from metadata, as in stagedCopy
+        val tgtCols = tableColumns(conn, target) match {
+          case Seq() => batch.schema.fieldNames.toSeq
+          case cols  => cols
+        }
         st.executeUpdate(d.publishSql(ident(target), ident(staging),
-          batch.schema.fieldNames.toSeq, batch.schema.fieldNames.toSeq))
+          tgtCols, batch.schema.fieldNames.toSeq))
         st.executeUpdate(s"""INSERT INTO ${ident(ledger)} VALUES ($batchId)""")
         st.executeUpdate(d.dropTableSql(ident(staging)))
         conn.commit()

@@ -111,10 +111,23 @@ class DedupSpec extends AnyFunSuite {
       if (prev.isEmpty) {
         // SparkContext.checkpointDir is private; clearing via reflection
         // keeps the shared session's behavior identical for other suites.
-        val f = spark.sparkContext.getClass.getDeclaredField("checkpointDir")
-        f.setAccessible(true)
-        f.set(spark.sparkContext, None)
+        // Best-effort: a Spark upgrade renaming the field must not mask
+        // the test body's own result (review r7).
+        try {
+          val f = spark.sparkContext.getClass.getDeclaredField("checkpointDir")
+          f.setAccessible(true)
+          f.set(spark.sparkContext, None)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[spec] checkpointDir restore skipped: $e")
+        }
       }
+      // drop the written checkpoint blocks — they're test garbage
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 

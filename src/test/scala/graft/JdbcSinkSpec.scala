@@ -154,6 +154,21 @@ class JdbcSinkSpec extends AnyFunSuite {
     StructField("rating", DoubleType),
     StructField("authors", ArrayType(StringType))))
 
+  test("publish reads the live target's column list from JDBC metadata (review r7)") {
+    // the by-name Snowflake publish needs the REAL target's columns, not
+    // the frame's own list echoed back — prove the metadata source works
+    // against the executable engine
+    val url = freshUrl("meta")
+    JdbcSink.ensureTable(url, "t_meta", ddl)
+    Class.forName(JdbcSink.DerbyDriver)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      assert(JdbcSink.tableColumns(conn, "t_meta") ==
+        Seq("n_nationkey", "n_name", "n_regionkey")) // stored case, DDL order
+      assert(JdbcSink.tableColumns(conn, "t_absent").isEmpty)
+    } finally conn.close()
+  }
+
   test("dialect dispatch follows the JDBC URL scheme, Derby the default") {
     assert(SinkDialect.forUrl("jdbc:postgresql://h:5432/books") == SinkDialect.Postgres)
     assert(SinkDialect.forUrl("jdbc:snowflake://acct.snowflakecomputing.com/") == SinkDialect.Snowflake)
