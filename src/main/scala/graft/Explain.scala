@@ -73,7 +73,8 @@ object Explain {
                   // IVF+residual-PQ composition
                   // (shard_pack_tokens is already in the round-3 segment —
                   // its re-capture picks up the fixed-cardinality spine)
-                  "knn_recall_pq", "docs_quality_buckets", "knn_ivf_pq")) {
+                  "knn_recall_pq", "docs_quality_buckets", "knn_ivf_pq",
+                  "knn_recall_ivf_pq")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -376,7 +376,15 @@ object VectorOps {
     * ADC base — no separate probe pass. Every stage 6-dp-snaps, so the
     * whole coarse→residual→train→encode→score→rerank chain hash-matches
     * the DuckDB mirror. */
-  def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
+  /** Shared IVF+residual-PQ train pipeline for [[knnIvfPq]] and
+    * [[knnRecallIvfPq]]: returns (e, coarse, emLong, cents) where
+    * e = (vec_id, label, x), coarse = the learned (cid, cv) coarse
+    * centroids, emLong = the eagerly-cached residual long form
+    * (vec_id, cell, m, x), and cents = the eagerly-cached PQ codebooks
+    * (m, cid, cv) trained on ALL residuals. Opens a fresh cache
+    * generation; exactly two eager actions. */
+  private def ivfPqPipeline(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     freshGen()
     val e = embeddings(s, dir)
       .select(col("vec_id"), col("label"), asD(col("embedding")).as("x"))
@@ -398,6 +406,11 @@ object VectorOps {
     // ONE long-form training over all residual subspaces; the codebook is
     // the second (and last) eager action.
     val cents = cacheEager(kmeansCentroidsLong(emLong.select("m", "vec_id", "x"), 2))
+    (e, coarse, emLong, cents)
+  }
+
+  def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val (e, _, emLong, cents) = ivfPqPipeline(s, dir)
     // Probe cell = the query's own coarse assignment; its residual
     // subvectors are the ADC base.
     val qcell = emLong.filter(col("vec_id") === 0 && col("m") === 0)
@@ -425,6 +438,76 @@ object VectorOps {
         sqDist(col("x"), col("qv")).as("sd"))
       .orderBy(col("sd").asc, col("vec_id").asc)
       .limit(K)
+  }
+
+  /** Probe counts swept by [[knnRecallIvfPq]]. */
+  private val IvfPqProbes = Seq(1, 2)
+
+  /** L5e: multiprobe recall harness for the IVF+PQ read path — recall@10
+    * of the shortlist+rerank answer at nprobe = 1 and 2. This exercises
+    * the REAL IVFADC multiprobe mechanics: the ADC base differs per
+    * probed cell (query residual = q − centroid(c)), so each probe
+    * carries its own broadcast distance table, and a candidate vector is
+    * scored against ITS OWN cell's table. Encoding happens once across
+    * all probed cells; the sweep re-cuts one scored frame by probe rank,
+    * so extra operating points cost no extra corpus passes. The
+    * recall-vs-probes curve is the IVF knob's oracle-visible contract
+    * (more probes ⇒ recall monotonically non-decreasing — spec-pinned). */
+  def knnRecallIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val (e, coarse, emLong, cents) = ivfPqPipeline(s, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("x").as("qx"))
+    // Probe ranking: nearest coarse centroids to the RAW query vector.
+    // Tiny (IvfPqProbes.max rows incl. centroid payload) but its lineage
+    // is the coarse training — pin it once for the consumers below.
+    val wp = Window.orderBy(col("pd").asc, col("cid").asc)
+    val probes = cacheEager(coarse.crossJoin(broadcast(q))
+      .select(col("cid"), col("cv"), col("qx"),
+        sqDist(col("qx"), col("cv")).as("pd"))
+      .orderBy(col("pd").asc, col("cid").asc).limit(IvfPqProbes.max)
+      .withColumn("np", row_number().over(wp).cast("int")))
+    // Per-probe query residual, sliced into the long PQ form, then the
+    // per-probe distance tables: (pcell, m, code, d) — 2×8×16 rows.
+    val qrLong = probes
+      .select(col("np"), col("cid").as("pcell"),
+        zip_with(col("qx"), col("cv"), (a, b) => r6(a - b)).as("rq"))
+      .select(col("pcell"), posexplode(array((0 until PqM).map(m =>
+        slice(col("rq"), m * PqSub + 1, PqSub)): _*)))
+      .select(col("pcell"), col("pos").cast("int").as("m"), col("col").as("qv"))
+    val dt = cents.join(broadcast(qrLong), "m")
+      .select(col("pcell"), col("m"), col("cid").as("code"),
+        sqDist(col("qv"), col("cv")).as("d"))
+    // Candidates: vectors whose own coarse cell is probed (np tags ride
+    // the broadcast probe list); encode once, score against the table of
+    // the vector's OWN cell.
+    val probedVecs = emLong
+      .join(broadcast(probes.select(col("cid").as("cell"), col("np"))), "cell")
+      .filter(col("vec_id") =!= 0)
+    val vtag = probedVecs.filter(col("m") === 0)
+      .select(col("vec_id"), col("cell").as("vcell"), col("np"))
+    val scored = cacheEager(
+      assignCellsLong(probedVecs.select("m", "vec_id", "x"), cents)
+        .withColumnRenamed("cell", "code")
+        .join(broadcast(vtag), "vec_id")
+        .join(broadcast(dt), Seq("m", "code"))
+        .filter(col("pcell") === col("vcell"))
+        .groupBy("vec_id", "np")
+        .agg(r6(dsum(col("d"))).as("adc")))
+    val exact10 = cacheEager(e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), sqDist(col("x"), col("qx")).as("sd"))
+      .orderBy(col("sd").asc, col("vec_id").asc).limit(K)
+      .select("vec_id"))
+    IvfPqProbes.map { np =>
+      val short = scored.filter(col("np") <= np)
+        .orderBy(col("adc").asc, col("vec_id").asc).limit(PqShortlist)
+      val top10 = short.join(e, "vec_id").crossJoin(broadcast(q))
+        .select(col("vec_id"), sqDist(col("x"), col("qx")).as("sd"))
+        .orderBy(col("sd").asc, col("vec_id").asc).limit(K)
+      top10.join(exact10, Seq("vec_id"), "leftsemi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(np).as("nprobe"), col("n_hit"),
+          r6(col("n_hit").cast("double") / lit(K)).as("recall"))
+    }.reduce(_.unionAll(_)).orderBy("nprobe")
   }
 
   /** L4: embedding near-dup — each vector's nearest same-label neighbour
@@ -739,6 +822,7 @@ object VectorOps {
     "knn_recall_pq"   -> knnRecallPq _,
     "knn_ivf_kmeans"  -> knnIvfKmeans _,
     "knn_ivf_pq"      -> knnIvfPq _,
+    "knn_recall_ivf_pq" -> knnRecallIvfPq _,
     "knn_pq"          -> knnPq _,
     "embed_normalize" -> embedNormalize _,
     "embed_quantize"  -> embedQuantize _,
@@ -824,6 +908,20 @@ object VectorOps {
   /** Shared by the knn_pq and knn_recall_pq oracles. */
   private lazy val pqSubsCte: String = pqSubsCteFrom("e")
 
+  /** Coarse k-means chain + long-form residual rebuild (`re` =
+    * (vec_id, cell, x=residual)) shared by the IVF+PQ oracles. */
+  private lazy val sqlResidCte: String =
+    s"""$sqlKmeansCte,
+       |el AS (SELECT e.vec_id, CAST(generate_subscripts(e.x, 1) - 1 AS BIGINT) AS dim,
+       |    unnest(e.x) AS v FROM e),
+       |cvl AS (SELECT c.cid, CAST(generate_subscripts(c.cv, 1) - 1 AS BIGINT) AS dim,
+       |    unnest(c.cv) AS cv FROM c2 c),
+       |re AS (SELECT el.vec_id, cl.cell,
+       |    list(floor((el.v - cvl.cv) * 1000000 + 0.5) / 1000000 ORDER BY el.dim) AS x
+       |  FROM el JOIN cells cl USING (vec_id)
+       |    JOIN cvl ON cvl.cid = cl.cell AND cvl.dim = el.dim
+       |  GROUP BY el.vec_id, cl.cell)""".stripMargin
+
   private lazy val pqJoins: String = (0 until PqM).map(m =>
     s"JOIN s${m}cells cl$m USING (vec_id) JOIN s${m}dt dt$m ON dt$m.cid = cl$m.cell")
     .mkString("\n  ")
@@ -890,16 +988,7 @@ object VectorOps {
     // standard per-subspace PQ chain trains on the residual table and
     // scores ONLY the query's coarse cell.
     "knn_ivf_pq" ->
-      s"""WITH $sqlKmeansCte,
-         |el AS (SELECT e.vec_id, CAST(generate_subscripts(e.x, 1) - 1 AS BIGINT) AS dim,
-         |    unnest(e.x) AS v FROM e),
-         |cvl AS (SELECT c.cid, CAST(generate_subscripts(c.cv, 1) - 1 AS BIGINT) AS dim,
-         |    unnest(c.cv) AS cv FROM c2 c),
-         |re AS (SELECT el.vec_id, cl.cell,
-         |    list(floor((el.v - cvl.cv) * 1000000 + 0.5) / 1000000 ORDER BY el.dim) AS x
-         |  FROM el JOIN cells cl USING (vec_id)
-         |    JOIN cvl ON cvl.cid = cl.cell AND cvl.dim = el.dim
-         |  GROUP BY el.vec_id, cl.cell),
+      s"""WITH $sqlResidCte,
          |${pqSubsCteFrom("re")},
          |qc AS (SELECT cell AS qcell FROM re WHERE vec_id = 0),
          |short AS (
@@ -915,6 +1004,66 @@ object VectorOps {
          |SELECT vec_id, label, adc, ${sqlDist("short.x", "q.qv")} AS sd
          |FROM short CROSS JOIN q
          |ORDER BY sd ASC, vec_id ASC LIMIT $K""".stripMargin,
+    // Multiprobe IVF+PQ recall sweep: per-probe distance tables (the ADC
+    // base is the query residual AGAINST THAT PROBE'S centroid), each
+    // candidate scored against its own cell's table, shortlist+rerank at
+    // each probe count vs the exact top-10.
+    "knn_recall_ivf_pq" -> {
+      val joins = (0 until PqM).map(m =>
+        s"JOIN s${m}cells cl$m USING (vec_id) JOIN p${m}dt dt$m ON dt$m.cid = cl$m.cell AND dt$m.pcell = cl.cell")
+        .mkString("\n  ")
+      val pdts = (0 until PqM).map { m =>
+        s"""p${m}dt AS (SELECT r.pcell, c.cid,
+           |  ${sqlDist(s"list_slice(r.x, ${m * PqSub + 1}, ${(m + 1) * PqSub})", "c.cv")} AS d
+           |  FROM rq r CROSS JOIN s${m}c2 c)""".stripMargin
+      }.mkString(",\n")
+      val sweeps = IvfPqProbes.map { np =>
+        s"""sh$np AS (SELECT vec_id FROM adc WHERE np <= $np
+           |  ORDER BY adc ASC, vec_id ASC LIMIT $PqShortlist),
+           |h$np AS (SELECT count(*) AS n_hit FROM (
+           |  SELECT e.vec_id, ${sqlDist("e.x", "q.qv")} AS sd
+           |  FROM sh$np JOIN e USING (vec_id) CROSS JOIN q
+           |  ORDER BY sd ASC, e.vec_id ASC LIMIT $K) t
+           |  WHERE t.vec_id IN (SELECT vec_id FROM ex10))""".stripMargin
+      }.mkString(",\n")
+      val rows = IvfPqProbes.map { np =>
+        s"""SELECT $np AS nprobe, n_hit,
+           |  floor((n_hit::DOUBLE / $K) * 1000000 + 0.5) / 1000000 AS recall
+           |FROM h$np""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $sqlResidCte,
+         |${pqSubsCteFrom("re")},
+         |q AS (SELECT x AS qv FROM e WHERE vec_id = 0),
+         |pr AS (SELECT cid, cv, np FROM (
+         |  SELECT c.cid, c.cv, row_number() OVER (
+         |      ORDER BY ${sqlDist("q.qv", "c.cv")} ASC, c.cid ASC) AS np
+         |  FROM c2 c CROSS JOIN q) t WHERE np <= ${IvfPqProbes.max}),
+         |prl AS (SELECT p.np, p.cid AS pcell,
+         |    CAST(generate_subscripts(p.cv, 1) - 1 AS BIGINT) AS dim,
+         |    unnest(p.cv) AS cv FROM pr p),
+         |qvl AS (SELECT CAST(generate_subscripts(qv, 1) - 1 AS BIGINT) AS dim,
+         |    unnest(qv) AS v FROM q),
+         |rq AS (SELECT prl.pcell,
+         |    list(floor((qvl.v - prl.cv) * 1000000 + 0.5) / 1000000 ORDER BY prl.dim) AS x
+         |  FROM prl JOIN qvl ON qvl.dim = prl.dim
+         |  GROUP BY prl.pcell),
+         |$pdts,
+         |adc AS (
+         |  SELECT e.vec_id, p.np,
+         |    floor(($pqAdcSum) * 1000000 + 0.5) / 1000000 AS adc
+         |  FROM e
+         |    JOIN cells cl USING (vec_id)
+         |    JOIN pr p ON p.cid = cl.cell
+         |    $joins
+         |  WHERE e.vec_id <> 0),
+         |ex10 AS (SELECT vec_id FROM (
+         |  SELECT e.vec_id, ${sqlDist("e.x", "q.qv")} AS sd
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> 0
+         |  ORDER BY sd ASC, e.vec_id ASC LIMIT $K)),
+         |$sweeps
+         |$rows
+         |ORDER BY nprobe""".stripMargin
+    },
     "knn_ivf_kmeans" ->
       s"""WITH $sqlKmeansCte,
          |ex AS (SELECT e.vec_id, e.x, cl.cell FROM e JOIN cells cl USING (vec_id)),

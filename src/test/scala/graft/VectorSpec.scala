@@ -137,6 +137,18 @@ class VectorSpec extends AnyFunSuite {
       s"vec ${r.getLong(0)} from cell ${cells(r.getLong(0))}, probe cell $qcell"))
   }
 
+  test("multiprobe IVF+PQ recall is monotone in nprobe (L5e)") {
+    val rows = VectorOps.knnRecallIvfPq(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2))
+    rows.foreach { case (np, nHit, recall) =>
+      assert(nHit >= 0 && nHit <= 10, s"nprobe $np: n_hit $nHit out of range")
+      assert(math.abs(recall - nHit / 10.0) < 1e-9)
+    }
+    // a second probe can only widen the candidate set
+    assert(rows(1)._2 >= rows(0)._2, s"recall fell as probes grew: $rows")
+  }
+
   test("PQ recall harness: recall grows (weakly) with shortlist size and brackets knn_pq (L5d)") {
     val rows = VectorOps.knnRecallPq(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
