@@ -187,12 +187,19 @@ object PipelineOps {
     * naive single-task global running sum — proving the decomposition
     * exact. */
   def shardPackTokens(s: SparkSession, dir: String): DataFrame = {
-    val Budget = 10000L
-    val toks = withRangeBucket(
+    packByBudget(
       documents(s, dir)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens")),
-      "doc_id", documents(s, dir).select("doc_id"))
+      budget = 10000L)
+  }
+
+  /** Core of [[shardPackTokens]], callable on ANY (doc_id, n_tokens)
+    * frame — exposed for the property spec, which drives it with
+    * generated sparse/duplicate-free id spaces and checks it against an
+    * independent local cumulative sum. */
+  private[graft] def packByBudget(toks0: DataFrame, budget: Long): DataFrame = {
+    val toks = withRangeBucket(toks0, "doc_id", toks0.select("doc_id"))
     val wIn = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val withBucketPos = toks
@@ -204,7 +211,7 @@ object PipelineOps {
     withBucketPos
       .join(broadcast(offsets), col("bucket") === col("ob"))
       .select(col("doc_id"), col("n_tokens"),
-        ((col("offset") + col("within")) / Budget).cast("long").as("shard"))
+        ((col("offset") + col("within")) / budget).cast("long").as("shard"))
       .orderBy("doc_id")
   }
 

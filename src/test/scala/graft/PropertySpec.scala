@@ -236,4 +236,33 @@ class PropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("two-pass range-bucket prefix sum == local cumulative sum on arbitrary sparse id spaces") {
+    // The fixed-cardinality spine decomposition (VERDICT r6 #3) must be
+    // EXACT for any id distribution — sparse, clustered, adversarially
+    // skewed — not just the fixture's dense ids. Model: plain local
+    // cumsum in id order, shard = cum_before / budget.
+    val sq = spark; import sq.implicits._
+    val rowGen = for {
+      id <- Gen.oneOf(
+        Gen.choose(0L, 50L),                    // dense/clustered low ids
+        Gen.choose(0L, 1000000000L),            // sparse huge ids
+        Gen.choose(999999000L, 1000000000L))    // clustered near the max
+      n <- Gen.choose(1L, 500L)
+    } yield (id, n)
+    val prop = Prop.forAll(Gen.listOfN(80, rowGen)) { raw =>
+      // duplicate ids collapse (doc_id is a key) — keep first occurrence
+      val rows = raw.groupBy(_._1).map { case (id, vs) => (id, vs.head._2) }.toSeq
+      val budget = 1000L
+      val model = rows.sortBy(_._1)
+        .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, n)) => (id, n, cum + n) }
+        .drop(1)
+        .map { case (id, n, cumIncl) => (id, n, (cumIncl - n) / budget) }
+      val got = ops.PipelineOps.packByBudget(rows.toDF("doc_id", "n_tokens"), budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      Prop(got == model) :| s"got=${got.take(5)}… model=${model.take(5)}…"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
