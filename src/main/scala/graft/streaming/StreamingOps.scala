@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
   GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
@@ -33,6 +33,26 @@ final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
   *    horizon, the streaming analogue of the band-bucket dedup.
   */
 object StreamingOps {
+
+  /** File landing-zone ingest — the STREAMING form of the reference's
+    * raw-JSONL drop directory (`scripts/extract.py:76-78` writes the
+    * feed as JSON files; the batch twin re-reads the whole dir each run):
+    * Spark's file source discovers new files via the CHECKPOINT's seen-
+    * files log, so each dropped file is processed exactly once across
+    * restarts — the incremental-ingest contract a landing zone needs.
+    * Schema is DECLARED (no inference on the hot path — inference would
+    * re-list and sample the dir), and `maxFilesPerTrigger` bounds how
+    * fast a backlog drains so a week of piled-up files can't produce one
+    * giant micro-batch. At 100 TB the same source shape ingests from an
+    * object-store prefix; file listing cost is the knob to watch
+    * (partitioned drop dirs + `latestFirst` for catch-up). */
+  def rawFeedStream(s: SparkSession, dir: String,
+                    schema: org.apache.spark.sql.types.StructType,
+                    maxFilesPerTrigger: Int = 4): DataFrame =
+    s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
 
   /** Tumbling 1-hour counts/sums per event type — streaming twin of
     * [[graft.ops.EventOps.eventsTumblingAgg]]. */

@@ -259,7 +259,9 @@ class StreamingSpec extends AnyFunSuite {
     val all = eventsDs.collect().toSeq
     val (a, b) = all.partition(_.event_id % 2 == 0)
     def run(): Unit = {
-      val q = spark.readStream.schema(eventsDs.schema).json(src)
+      // the landing-zone ingest op: declared schema, bounded files/trigger
+      val q = StreamingOps.rawFeedStream(spark, src, eventsDs.schema,
+          maxFilesPerTrigger = 2)
         .writeStream.option("checkpointLocation", ck)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           StreamingOps.idempotentBatchWriter(out)(batch.toDF(), id)
