@@ -498,7 +498,7 @@ object EventOps {
     val daily = ev.groupBy("event_type", "d").agg(dsum(col("value")).as("v"))
     val spine = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
-      .crossJoin(daily.select("event_type").distinct())
+      .crossJoin(broadcast(daily.select("event_type").distinct()))
     val w = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.as("s")
