@@ -76,8 +76,19 @@ object Explain {
                   "knn_recall_pq", "docs_quality_buckets", "knn_ivf_pq",
                   "knn_recall_ivf_pq")) {
       println(s"===== $q =====")
-      println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      // Cap per-query output: cached-frame-heavy composites nest their
+      // InMemoryRelation child plans repeatedly and can print 50k+ lines
+      // of duplicated subtree — the audit needs the operator spine and
+      // the scan/exchange details, not the Nth reprint.
+      val full = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val lines = full.linesIterator.toSeq
+      if (lines.size <= 1500) println(full)
+      else {
+        lines.take(1500).foreach(println)
+        println(s"… [truncated ${lines.size - 1500} of ${lines.size} lines — " +
+          "repeated cached-subtree reprints]")
+      }
     }
     spark.stop()
   }
