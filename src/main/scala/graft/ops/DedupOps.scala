@@ -578,6 +578,57 @@ object DedupOps {
       .orderBy("probe_id")
   }
 
+  /** Words per chunk for [[dedupParagraphs]] — the synthetic "paragraph"
+    * unit (the fixture corpus is flat word text with no newline
+    * structure; on real documents the chunker is `split(text, "\n\n")`
+    * and everything downstream is identical). */
+  private val ParaWords = 10
+
+  /** L2h: PARAGRAPH-level exact dedup (the Dolma/FineWeb intra-corpus
+    * paragraph pass): documents split into consecutive [[ParaWords]]-word
+    * chunks, each distinct chunk kept at its FIRST occurrence
+    * (lowest (doc_id, chunk_idx)) and dropped everywhere else, then the
+    * surviving chunks reassemble per doc in original order. This is the
+    * finer-grained sibling of doc-level dedup: boilerplate shared by
+    * thousands of otherwise-distinct pages (headers, license blocks,
+    * navigation) disappears without dropping the documents that carry it.
+    *
+    * Scale shape: chunks are (hash → min-key) through ONE map-side-
+    * combined groupBy — the keeper choice is an associative min over an
+    * integer-encoded (doc_id, chunk_idx) key, so no window over the
+    * corpus and no skew on the chunk hash worse than the duplication
+    * itself; the join-back is chunk-cardinality and AQE-broadcastable
+    * when duplication volume is small; reassembly aggregates back to doc
+    * cardinality. The fully-deduplicated doc (zero surviving chunks)
+    * stays in the output via the left spine join — a pipeline must SEE
+    * that a doc became empty, not lose the row. */
+  def dedupParagraphs(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"), split(col("text"), " ").as("w"))
+    // chunk i = words [i·P+1, i·P+P]; slice handles the short tail
+    val chunks = docs.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CAST(ceil(size(w) / ${ParaWords}.0) AS INT) - 1), " +
+          s"i -> concat_ws(' ', slice(w, i * $ParaWords + 1, $ParaWords)))")))
+      .select(col("doc_id"), col("pos").cast("long").as("cidx"), col("col").as("chunk"))
+    // keeper per distinct chunk: associative min over doc_id·1024+cidx
+    // (cidx < 1024 — docs are bounded; the encode keeps the min map-side)
+    val keep = chunks
+      .groupBy("chunk")
+      .agg(min(col("doc_id") * 1024 + col("cidx")).as("kkey"))
+    val kept = chunks.join(keep, "chunk")
+      .filter(col("doc_id") * 1024 + col("cidx") === col("kkey"))
+    val perDoc = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("cidx"), col("chunk")))).as("p"))
+      .select(col("doc_id"), col("n_kept"),
+        concat_ws(" ", transform(col("p"), x => x.getField("chunk"))).as("text_kept"))
+    val totals = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    totals.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+      .orderBy("doc_id")
+  }
+
   /** Every entry opens a fresh cache generation (retiring the previous
     * query's persisted intermediates) — see [[freshGen]]. Composite
     * pipelines that call the ops directly manage the bracket themselves. */
@@ -595,6 +646,7 @@ object DedupOps {
     "decontam_ngram"      -> decontamNgram _,
     "dedup_incremental"   -> dedupIncremental _,
     "dedup_crossdoc_ngrams" -> dedupCrossdocNgrams _,
+    "dedup_paragraphs"    -> dedupParagraphs _,
   ).map { case (k, fn) =>
     k -> ((s: SparkSession, d: String) => { freshGen(); fn(s, d) })
   }
@@ -655,6 +707,22 @@ object DedupOps {
     .mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_paragraphs" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |ch AS (SELECT doc_id, CAST(g AS BIGINT) AS cidx,
+         |    array_to_string(list_slice(w, g * $ParaWords + 1, g * $ParaWords + $ParaWords), ' ') AS chunk
+         |  FROM w, UNNEST(range(CAST(ceil(len(w) / ${ParaWords}.0) AS BIGINT))) AS t(g)),
+         |keep AS (SELECT chunk, min(doc_id * 1024 + cidx) AS kkey FROM ch GROUP BY chunk),
+         |kept AS (SELECT ch.* FROM ch JOIN keep USING (chunk)
+         |  WHERE ch.doc_id * 1024 + ch.cidx = keep.kkey),
+         |per AS (SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(chunk, ' ' ORDER BY cidx) AS text_kept
+         |  FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_chunks, COALESCE(p.n_kept, 0) AS n_kept,
+         |  COALESCE(p.text_kept, '') AS text_kept
+         |FROM tot t LEFT JOIN per p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_crossdoc_ngrams" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
         |gr AS (SELECT doc_id,

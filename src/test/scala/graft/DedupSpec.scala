@@ -131,6 +131,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("paragraph dedup: each distinct chunk survives exactly once, order preserved (L2h)") {
+    val rows = DedupOps.dedupParagraphs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nc, nk, _) =>
+      assert(nk <= nc, s"doc $id kept more chunks than it has") }
+    // reconstruct chunks locally and check the global exactly-once property
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    def chunksOf(ws: Seq[String]) = ws.grouped(10).map(_.mkString(" ")).toSeq
+    val allChunks = docs.toSeq.flatMap { case (_, ws) => chunksOf(ws) }
+    // exactly-once: total kept count equals the number of DISTINCT chunks
+    val distinctTotal = allChunks.distinct.size
+    assert(rows.map(_._3).sum == distinctTotal,
+      s"kept ${rows.map(_._3).sum} != distinct $distinctTotal")
+    // keeper is the first occurrence: doc 0's chunks are all kept if unique
+    val firstDoc = rows.minBy(_._1)
+    val firstChunks = chunksOf(docs(firstDoc._1))
+    if (firstChunks.distinct.size == firstChunks.size)
+      assert(firstDoc._3 == firstDoc._2, "first doc's unique chunks must all survive")
+  }
+
   test("decontam flags only train docs, every overlap positive") {
     val rows = DedupOps.decontamNgram(spark, sf).collect()
     assert(rows.nonEmpty)
