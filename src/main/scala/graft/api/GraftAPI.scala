@@ -542,6 +542,7 @@ object GraftAPI {
   def pqEncode(df: DataFrame, id: String, vec: String,
                m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
     require(m > 0 && k > 0 && iters > 0, s"m/k/iters must be positive: $m/$k/$iters")
+    freshPins() // retire the previous encode's cached frames
     val e = df.select(col(id).as("vec_id"), col(vec).cast("array<double>").as("x"))
     val sub = validatedDim(e, vec, m) / m
     // Long-form training (the `knn_pq` structure): all m codebooks train
@@ -567,9 +568,20 @@ object GraftAPI {
     * frames many times in one plan, and without a cache every reference
     * re-executes the upstream subtree (the multi-consumer recompute
     * class the ops twins pin with their generation-managed caches).
-    * Blocks are MEMORY_AND_DISK and evict LRU; a caller looping over
-    * many encode jobs can `spark.catalog.clearCache()` between them. */
-  private def pinned(df: DataFrame): DataFrame = {
+    * Generationally retired like VectorOps' cacheEager (review r7):
+    * each encoder call opens a fresh generation via [[freshPins]],
+    * unpersisting the PREVIOUS call's pins — so a driver looping encode
+    * jobs holds at most one call's worth of blocks, not an unbounded
+    * accumulation. */
+  private val pinnedGen = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def freshPins(): Unit = synchronized {
+    pinnedGen.foreach(_.unpersist(blocking = false))
+    pinnedGen.clear()
+  }
+
+  private def pinned(df: DataFrame): DataFrame = synchronized {
+    pinnedGen += df
     df.persist(); df.count(); df
   }
 
@@ -609,6 +621,7 @@ object GraftAPI {
                   iters: Int = 2): DataFrame = {
     require(cells > 0 && m > 0 && k > 0 && iters > 0,
       s"cells/m/k/iters must be positive: $cells/$m/$k/$iters")
+    freshPins() // retire the previous encode's cached frames
     val e = df.select(col(id).as("vec_id"), col(vec).cast("array<double>").as("x"))
     val sub = validatedDim(e, vec, m) / m
     // Pin the coarse centroids, the assignment, and the residual long

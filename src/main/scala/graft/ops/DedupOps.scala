@@ -609,13 +609,21 @@ object DedupOps {
         s"transform(sequence(0, CAST(ceil(size(w) / ${ParaWords}.0) AS INT) - 1), " +
           s"i -> concat_ws(' ', slice(w, i * $ParaWords + 1, $ParaWords)))")))
       .select(col("doc_id"), col("pos").cast("long").as("cidx"), col("col").as("chunk"))
-    // keeper per distinct chunk: associative min over doc_id·1024+cidx
-    // (cidx < 1024 — docs are bounded; the encode keeps the min map-side)
+    // keeper per distinct chunk: associative min over an integer-encoded
+    // (doc_id, cidx) key — the encode keeps the min map-side-combinable.
+    // cidx < 2^20 (a 10M-word doc at 10 words/chunk); the guard is IN
+    // the key expression so an over-long doc fails the job loudly
+    // instead of silently aliasing into a neighbouring doc's key space
+    // (review r7). 2^20 leaves doc_id headroom to 2^43.
+    val enc = when(col("cidx") >= (1L << 20),
+        expr("raise_error('dedupParagraphs: >=2^20 chunks in one doc — key would alias')")
+          .cast("long"))
+      .otherwise(col("doc_id") * (1L << 20) + col("cidx"))
     val keep = chunks
       .groupBy("chunk")
-      .agg(min(col("doc_id") * 1024 + col("cidx")).as("kkey"))
+      .agg(min(enc).as("kkey"))
     val kept = chunks.join(keep, "chunk")
-      .filter(col("doc_id") * 1024 + col("cidx") === col("kkey"))
+      .filter(enc === col("kkey"))
     val perDoc = kept.groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_sort(collect_list(struct(col("cidx"), col("chunk")))).as("p"))
@@ -712,9 +720,9 @@ object DedupOps {
          |ch AS (SELECT doc_id, CAST(g AS BIGINT) AS cidx,
          |    array_to_string(list_slice(w, g * $ParaWords + 1, g * $ParaWords + $ParaWords), ' ') AS chunk
          |  FROM w, UNNEST(range(CAST(ceil(len(w) / ${ParaWords}.0) AS BIGINT))) AS t(g)),
-         |keep AS (SELECT chunk, min(doc_id * 1024 + cidx) AS kkey FROM ch GROUP BY chunk),
+         |keep AS (SELECT chunk, min(doc_id * 1048576 + cidx) AS kkey FROM ch GROUP BY chunk),
          |kept AS (SELECT ch.* FROM ch JOIN keep USING (chunk)
-         |  WHERE ch.doc_id * 1024 + ch.cidx = keep.kkey),
+         |  WHERE ch.doc_id * 1048576 + ch.cidx = keep.kkey),
          |per AS (SELECT doc_id, count(*) AS n_kept,
          |    string_agg(chunk, ' ' ORDER BY cidx) AS text_kept
          |  FROM kept GROUP BY doc_id),

@@ -503,15 +503,24 @@ object VectorOps {
       .select(col("vec_id"), sqDist(col("x"), col("qx")).as("sd"))
       .orderBy(col("sd").asc, col("vec_id").asc).limit(K)
       .select("vec_id"))
-    // Per-probe-count shortlists (TakeOrdered each — tiny), tagged and
-    // UNIONED so the float-fetching rerank and the hit count run ONCE
-    // over ≤ Σ shortlist rows instead of once per operating point — the
-    // sweep's plan stays one rerank join + one bounded window however
+    // Per-CELL shortlist budget (review r7): each probed cell contributes
+    // its own top-[[PqShortlist]] by ADC, so the nprobe=k candidate set
+    // is a SUPERSET of nprobe=k−1's by construction — which makes
+    // recall monotone in nprobe a theorem, not a fixture accident: any
+    // candidate that displaces a true-top-10 member from the reranked
+    // top-10 must have smaller exact distance, hence be a true-top-10
+    // member itself. (A shared budget cut across cells loses this:
+    // probe-2 candidates can evict probe-1 hits from the shortlist
+    // before the rerank sees them.) This is also the FAISS scan-budget
+    // shape — fetch work grows linearly with nprobe. The tagged UNION
+    // keeps the float-fetching rerank and hit count to ONE pass however
     // many probe counts are swept.
+    val wCell = Window.partitionBy("np")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val ranked = scored.withColumn("r", row_number().over(wCell))
+      .filter(col("r") <= PqShortlist)
     val cand = IvfPqProbes.map { np =>
-      scored.filter(col("np") <= np)
-        .orderBy(col("adc").asc, col("vec_id").asc).limit(PqShortlist)
-        .select(col("vec_id"), lit(np).as("nprobe"))
+      ranked.filter(col("np") <= np).select(col("vec_id"), lit(np).as("nprobe"))
     }.reduce(_.unionAll(_))
     val wnp = Window.partitionBy("nprobe")
       .orderBy(col("sd").asc, col("vec_id").asc)
@@ -1038,8 +1047,10 @@ object VectorOps {
            |  FROM rq r CROSS JOIN s${m}c2 c)""".stripMargin
       }.mkString(",\n")
       val sweeps = IvfPqProbes.map { np =>
-        s"""sh$np AS (SELECT vec_id FROM adc WHERE np <= $np
-           |  ORDER BY adc ASC, vec_id ASC LIMIT $PqShortlist),
+        s"""sh$np AS (SELECT vec_id FROM (
+           |  SELECT vec_id, np, row_number() OVER (
+           |    PARTITION BY np ORDER BY adc ASC, vec_id ASC) AS r
+           |  FROM adc) t WHERE r <= $PqShortlist AND np <= $np),
            |h$np AS (SELECT count(*) AS n_hit FROM (
            |  SELECT e.vec_id, ${sqlDist("e.x", "q.qv")} AS sd
            |  FROM sh$np JOIN e USING (vec_id) CROSS JOIN q

@@ -133,18 +133,31 @@ object JdbcSink {
   private[graft] def tableColumns(conn: Connection, table: String): Seq[String] = {
     val md = conn.getMetaData
     val parts = table.split("\\.")
+    // Unqualified names resolve against the CONNECTION's current schema,
+    // never a null match-all (review r7: null schema merges same-named
+    // tables from every schema into one bogus column list).
     val (schema, name) =
-      if (parts.length == 2) (parts(0), parts(1)) else (null, parts.head)
+      if (parts.length == 2) (parts(0), parts(1))
+      else (conn.getSchema, parts.head)
     def norm(s: String): String =
       if (s == null) null
       else if (md.storesUpperCaseIdentifiers) s.toUpperCase
       else if (md.storesLowerCaseIdentifiers) s.toLowerCase
       else s
-    val rs = md.getColumns(null, norm(schema), norm(name), null)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
-    while (rs.next())
-      buf += ((rs.getInt("ORDINAL_POSITION"), rs.getString("COLUMN_NAME")))
-    buf.sortBy(_._1).map(_._2).toSeq
+    // getColumns treats its args as LIKE patterns: '_' (present in nearly
+    // every table name here) is a single-char wildcard — escape it, or
+    // "t_data" also matches "t1data" and the column lists interleave.
+    val esc = md.getSearchStringEscape
+    def lit(s: String): String =
+      if (s == null) null
+      else s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+    val rs = md.getColumns(null, lit(norm(schema)), lit(norm(name)), null)
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+      while (rs.next())
+        buf += ((rs.getInt("ORDINAL_POSITION"), rs.getString("COLUMN_NAME")))
+      buf.sortBy(_._1).map(_._2).toSeq
+    } finally rs.close()
   }
 
   /** K3 append sink: distributed JDBC batch-insert append. `numPartitions`
@@ -182,15 +195,18 @@ object JdbcSink {
       // Derby/Postgres, case-insensitive by-name column matching on the
       // Snowflake profile (its MATCH_BY_COLUMN_NAME=CASE_INSENSITIVE
       // analogue). Staging was created from this frame's DDL, so its
-      // column list is the frame's; the TARGET's list comes from live
-      // JDBC metadata (the pre-existing table may be differently cased
-      // or wider than the frame — the exact situation by-name matching
-      // exists for), frame columns as the fallback if the driver
-      // returns nothing.
-      val tgtCols = tableColumns(conn, target) match {
-        case Seq() => df.schema.fieldNames.toSeq
-        case cols  => cols
-      }
+      // column list is the frame's; for by-name profiles the TARGET's
+      // list comes from live JDBC metadata (the pre-existing table may
+      // be differently cased or wider than the frame — the exact
+      // situation by-name matching exists for), frame columns as the
+      // fallback if the driver returns nothing. Positional profiles
+      // skip the metadata roundtrip entirely.
+      val tgtCols =
+        if (!d.publishByName) df.schema.fieldNames.toSeq
+        else tableColumns(conn, target) match {
+          case Seq() => df.schema.fieldNames.toSeq
+          case cols  => cols
+        }
       st.executeUpdate(d.publishSql(ident(target), ident(staging),
         tgtCols, df.schema.fieldNames.toSeq))
       st.executeUpdate(d.dropTableSql(ident(staging)))
@@ -230,11 +246,15 @@ object JdbcSink {
       withConnection(url, driver) { conn =>
         conn.setAutoCommit(false)
         val st = conn.createStatement()
-        // target columns from metadata, as in stagedCopy
-        val tgtCols = tableColumns(conn, target) match {
-          case Seq() => batch.schema.fieldNames.toSeq
-          case cols  => cols
-        }
+        // target columns from metadata only for by-name profiles, as in
+        // stagedCopy — a per-micro-batch metadata roundtrip would be
+        // waste for the positional SELECT * dialects
+        val tgtCols =
+          if (!d.publishByName) batch.schema.fieldNames.toSeq
+          else tableColumns(conn, target) match {
+            case Seq() => batch.schema.fieldNames.toSeq
+            case cols  => cols
+          }
         st.executeUpdate(d.publishSql(ident(target), ident(staging),
           tgtCols, batch.schema.fieldNames.toSeq))
         st.executeUpdate(s"""INSERT INTO ${ident(ledger)} VALUES ($batchId)""")

@@ -54,6 +54,11 @@ sealed abstract class SinkDialect(val name: String) {
     * that lack IF EXISTS (Derby). */
   def dropMissingState: Option[String] = None
 
+  /** Whether [[publishSql]] consumes the column lists — callers skip the
+    * live-metadata lookup for positional profiles (a per-micro-batch
+    * JDBC roundtrip the default `SELECT *` would never read). */
+  def publishByName: Boolean = false
+
   /** Staged-publish statement: move every staging row into the target in
     * one transactional server-side INSERT. Base behavior is POSITIONAL
     * (`SELECT *` — staging and target were created from the same DDL);
@@ -132,6 +137,7 @@ object SinkDialect {
     * so a target that gains a column never breaks the publish the way a
     * positional `SELECT *` would. */
   case object Snowflake extends SinkDialect("snowflake") {
+    override val publishByName: Boolean = true
     override def ddlType(dt: DataType): String = dt match {
       case StringType          => "VARCHAR"
       case LongType            => "NUMBER(19,0)"
