@@ -80,6 +80,41 @@ object GraftAPI {
           .as("dup_ratio"))
   }
 
+  /** Paragraph-level exact dedup (the Dolma/FineWeb intra-corpus
+    * paragraph pass) over any (id, text) frame: text splits on
+    * `separator` into ordered units (default: whitespace-chunking is NOT
+    * applied here — pass "\n\n" for real paragraphs, or pre-chunk and
+    * pass "\n"), each distinct unit survives only at its first (id, idx)
+    * occurrence, and survivors reassemble per row in original order.
+    * Returns (id, n_chunks, n_kept, text_kept); a fully-deduplicated row
+    * still reports (n_kept = 0). Keeper choice is an associative
+    * integer-key min through one map-side-combined groupBy — no
+    * corpus-scale window; `id` must be an integral column (the keeper
+    * key is integer-encoded) and unit index must stay below 2^20 (loud
+    * in-expression failure otherwise). */
+  def paragraphDedup(df: DataFrame, id: String, text: String,
+                     separator: String = "\n\n"): DataFrame = {
+    val chunks = df
+      .select(col(id).as("_id"), posexplode(split(col(text), separator)))
+      .select(col("_id"), col("pos").cast("long").as("cidx"), col("col").as("chunk"))
+    val enc = when(col("cidx") >= (1L << 20),
+        expr("raise_error('paragraphDedup: >=2^20 units in one row — key would alias')")
+          .cast("long"))
+      .otherwise(col("_id") * (1L << 20) + col("cidx"))
+    val keep = chunks.groupBy("chunk").agg(min(enc).as("kkey"))
+    val kept = chunks.join(keep, "chunk").filter(enc === col("kkey"))
+    val perDoc = kept.groupBy("_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("cidx"), col("chunk")))).as("p"))
+      .select(col("_id"), col("n_kept"),
+        concat_ws(separator, transform(col("p"), x => x.getField("chunk"))).as("text_kept"))
+    chunks.groupBy("_id").agg(count(lit(1)).as("n_chunks"))
+      .join(perDoc, Seq("_id"), "left")
+      .select(col("_id").as(id), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   /** Distinct word-trigram shingle rows (id, shingle-string) — the
     * MinHash input layout. */
   private def shingleRows(df: DataFrame, id: String, text: String): DataFrame = {

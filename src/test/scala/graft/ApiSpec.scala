@@ -306,6 +306,21 @@ class ApiSpec extends AnyFunSuite {
     assert(a.map(_._2).distinct.length > 1)
   }
 
+  test("paragraphDedup: first occurrence survives, order kept, emptied rows still report") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta\n\nshared one\n\ngamma"),
+      (2L, "shared one\n\ndelta"),      // loses its copy of "shared one"
+      (3L, "shared one")                // fully deduplicated
+    ).toDF("doc_id", "text")
+    val got = GraftAPI.paragraphDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((3L, 3L, "alpha beta\n\nshared one\n\ngamma")))
+    assert(got(2L) == ((2L, 1L, "delta")))
+    assert(got(3L) == ((1L, 0L, "")))
+  }
+
   test("ivfPqEncode: (id, cell, code) index rows consistent with kmeansAssign, stable re-run") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     def run() = GraftAPI.ivfPqEncode(emb, "vec_id", "embedding",
