@@ -74,7 +74,7 @@ object Explain {
                   // (shard_pack_tokens is already in the round-3 segment —
                   // its re-capture picks up the fixed-cardinality spine)
                   "knn_recall_pq", "docs_quality_buckets", "knn_ivf_pq",
-                  "knn_recall_ivf_pq")) {
+                  "knn_recall_ivf_pq", "dedup_paragraphs")) {
       println(s"===== $q =====")
       // Cap per-query output: cached-frame-heavy composites nest their
       // InMemoryRelation child plans repeatedly and can print 50k+ lines
