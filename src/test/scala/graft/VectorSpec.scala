@@ -96,6 +96,56 @@ class VectorSpec extends AnyFunSuite {
     assert(out.count(!_.getBoolean(2)) > 0, "no drops — threshold inert on fixture")
   }
 
+  test("semantic_dedup_scaled: same keep invariants, cell count tracks √n (L19b)") {
+    import org.apache.spark.sql.functions.col
+    val out = VectorOps.semanticDedupScaled(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, keep, rep) = (r.getAs[Number]("vec_id").longValue,
+        r.getBoolean(2), r.getAs[Number]("rep_id").longValue)
+      if (keep) assert(rep == id, s"kept $id has foreign rep $rep")
+      else assert(rep < id, s"dropped $id must point to a LOWER-id rep, got $rep")
+    }
+    assert(out.count(!_.getBoolean(2)) > 0, "no drops — threshold inert on fixture")
+    // cells ≈ √n: bit width B is the least with 4^B ≥ n, so 2^B ∈ [√n, 2√n)
+    val n = out.length
+    val nBitsUsed = out.map(_.getAs[Number]("cell").longValue).max
+    val b = 64 - java.lang.Long.numberOfLeadingZeros(nBitsUsed) // highest set bit + 1
+    assert((1L << b) >= math.sqrt(n).toLong && (1L << b) < 4 * math.sqrt(n),
+      s"cell-id bit width $b off the √n rule for n=$n")
+  }
+
+  test("scaled near-dup candidate pairs grow ~linearly in n (4× corpus ⇒ ≤8× pairs)") {
+    import org.apache.spark.sql.functions.col
+    def pairs(dir: String): (Long, Long) = {
+      val e = VectorOps.neardupCells(Tables.embeddings(spark, dir))
+      val n = e.count()
+      val p = e.as("a").join(e.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .count()
+      (n, p)
+    }
+    val (nSmall, pSmall) = pairs(TestSpark.Sf0001)       // 500 vectors
+    val (nBig, pBig) = pairs("/root/testdata/sf0.1")     // 2000 vectors
+    assert(nBig >= 4 * nSmall, s"fixture drift: $nSmall vs $nBig")
+    // quadratic (fixed buckets) would give (nBig/nSmall)² = 16×; the
+    // corpus-scaled buckets must hold the growth near-linear
+    assert(pBig.toDouble / pSmall <= 2.0 * nBig / nSmall,
+      s"pair volume superlinear: $pSmall → $pBig for $nSmall → $nBig vectors")
+  }
+
+  test("embed_neardup covers every vector and finds fixture duplicates") {
+    val out = VectorOps.embedNeardup(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.length == n, "near-dup report must cover the whole corpus")
+    assert(out.exists(_.getAs[Boolean]("is_dup")), "no dups — gate inert on fixture")
+    // true near-dups (cos ≥ τ) share every sign bit, so the bucket gate
+    // can't lose them; flagged rows must carry a real neighbour
+    out.filter(_.getAs[Boolean]("is_dup")).foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("nn_id")) && r.getAs[Double]("cos") >= 0.35)
+    }
+  }
+
   test("PQ shortlist+rerank recalls the exact-L2 top-10 well above chance (L3g)") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf)
