@@ -22,6 +22,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2.loadedReadBack == r1.loadedReadBack, "re-run must not duplicate rows")
   }
 
+  test("curation_pipeline_staged produces the identical frame to the in-plan form") {
+    val sf = TestSpark.Sf0001
+    val inPlan = ops.PipelineOps.curationPipeline(spark, sf).collect().toSeq
+    val staged = ops.PipelineOps.curationPipelineStaged(spark, sf).collect().toSeq
+    assert(staged == inPlan, "stage materialization must not change the output")
+    // the stage tables really exist on disk (the production factoring)
+    val root = s"/tmp/graft_curation_stages_${sf.replaceAll("[^0-9.]", "")}"
+    Seq("exact_keep", "cluster_drops", "contaminated").foreach { t =>
+      assert(new java.io.File(s"$root/$t/_SUCCESS").isFile, s"stage table $t missing")
+    }
+  }
+
   test("sink_compact: 64 fragments collapse to <= 4 files, content preserved") {
     val sf = TestSpark.Sf0001
     val tag = sf.replaceAll("[^0-9.]", "")
