@@ -74,7 +74,15 @@ object Explain {
                   // (shard_pack_tokens is already in the round-3 segment —
                   // its re-capture picks up the fixed-cardinality spine)
                   "knn_recall_pq", "docs_quality_buckets", "knn_ivf_pq",
-                  "knn_recall_ivf_pq", "dedup_paragraphs")) {
+                  "knn_recall_ivf_pq", "dedup_paragraphs",
+                  // round 8: persisted-index ANN probes (knn_ivf_pq /
+                  // knn_recall_pq re-captures above now read stored
+                  // artifacts), the index-build manifest, corpus-scaled
+                  // near-dup buckets, sqrt(n)-cell semantic dedup, staged
+                  // curation (its stage writes are sf0.01-small, same
+                  // acceptance as the round-6b eager-work note)
+                  "build_ivfpq_index", "semantic_dedup_scaled",
+                  "curation_pipeline_staged")) {
       println(s"===== $q =====")
       // Cap per-query output: cached-frame-heavy composites nest their
       // InMemoryRelation child plans repeatedly and can print 50k+ lines

@@ -683,6 +683,58 @@ object GraftAPI {
       .select(col("vec_id").as(id), col("cell"), col("code"))
   }
 
+  /** Persist a complete IVF + residual-PQ ANN index for `df` under
+    * `path` — the production "build once at ingest, probe forever" job
+    * (the registry twin is `build_ivfpq_index` over the harness corpus):
+    * trains the coarse quantizer and both PQ codebooks, encodes the
+    * corpus, and writes the parquet artifact set (`coarse`, `cells`,
+    * `pq_codebooks`, `pq_codes`, `ivfpq_codebooks`, `ivfpq_codes`
+    * hive-partitioned by coarse cell, plus a root `_SUCCESS` commit
+    * marker). A probe reads ONE cell directory + two broadcast codebook
+    * tables; float vectors stay out of the read path until the shortlist
+    * rerank. Training is deterministic (lowest-id seeds, 6-dp-snapped
+    * DECIMAL arithmetic), so a rebuild byte-matches — backfill-stable.
+    * Returns the per-cell manifest (cell, n_vecs, n_codes), the fan-out a
+    * capacity planner reads. */
+  def buildAnnIndex(df: DataFrame, id: String, vec: String, path: String,
+                    cells: Int = 16, m: Int = 8, k: Int = 16,
+                    iters: Int = 2): DataFrame = {
+    require(cells > 0 && m > 0 && k > 0 && iters > 0,
+      s"cells/m/k/iters must be positive: $cells/$m/$k/$iters")
+    val e = df.select(col(id).as("vec_id"), col(vec).cast("array<double>").as("x"))
+    validatedDim(e, vec, m)
+    val s = df.sparkSession
+    val ix = graft.ops.IvfPqIndex.Ix(path)
+    graft.ops.IvfPqIndex.buildAt(s, e, ix, cells, m, k, iters)
+    val nv = s.read.parquet(ix.cells)
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val nc = s.read.parquet(ix.ivfCodes)
+      .groupBy("cell").agg(count(lit(1)).as("n_codes"))
+    nv.join(nc, "cell").select(col("cell"), col("n_vecs"), col("n_codes"))
+  }
+
+  /** Corpus-scaled sign-bit bucketing for near-dup candidate generation:
+    * the bit width grows with the row count (least B with 2^B ≥
+    * n/targetBucketSize), so the same call that yields 32 buckets on a
+    * 500-row fixture yields ~n/T buckets on a 100 TB corpus and
+    * same-bucket pair volume stays ~linear in n. Returns `df` plus a
+    * `bucket` column. True near-dups (cosine → 1) share every sign bit
+    * and always co-bucket; for recall beyond sign agreement, gate with
+    * [[kmeansAssign]] cells instead. Harness twin: `embed_neardup`. */
+  def scaledSignBuckets(df: DataFrame, vec: String,
+                        targetBucketSize: Int = 16): DataFrame = {
+    require(targetBucketSize > 0, s"targetBucketSize must be positive")
+    graft.ops.VectorOps.scaledCells(df,
+        j => targetBucketSize.toLong * (1L << (j - 1)), vec)
+      .withColumnRenamed("cell", "bucket")
+  }
+
+  /** SemDeDup cell rule: √n sign-bit cells (least B with 4^B ≥ n) — the
+    * cluster column to hand [[semanticDedup]] when no learned clustering
+    * is available. Harness twin: `semantic_dedup_scaled`. */
+  def sqrtNSignCells(df: DataFrame, vec: String): DataFrame =
+    graft.ops.VectorOps.scaledCells(df, j => 1L << (2 * (j - 1)), vec)
+
   def cosineTopK(queries: DataFrame, corpus: DataFrame,
                  qId: String, cId: String, vec: String, k: Int): DataFrame = {
     val q = l2Normalize(queries.select(col(qId).as("query_id"), col(vec)), vec)

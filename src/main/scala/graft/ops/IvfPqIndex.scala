@@ -67,51 +67,63 @@ object IvfPqIndex {
     ix
   }
 
-  /** Slice a 64-dim array column into the (m, x) long PQ form. */
-  private def sliceLong(v: org.apache.spark.sql.Column) =
-    posexplode(array((0 until VectorOps.PqM).map(m =>
-      slice(v, m * VectorOps.PqSub + 1, VectorOps.PqSub)): _*))
+  /** The one-time registry build at the harness geometry (16 coarse
+    * cells, PqM×PqSub subspaces, 2 Lloyd iterations — the point every
+    * probe oracle reproduces). */
+  private def build(s: SparkSession, dir: String, ix: Ix): Unit =
+    buildAt(s,
+      embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("x")),
+      ix, cells = 16, m = VectorOps.PqM, k = 16, iters = 2)
 
-  /** The one-time index build: 2-Lloyd coarse training, coarse assignment,
-    * raw-vector PQ train+encode, residual PQ train+encode. Every stage
-    * WRITES its table and downstream stages READ it back — lineage is
-    * truncated at each artifact (the factoring VERDICT r7 called for: an
-    * index build and a probe are different jobs). */
-  private def build(s: SparkSession, dir: String, ix: Ix): Unit = {
-    val e = embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
-      .persist()
+  /** The index build core, parameterized for the public API
+    * ([[graft.api.GraftAPI.buildAnnIndex]]): 2-phase k-means coarse
+    * training, coarse assignment, raw-vector PQ train+encode, residual PQ
+    * train+encode over an arbitrary (vec_id, x) frame. Every stage WRITES
+    * its table and downstream stages READ it back — lineage is truncated
+    * at each artifact (the factoring VERDICT r7 called for: an index
+    * build and a probe are different jobs). `sub` (subvector width) is
+    * derived from the first row's dimensionality; callers validate
+    * rectangularity upstream. */
+  private[graft] def buildAt(s: SparkSession, raw: DataFrame, ix: Ix,
+                             cells: Int, m: Int, k: Int, iters: Int): Unit = {
+    val e = raw.persist()
     try {
-      // 1. coarse centroids (16 learned cells, deterministic training)
-      VectorOps.kmeansCentroids(e, 2)
+      val dim = e.select(size(col("x"))).head.getInt(0)
+      require(dim % m == 0, s"vector length $dim not divisible by m=$m subspaces")
+      val sub = dim / m
+      def sliceL(v: org.apache.spark.sql.Column) =
+        posexplode(array((0 until m).map(i => slice(v, i * sub + 1, sub)): _*))
+      // 1. coarse centroids (learned cells, deterministic training)
+      VectorOps.kmeansCentroids(e, iters, cells)
         .write.mode("overwrite").parquet(ix.coarse)
       val coarse = s.read.parquet(ix.coarse)
       // 2. coarse cell assignment
       VectorOps.assignCells(e, coarse)
         .write.mode("overwrite").parquet(ix.cells)
-      val cells = s.read.parquet(ix.cells)
+      val cellsT = s.read.parquet(ix.cells)
       // 3. raw-vector PQ: one long-form frame holds every subspace
-      val emLong = e.select(col("vec_id"), sliceLong(col("x")))
+      val emLong = e.select(col("vec_id"), sliceL(col("x")))
         .select(col("vec_id"), col("pos").cast("int").as("m"), col("col").as("x"))
         .persist()
       try {
-        VectorOps.kmeansCentroidsLong(emLong, 2)
+        VectorOps.kmeansCentroidsLong(emLong, iters, k)
           .write.mode("overwrite").parquet(ix.pqCodebooks)
         VectorOps.assignCellsLong(emLong, s.read.parquet(ix.pqCodebooks))
           .select(col("vec_id"), col("m"), col("cell").as("code"))
           .write.mode("overwrite").parquet(ix.pqCodes)
       } finally emLong.unpersist(false)
       // 4. residual PQ: residual = x − coarse centroid of the vector's cell
-      val remLong = e.join(cells, "vec_id")
+      val remLong = e.join(cellsT, "vec_id")
         .join(broadcast(coarse), col("cell") === col("cid"))
         .select(col("vec_id"), col("cell"),
           zip_with(col("x"), col("cv"), (a, b) => r6(a - b)).as("rx"))
-        .select(col("vec_id"), col("cell"), sliceLong(col("rx")))
+        .select(col("vec_id"), col("cell"), sliceL(col("rx")))
         .select(col("vec_id"), col("cell"), col("pos").cast("int").as("m"),
           col("col").as("x"))
         .persist()
       try {
-        VectorOps.kmeansCentroidsLong(remLong.select("m", "vec_id", "x"), 2)
+        VectorOps.kmeansCentroidsLong(remLong.select("m", "vec_id", "x"), iters, k)
           .write.mode("overwrite").parquet(ix.ivfCodebooks)
         // codes partitioned by coarse cell (duplicated as pcell so the data
         // column keeps its exact LongType — partition-value inference would
@@ -119,7 +131,7 @@ object IvfPqIndex {
         VectorOps.assignCellsLong(remLong.select("m", "vec_id", "x"),
             s.read.parquet(ix.ivfCodebooks))
           .select(col("vec_id"), col("m"), col("cell").as("code"))
-          .join(cells, "vec_id")
+          .join(cellsT, "vec_id")
           .withColumn("pcell", col("cell"))
           .repartition(col("pcell"))
           .write.mode("overwrite").partitionBy("pcell").parquet(ix.ivfCodes)

@@ -527,14 +527,15 @@ object VectorOps {
     * the target size (measured: 4× corpus → 3.9× pairs at T=16). */
   private[graft] val MaxScaledBits = 30
 
-  private[graft] def scaledCells(e: DataFrame, cut: Int => Long): DataFrame = {
+  private[graft] def scaledCells(e: DataFrame, cut: Int => Long,
+                                 vec: String = "embedding"): DataFrame = {
     val nB = e.agg(count(lit(1)).as("n"))
       .select((1 to MaxScaledBits).map(j =>
         when(col("n") > cut(j), 1).otherwise(0)).reduce(_ + _).as("nbits"))
     e.crossJoin(broadcast(nB))
       .withColumn("cell",
         (1 to MaxScaledBits).map(j =>
-          when(lit(j) <= col("nbits") && element_at(col("embedding"), j) > 0f,
+          when(lit(j) <= col("nbits") && element_at(col(vec), j) > 0f,
             lit(1L << (j - 1))).otherwise(lit(0L))).reduce(_ + _))
       .drop("nbits")
   }

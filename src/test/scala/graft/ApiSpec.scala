@@ -344,6 +344,51 @@ class ApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("null vectors"))
   }
 
+  test("buildAnnIndex persists the artifact set; stored codes == ivfPqEncode rows") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft_annix_api").toString
+    val manifest = GraftAPI.buildAnnIndex(emb, "vec_id", "embedding",
+        root, cells = 8, m = 4, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(manifest.map(_._2).sum == emb.count())
+    manifest.foreach { case (_, nVecs, nCodes) => assert(nCodes == 4 * nVecs) }
+    assert(new java.io.File(root, "_SUCCESS").isFile)
+    Seq("coarse", "cells", "pq_codebooks", "pq_codes",
+        "ivfpq_codebooks", "ivfpq_codes").foreach(t =>
+      assert(new java.io.File(s"$root/$t").isDirectory, s"missing table $t"))
+    // the stored residual codes are EXACTLY what the in-memory encoder
+    // emits at the same geometry (same training, same determinism)
+    val stored = spark.read.parquet(s"$root/ivfpq_codes")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("m")) ->
+        (r.getAs[Long]("cell"), r.getAs[Long]("code"))).toMap
+    val encoded = GraftAPI.ivfPqEncode(emb, "vec_id", "embedding",
+        cells = 8, m = 4, k = 8)
+      .collect().flatMap(r => r.getSeq[Long](2).zipWithIndex.map {
+        case (code, m) => (r.getLong(0), m) -> (r.getLong(1), code) })
+    assert(encoded.nonEmpty && encoded.forall { case (k, v) => stored(k) == v })
+    // hive partition dirs exist per coarse cell (the inverted-list layout)
+    val pdirs = new java.io.File(s"$root/ivfpq_codes").listFiles()
+      .filter(_.getName.startsWith("pcell=")).map(_.getName).toSet
+    assert(pdirs == manifest.map(c => s"pcell=${c._1}").toSet)
+  }
+
+  test("scaledSignBuckets: bucket width follows n/T; sqrtNSignCells matches the registry op") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = emb.count() // 500 on the fixture
+    val buckets = GraftAPI.scaledSignBuckets(emb, "embedding", 16)
+      .select("vec_id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(buckets.length == n)
+    // least B with 2^B >= 500/16 = 31.25 -> B = 5 -> ids within [0, 32)
+    assert(buckets.forall { case (_, b) => b >= 0 && b < 32 })
+    assert(buckets.map(_._2).distinct.length > 16, "bit width collapsed")
+    val cells = GraftAPI.sqrtNSignCells(emb, "embedding")
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ops.VectorOps.semanticDedupScaled(spark, sf)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells == want)
+  }
+
   test("kmeansAssign: hand-built 1-D clusters converge to the obvious split") {
     import spark.implicits._
     // two tight 2-D blobs around (0,0) and (10,10); ids are SPARSE (seeds
