@@ -67,6 +67,22 @@ object IvfPqIndex {
     ix
   }
 
+  /** Base-subset index for the APPEND lifecycle op (`ann_index_append`):
+    * trained and encoded over ONLY the `vec_id % 10 != 7` slice, so the
+    * held-out 10% plays the role of a later-arriving batch that must be
+    * encoded against the STORED codebooks without retraining. Same
+    * build-once contract as [[ensure]], separate artifact root. */
+  def ensureBase(s: SparkSession, dir: String): Ix = synchronized {
+    val ix = Ix(indexRoot(dir) + "_base")
+    if (!new java.io.File(ix.root, "_SUCCESS").isFile)
+      buildAt(s,
+        embeddings(s, dir)
+          .filter(col("vec_id") % 10 =!= 7)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("x")),
+        ix, cells = 16, m = VectorOps.PqM, k = 16, iters = 2)
+    ix
+  }
+
   /** The one-time registry build at the harness geometry (16 coarse
     * cells, PqM×PqSub subspaces, 2 Lloyd iterations — the point every
     * probe oracle reproduces). */

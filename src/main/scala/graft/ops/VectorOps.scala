@@ -911,7 +911,61 @@ object VectorOps {
       .orderBy("cell")
   }
 
+  /** L3j: ANN index APPEND — the third leg of the index lifecycle
+    * (build → probe → append): a later-arriving batch (the held-out
+    * `vec_id % 10 == 7` slice) is encoded against the STORED codebooks of
+    * the base index ([[IvfPqIndex.ensureBase]], trained only on the other
+    * 90%) — coarse-assign via the persisted centroids, residual-encode via
+    * the persisted residual codebooks, NO retraining — and lands as a
+    * delta table hive-partitioned by coarse cell next to the base codes.
+    * This is what daily vector arrivals do at 100 TB: training is an
+    * ingest-time event, appends are broadcast-argmin map jobs (two small
+    * broadcast joins + one write; the corpus is never rescanned). The
+    * deterministic codebooks make the append backfill-stable: re-encoding
+    * the same batch byte-matches. Output is the merged per-cell manifest
+    * (cell, n_base, n_new); the oracle reproduces the base-subset coarse
+    * training and both assignments, and VectorSpec verifies the delta
+    * CODE VALUES against an independent local re-encode. */
+  def annIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val ix = IvfPqIndex.ensureBase(s, dir)
+    val coarse = s.read.parquet(ix.coarse)
+    val batch = embeddings(s, dir)
+      .filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id"), asD(col("embedding")).as("x"))
+    // coarse-assign the batch against the STORED centroids
+    val bCells = assignCells(batch, coarse)
+    // residual-encode against the STORED residual codebooks
+    val remLong = batch.join(bCells, "vec_id")
+      .join(broadcast(coarse), col("cell") === col("cid"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("x"), col("cv"), (a, b) => r6(a - b)).as("rx"))
+      .select(col("vec_id"), col("cell"), posexplode(array((0 until PqM).map(m =>
+        slice(col("rx"), m * PqSub + 1, PqSub)): _*)))
+      .select(col("vec_id"), col("cell"), col("pos").cast("int").as("m"),
+        col("col").as("x"))
+    assignCellsLong(remLong.select("m", "vec_id", "x"),
+        s.read.parquet(ix.ivfCodebooks))
+      .select(col("vec_id"), col("m"), col("cell").as("code"))
+      .join(bCells, "vec_id")
+      .withColumn("pcell", col("cell"))
+      .repartition(col("pcell"))
+      .write.mode("overwrite").partitionBy("pcell")
+      .parquet(s"${ix.root}/ivfpq_codes_delta")
+    // merged manifest: base counts from the stored index, new counts from
+    // the just-landed delta
+    val base = s.read.parquet(ix.cells)
+      .groupBy("cell").agg(count(lit(1)).as("n_base"))
+    val fresh = s.read.parquet(s"${ix.root}/ivfpq_codes_delta")
+      .filter(col("m") === 0)
+      .groupBy("cell").agg(count(lit(1)).as("n_new"))
+    base.join(fresh, Seq("cell"), "left")
+      .select(col("cell"), col("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .orderBy("cell")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_index_append"  -> annIndexAppend _,
     "build_ivfpq_index" -> buildIvfpqIndex _,
     "semantic_dedup"  -> semanticDedup _,
     "semantic_dedup_scaled" -> semanticDedupScaled _,
@@ -1060,6 +1114,24 @@ object VectorOps {
          |SELECT cell, count(*) AS n_vecs,
          |  CAST(count(*) * $PqM AS BIGINT) AS n_codes
          |FROM cells GROUP BY cell ORDER BY cell""".stripMargin,
+    // Append: coarse training reproduced over the BASE slice only, the
+    // held-out batch assigned against those centroids; the delta code
+    // VALUES are spec-verified (VectorSpec local re-encode).
+    "ann_index_append" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS x
+         |  FROM embeddings WHERE vec_id % 10 <> 7),
+         |${sqlKmeansChain("")},
+         |b AS (SELECT vec_id, embedding::DOUBLE[] AS x
+         |  FROM embeddings WHERE vec_id % 10 = 7),
+         |bcells AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT b.vec_id, c.cid, row_number() OVER (PARTITION BY b.vec_id
+         |    ORDER BY ${sqlDist("b.x", "c.cv")} ASC, c.cid ASC) AS rn
+         |  FROM b CROSS JOIN c2 c) t WHERE rn = 1)
+         |SELECT a.cell, a.n_base, COALESCE(nb.n_new, 0) AS n_new
+         |FROM (SELECT cell, count(*) AS n_base FROM cells GROUP BY cell) a
+         |LEFT JOIN (SELECT cell, count(*) AS n_new FROM bcells GROUP BY cell) nb
+         |  USING (cell)
+         |ORDER BY a.cell""".stripMargin,
     "knn_pq" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
          |$pqSubsCte,

@@ -146,6 +146,43 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_index_append: delta codes equal an independent local re-encode (L3j)") {
+    import org.apache.spark.sql.functions.col
+    VectorOps.annIndexAppend(spark, sf).collect() // runs the append write
+    val ix = ops.IvfPqIndex.ensureBase(spark, sf)
+    def r6l(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def dotl(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def sq(a: Array[Double], b: Array[Double]) =
+      r6l(dotl(a, a) - 2 * dotl(a, b) + dotl(b, b))
+    val coarse = spark.read.parquet(ix.coarse).collect()
+      .map(r => r.getAs[Long]("cid") -> r.getAs[Seq[Double]]("cv").toArray).toMap
+    val books = spark.read.parquet(ix.ivfCodebooks).collect()
+      .map(r => (r.getAs[Int]("m"), r.getAs[Long]("cid")) ->
+        r.getAs[Seq[Double]]("cv").toArray).toMap
+    val batch = Tables.embeddings(spark, sf).filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Seq[Double]](1).toArray)
+    val delta = spark.read.parquet(s"${ix.root}/ivfpq_codes_delta").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("m")) ->
+        ((r.getAs[Long]("cell"), r.getAs[Long]("code")))).toMap
+    assert(batch.nonEmpty && delta.size == batch.length * VectorOps.PqM)
+    batch.foreach { case (id, x) =>
+      val cell = coarse.minBy { case (cid, cv) => (sq(x, cv), cid) }._1
+      val cv = coarse(cell)
+      val resid = x.indices.map(i => r6l(x(i) - cv(i))).toArray
+      (0 until VectorOps.PqM).foreach { m =>
+        val sub = resid.slice(m * VectorOps.PqSub, (m + 1) * VectorOps.PqSub)
+        val code = books.toSeq.collect { case ((mm, cid), bcv) if mm == m => cid -> bcv }
+          .minBy { case (cid, bcv) => (sq(sub, bcv), cid) }._1
+        assert(delta((id, m)) == ((cell, code)), s"vec $id subspace $m drifted")
+      }
+    }
+    // and the held-out batch is absent from the BASE artifact by construction
+    val baseIds = spark.read.parquet(ix.cells).collect().map(_.getLong(0)).toSet
+    assert(batch.forall { case (id, _) => !baseIds.contains(id) })
+  }
+
   test("PQ shortlist+rerank recalls the exact-L2 top-10 well above chance (L3g)") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf)
