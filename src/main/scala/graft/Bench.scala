@@ -24,8 +24,8 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_clusters", "simjoin_lsh",
     "dedup_ngram_jaccard", "decontam_ngram", "dedup_incremental",
     "knn_cosine", "knn_ivf", "knn_ivf_kmeans", "knn_batch", "embed_neardup",
-    "build_ivfpq_index", "ann_index_append", "knn_ivf_pq",
-    "semantic_dedup_scaled",
+    "build_ivfpq_index", "ann_index_append", "ann_index_compact",
+    "knn_ivf_pq", "semantic_dedup_scaled",
     "embed_centroids", "agg_kll_quantiles", "corpus_temperature_mix",
     "text_tfidf", "text_bm25", "text_logprob", "lang_id_ngram", "token_count",
     "docs_quality_filter", "curation_pipeline", "curation_pipeline_staged",

@@ -964,7 +964,36 @@ object VectorOps {
       .orderBy("cell")
   }
 
+  /** L3k: ANN index COMPACT — the lakehouse OPTIMIZE step that closes the
+    * lifecycle (build → append → compact → probe): the base cell-
+    * partitioned codes and the appended delta merge into ONE compacted
+    * layout (again hive-partitioned by coarse cell, one file per cell),
+    * so probes stop paying a two-table union and small delta files fold
+    * away. The base artifact stays immutable (write-once contract); the
+    * compacted table is a sibling, the swap being a metadata operation in
+    * a real catalog. Output is the merged manifest read back FROM the
+    * compacted table — (cell, n_vecs, n_codes) with n_codes = PqM·n_vecs —
+    * which the oracle cross-checks against base-slice training + batch
+    * assignment counts (so a lost or duplicated row in the merge fails
+    * the gate). */
+  def annIndexCompact(s: SparkSession, dir: String): DataFrame = {
+    annIndexAppend(s, dir).count() // ensure the delta landed (idempotent)
+    val ix = IvfPqIndex.ensureBase(s, dir)
+    val merged = s.read.parquet(ix.ivfCodes)
+      .unionByName(s.read.parquet(s"${ix.root}/ivfpq_codes_delta"))
+    merged
+      .withColumn("pcell", col("cell"))
+      .repartition(col("pcell"))
+      .write.mode("overwrite").partitionBy("pcell")
+      .parquet(s"${ix.root}/ivfpq_codes_compact")
+    s.read.parquet(s"${ix.root}/ivfpq_codes_compact")
+      .groupBy("cell")
+      .agg(countDistinct(col("vec_id")).as("n_vecs"), count(lit(1)).as("n_codes"))
+      .orderBy("cell")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_index_compact" -> annIndexCompact _,
     "ann_index_append"  -> annIndexAppend _,
     "build_ivfpq_index" -> buildIvfpqIndex _,
     "semantic_dedup"  -> semanticDedup _,
@@ -1114,6 +1143,26 @@ object VectorOps {
          |SELECT cell, count(*) AS n_vecs,
          |  CAST(count(*) * $PqM AS BIGINT) AS n_codes
          |FROM cells GROUP BY cell ORDER BY cell""".stripMargin,
+    // Compact: the merged read-back must carry exactly base+batch vectors
+    // per cell and PqM codes per vector — a lost or doubled row in the
+    // merge breaks either count.
+    "ann_index_compact" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS x
+         |  FROM embeddings WHERE vec_id % 10 <> 7),
+         |${sqlKmeansChain("")},
+         |b AS (SELECT vec_id, embedding::DOUBLE[] AS x
+         |  FROM embeddings WHERE vec_id % 10 = 7),
+         |bcells AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT b.vec_id, c.cid, row_number() OVER (PARTITION BY b.vec_id
+         |    ORDER BY ${sqlDist("b.x", "c.cv")} ASC, c.cid ASC) AS rn
+         |  FROM b CROSS JOIN c2 c) t WHERE rn = 1)
+         |SELECT a.cell,
+         |  CAST(a.n_base + COALESCE(nb.n_new, 0) AS BIGINT) AS n_vecs,
+         |  CAST($PqM * (a.n_base + COALESCE(nb.n_new, 0)) AS BIGINT) AS n_codes
+         |FROM (SELECT cell, count(*) AS n_base FROM cells GROUP BY cell) a
+         |LEFT JOIN (SELECT cell, count(*) AS n_new FROM bcells GROUP BY cell) nb
+         |  USING (cell)
+         |ORDER BY a.cell""".stripMargin,
     // Append: coarse training reproduced over the BASE slice only, the
     // held-out batch assigned against those centroids; the delta code
     // VALUES are spec-verified (VectorSpec local re-encode).

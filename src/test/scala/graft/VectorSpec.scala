@@ -183,6 +183,24 @@ class VectorSpec extends AnyFunSuite {
     assert(batch.forall { case (id, _) => !baseIds.contains(id) })
   }
 
+  test("ann_index_compact: content == base+delta exactly, one file per cell (L3k)") {
+    VectorOps.annIndexCompact(spark, sf).collect()
+    val ix = ops.IvfPqIndex.ensureBase(spark, sf)
+    val base = spark.read.parquet(ix.ivfCodes).drop("pcell")
+    val delta = spark.read.parquet(s"${ix.root}/ivfpq_codes_delta").drop("pcell")
+    val merged = spark.read.parquet(s"${ix.root}/ivfpq_codes_compact").drop("pcell")
+    val union = base.unionByName(delta)
+    assert(merged.count() == base.count() + delta.count())
+    assert(merged.exceptAll(union).isEmpty && union.exceptAll(merged).isEmpty,
+      "compacted content must be the exact base+delta multiset")
+    // compaction folded each cell to ONE data file
+    new java.io.File(s"${ix.root}/ivfpq_codes_compact").listFiles()
+      .filter(_.getName.startsWith("pcell=")).foreach { d =>
+        val n = d.listFiles().count(f => f.getName.endsWith(".parquet") && f.length > 0)
+        assert(n == 1, s"${d.getName}: $n files after compaction")
+      }
+  }
+
   test("PQ shortlist+rerank recalls the exact-L2 top-10 well above chance (L3g)") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf)
