@@ -23,6 +23,7 @@ object Bench {
     "join_range_binned", "window_rank", "topk_native",
     "dedup_exact", "dedup_minhash", "dedup_clusters", "simjoin_lsh",
     "dedup_ngram_jaccard", "decontam_ngram", "dedup_incremental",
+    "build_minhash_index", "text_token_entropy",
     "knn_cosine", "knn_ivf", "knn_ivf_kmeans", "knn_batch", "embed_neardup",
     "build_ivfpq_index", "ann_index_append", "ann_index_compact",
     "knn_ivf_pq", "semantic_dedup_scaled",

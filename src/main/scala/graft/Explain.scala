@@ -82,7 +82,13 @@ object Explain {
                   // curation (its stage writes are sf0.01-small, same
                   // acceptance as the round-6b eager-work note)
                   "build_ivfpq_index", "semantic_dedup_scaled",
-                  "curation_pipeline_staged")) {
+                  "curation_pipeline_staged",
+                  // round 8b: stored-postings incremental dedup (the
+                  // MinHash index artifact), MinHash index-build manifest,
+                  // one-shuffle token entropy, single-scan multi-prefix
+                  // MRL recall (exchange reuse across truth + hit check)
+                  "build_minhash_index", "text_token_entropy",
+                  "embed_mrl_recall")) {
       println(s"===== $q =====")
       // Cap per-query output: cached-frame-heavy composites nest their
       // InMemoryRelation child plans repeatedly and can print 50k+ lines

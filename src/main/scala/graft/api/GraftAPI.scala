@@ -159,6 +159,38 @@ object GraftAPI {
       .select(col(id), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
+  /** Persist [[minhashBands]] as a stored dedup index (the facade form of
+    * the registry's `build_minhash_index` / [[graft.ops.MinhashIndex]]):
+    * postings land at `path` hive-partitioned by band (`band` duplicated
+    * as `pband` so the data column keeps its type), one file per band,
+    * followed by a `_SUCCESS` marker at the root — write-once, and a
+    * crashed build is rebuilt because the marker commits last. Returns
+    * the per-band manifest (band, n_keys, n_postings, n_docs) read back
+    * FROM the stored table; n_postings == n_docs by the one-key-per-
+    * (doc, band) construction, so a lost/doubled posting is visible in
+    * the manifest. At 100 TB, bucket the table by band_key as well so
+    * incremental batch probes co-partition against it without shuffling
+    * the stored side. */
+  def writeMinhashIndex(df: DataFrame, id: String, text: String, path: String,
+                        numHashes: Int = 128, bands: Int = 16): DataFrame = {
+    val s = df.sparkSession
+    minhashBands(df, id, text, numHashes, bands)
+      .withColumnRenamed(id, "_id")
+      .withColumn("pband", col("band"))
+      .repartition(col("pband"))
+      .write.mode("overwrite").partitionBy("pband").parquet(s"$path/bands")
+    require(new java.io.File(path, "_SUCCESS").createNewFile() ||
+      new java.io.File(path, "_SUCCESS").isFile,
+      s"could not commit index marker under $path")
+    s.read.parquet(s"$path/bands")
+      .groupBy("band")
+      .agg(countDistinct(col("band_key")).as("n_keys"),
+        count(lit(1)).as("n_postings"),
+        countDistinct(col("_id")).as("n_docs"))
+      .select(col("band").cast("int").as("band"), col("n_keys"),
+        col("n_postings"), col("n_docs"))
+  }
+
   /** LSH candidate pairs (id_a < id_b, distinct): bucket-local i<j
     * enumeration over each (band, band_key) group — pair fan-out bounded
     * by bucket size, never n². Feed the pairs to an exact verify
@@ -440,6 +472,74 @@ object GraftAPI {
       .select(col(id), col("n_tokens"), col("n_types"),
         r6(col("n_types").cast("double") / col("n_tokens")).as("ttr"),
         r6(col("n_hapax").cast("double") / col("n_types")).as("hapax_ratio"))
+  }
+
+  /** Per-row unigram Shannon entropy (nats) + norm_entropy = H/ln(n_types)
+    * clamped to [0,1] — the distribution-shape quality signal
+    * [[lexicalDiversity]]'s TTR misses ({a:99,b:1} and {a:50,b:50} share a
+    * TTR but have entropies 0.056 vs 0.693). Same one-shuffle dataflow:
+    * both aggs and the join key on `id`, so the token stream shuffles
+    * once; per-type terms 6-dp-snap before the DECIMAL sum so re-runs
+    * byte-match. Harness twin: `text_token_entropy`. */
+  def tokenEntropy(df: DataFrame, id: String, text: String): DataFrame = {
+    val tf = df.select(col(id), explode(split(lower(col(text)), " ")).as("_w"))
+      .groupBy(id, "_w").agg(count(lit(1)).as("_c"))
+    val perDoc = tf.groupBy(id)
+      .agg(sum("_c").as("n_tokens"), count(lit(1)).as("n_types"))
+    tf.join(perDoc, id)
+      .select(col(id), col("n_tokens"), col("n_types"),
+        r6(col("_c").cast("double") / col("n_tokens") *
+          log(col("n_tokens").cast("double") / col("_c"))).as("_term"))
+      .groupBy(id, "n_tokens", "n_types")
+      .agg(dsum(col("_term")).as("_hs"))
+      .select(col(id), col("n_tokens"), col("n_types"),
+        r6(col("_hs").cast("double")).as("entropy"),
+        when(col("n_types") === 1, lit(0.0))
+          .otherwise(least(lit(1.0), r6(col("_hs").cast("double") /
+            log(col("n_types").cast("double"))))).as("norm_entropy"))
+  }
+
+  /** Truncated-dimension (Matryoshka) recall audit: recall@k of exact
+    * cosine search over each prefix length in `dims` against the search
+    * at `dims.max` (the full-width control — its rows report recall 1.0
+    * by construction). One corpus scan scores every prefix (queries
+    * broadcast, |dims| fixed-width rows per pair, window-bounded top-k);
+    * run it before committing to dimension-truncated serving. Query rows
+    * present in `df` under the same id are excluded from their own
+    * ranking. Harness twin: `embed_mrl_recall`. */
+  def truncatedDimRecall(df: DataFrame, id: String, vec: String,
+                         queries: DataFrame, qId: String, qVec: String,
+                         dims: Seq[Int], k: Int = 10): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ > 0), "dims must be positive")
+    val q = queries.select(col(qId).as("_qid"), col(qVec).cast("array<double>").as("_qv"))
+    val w = Window.partitionBy("_dim", "_qid")
+      .orderBy(col("_cos").desc, col(id).asc)
+    val topk = df.select(col(id), col(vec).cast("array<double>").as("_x"))
+      .crossJoin(broadcast(q))
+      .filter(col(id) =!= col("_qid"))
+      .select(col(id), col("_qid"),
+        explode(array(dims.map(d => struct(lit(d).as("dim"),
+          r6(graft.functions.VectorFunctions.graftDot(
+              slice(col("_x"), 1, d), slice(col("_qv"), 1, d)) /
+            (sqrt(graft.functions.VectorFunctions.graftDot(
+                slice(col("_x"), 1, d), slice(col("_x"), 1, d))) *
+             sqrt(graft.functions.VectorFunctions.graftDot(
+                slice(col("_qv"), 1, d), slice(col("_qv"), 1, d)))))
+            .as("cos"))): _*)).as("_s"))
+      .select(col(id), col("_qid"),
+        col("_s.dim").as("_dim"), col("_s.cos").as("_cos"))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select(col("_dim"), col("_qid"), col(id))
+    val truth = topk.filter(col("_dim") === dims.max).select("_qid", id)
+    val hits = topk.join(truth, Seq("_qid", id), "leftsemi")
+      .groupBy("_dim", "_qid").agg(count(lit(1)).as("_h"))
+    val spine = df.sparkSession.range(1)
+      .select(explode(array(dims.map(lit): _*)).as("_dim"))
+      .crossJoin(q.select("_qid"))
+    spine.join(hits, Seq("_dim", "_qid"), "left")
+      .select(col("_dim").as("dim"), col("_qid").as(qId),
+        coalesce(col("_h"), lit(0L)).as("n_hit"),
+        r6(coalesce(col("_h"), lit(0L)).cast("double") / lit(k)).as("recall"))
   }
 
   /** Recall@k of an approximate ranking against an exact one: both inputs

@@ -380,29 +380,64 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** L14: incremental MinHash dedup of a new batch against a stored corpus
-    * index — the steady-state form of [[simjoinLsh]]: the corpus's LSH
-    * band table is precomputed (here: docs < [[IncrementalCutoff]]), and
-    * only the incoming batch computes signatures; a batch doc is a dup if
-    * ANY of its band keys hits the index.
-    *
-    * Scale shape: the index is a stored table bucketed by band_key; the
-    * batch's band rows semi-join it co-partitioned (or broadcast when the
-    * batch is small) — the 100 TB corpus text is never re-read, and the
-    * per-batch cost is O(batch), not O(corpus). */
-  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+  /** Full-corpus band rows for the index BUILD ([[MinhashIndex]]). */
+  private[ops] def bandRows(s: SparkSession, dir: String): DataFrame =
+    bandTableFrom(shingleRows(s, dir))
 
-    val bands = cache(bandTableFrom(shingleRows(s, dir)))
-    // Eager materialization AT THIS SITE (r5→r6 fix, see cache()'s
-    // scaladoc for why cache itself stays lazy): the band table feeds
-    // FOUR consumers below (index, batch, the semi-join probe, the spine
-    // distinct) and the lazy persist let them race into recomputing the
-    // shingle+signature pipeline (driver sweep 1.0 s → 9.8 s; isolated
-    // min-of-two back to 1.3 s with this count()).
-    bands.count()
-    val index = bands.filter(col("doc_id") < IncrementalCutoff)
-      .select("band", "band_key").distinct()
-    val batch = bands.filter(col("doc_id") >= IncrementalCutoff)
+  /** Band rows for the corpus slice below `cutoff` — the stored side of
+    * the incremental probe. The doc_id filter runs BEFORE shingling, so a
+    * base build never tokenizes the batch's text. */
+  private[ops] def bandRowsBelow(s: SparkSession, dir: String, cutoff: Long): DataFrame =
+    bandTableFrom(shingleRows(s, dir).filter(col("doc_id") < cutoff))
+
+  /** L2j: the MinHash-LSH index BUILD as a first-class sink-style job —
+    * the dedup counterpart of `build_ivfpq_index`: shingle + sign +
+    * band the corpus ONCE and persist the (doc_id, band, band_key)
+    * postings as a parquet table hive-partitioned by band
+    * ([[MinhashIndex]]; idempotent write-once, same `_SUCCESS` contract
+    * as every layout sink here). This is the artifact [[dedupIncremental]]
+    * probes and [[simjoinLsh]]'s `persist()` stands in for — at 100 TB
+    * the postings are additionally bucketed by band_key so batch probes
+    * co-partition without shuffling the stored side.
+    *
+    * Output is the per-band manifest read back FROM the stored table:
+    * (band, n_keys, n_postings, n_docs). Every doc with ≥1 shingle emits
+    * exactly ONE key per band, so n_postings = n_docs by construction —
+    * a lost or doubled row in the write fails the count oracle. */
+  def buildMinhashIndex(s: SparkSession, dir: String): DataFrame = {
+    val ix = MinhashIndex.ensure(s, dir)
+    s.read.parquet(ix.bands)
+      .groupBy("band")
+      .agg(countDistinct(col("band_key")).as("n_keys"),
+        count(lit(1)).as("n_postings"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .select(col("band").cast("int").as("band"), col("n_keys"),
+        col("n_postings"), col("n_docs"))
+      .orderBy("band")
+  }
+
+  /** L14: incremental MinHash dedup of a new batch against the STORED
+    * corpus index — the steady-state form of [[simjoinLsh]], now actually
+    * reading the persisted artifact (r8: previously the "index" was
+    * recomputed in-query from the full corpus; the corpus side now comes
+    * from [[MinhashIndex.ensureBase]]'s parquet postings, docs <
+    * [[IncrementalCutoff]]): only the incoming batch shingles + signs,
+    * and a batch doc is a dup if ANY of its band keys hits the index.
+    *
+    * Scale shape: the index is a stored table (bucketed by band_key at
+    * scale); the batch's band rows semi-join it co-partitioned (or
+    * broadcast when the batch is small) — the 100 TB corpus text is never
+    * re-read, and the per-batch cost is O(batch), not O(corpus). */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val ix = MinhashIndex.ensureBase(s, dir)
+    val index = s.read.parquet(ix.bands).select("band", "band_key").distinct()
+    // The batch band table feeds TWO consumers (the semi-join probe and
+    // the result spine); cache + eager count so they can't race into
+    // recomputing the batch's shingle+signature pipeline (the r5→r6
+    // lesson at this site, now scoped to the batch only).
+    val batch = cache(bandTableFrom(
+      shingleRows(s, dir).filter(col("doc_id") >= IncrementalCutoff)))
+    batch.count()
     val hits = batch.join(index, Seq("band", "band_key"), "left_semi")
       .select("doc_id").distinct().withColumn("is_dup", lit(true))
     batch.select("doc_id").distinct()
@@ -411,7 +446,7 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  private val IncrementalCutoff = 400
+  private[ops] val IncrementalCutoff = 400
 
   private val SimBits = 16
 
@@ -653,6 +688,7 @@ object DedupOps {
     "dedup_clusters"      -> dedupClusters _,
     "decontam_ngram"      -> decontamNgram _,
     "dedup_incremental"   -> dedupIncremental _,
+    "build_minhash_index" -> buildMinhashIndex _,
     "dedup_crossdoc_ngrams" -> dedupCrossdocNgrams _,
     "dedup_paragraphs"    -> dedupParagraphs _,
   ).map { case (k, fn) =>
@@ -803,6 +839,14 @@ object DedupOps {
          |hit AS (SELECT DISTINCT bt.doc_id FROM bt JOIN idx USING (band, band_key))
          |SELECT doc_id, (doc_id IN (SELECT doc_id FROM hit)) AS is_dup
          |FROM (SELECT DISTINCT doc_id FROM bt) ORDER BY doc_id""".stripMargin,
+    "build_minhash_index" ->
+      s"""WITH $shinglesCte,
+         |$bandsCte
+         |SELECT CAST(band AS INT) AS band,
+         |  count(DISTINCT band_key) AS n_keys,
+         |  count(*) AS n_postings,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM bands GROUP BY band ORDER BY band""".stripMargin,
     "dedup_containment" ->
       s"""WITH $shinglesCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -172,6 +172,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** T17: per-doc unigram Shannon entropy (nats) + normalized entropy —
+    * the distribution-shape quality signal that separates "few distinct
+    * words repeated many times" (entropy → 0: template spam, keyword
+    * stuffing) from healthy prose, catching skew that [[textLexicalDiversity]]'s
+    * type-token ratio misses (TTR sees HOW MANY types, entropy sees how
+    * evenly they're used — {a:99, b:1} and {a:50, b:50} have the same TTR
+    * but entropies 0.056 vs 0.693). norm_entropy = H / ln(n_types) ∈ [0,1]
+    * is the length-comparable form pipelines threshold on (0 when
+    * n_types = 1 — a one-word doc is degenerate by definition).
+    *
+    * Scale shape: two hash-aggs and a join, ALL keyed on doc_id — the
+    * second agg and the join reuse the first shuffle's partitioning, so
+    * the corpus token stream shuffles exactly once. Per-type terms
+    * (c/n)·ln(n/c) are 6-dp-snapped before the DECIMAL sum
+    * ([[graft.Tables.dsum]] rule) so per-doc entropy is partition-order
+    * independent and re-runs byte-match. */
+  def textTokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    val tf = documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val perDoc = tf.groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"))
+    tf.join(perDoc, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        r6(col("c").cast("double") / col("n_tokens") *
+          log(col("n_tokens").cast("double") / col("c"))).as("term"))
+      .groupBy("doc_id", "n_tokens", "n_types")
+      .agg(dsum(col("term")).as("hs"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        r6(col("hs").cast("double")).as("entropy"),
+        // least(1, ·): the 6-dp term snap can push the sum a few µnats
+        // past the theoretical max ln(n_types); normalized entropy is ≤ 1
+        // by definition, so clamp rather than leak snap noise.
+        when(col("n_types") === 1, lit(0.0))
+          .otherwise(least(lit(1.0), r6(col("hs").cast("double") /
+            log(col("n_types").cast("double"))))).as("norm_entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: content-addressed id (md5 — stable across
     * engines) + prefix shard key, the pattern used to bucket a 100 TB
     * corpus into balanced dedup units. */
@@ -545,6 +584,7 @@ object TextOps {
     "token_count"     -> tokenCount _,
     "doc_fingerprint" -> docFingerprint _,
     "text_lexical_diversity" -> textLexicalDiversity _,
+    "text_token_entropy"  -> textTokenEntropy _,
   )
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -813,6 +853,31 @@ object TextOps {
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 2) AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_token_entropy" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents) t
+        |  GROUP BY doc_id, w),
+        |pd AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS n_types
+        |  FROM tf GROUP BY doc_id),
+        |terms AS (
+        |  SELECT tf.doc_id, n_tokens, n_types,
+        |    floor((c::DOUBLE / n_tokens * ln(n_tokens::DOUBLE / c))
+        |      * 1000000 + 0.5) / 1000000 AS term
+        |  FROM tf JOIN pd USING (doc_id)),
+        |h AS (
+        |  SELECT doc_id, n_tokens, n_types,
+        |    CAST(SUM(CAST(term AS DECIMAL(25,6))) AS DOUBLE) AS hs
+        |  FROM terms GROUP BY doc_id, n_tokens, n_types)
+        |SELECT doc_id, n_tokens, n_types,
+        |  floor(hs * 1000000 + 0.5) / 1000000 AS entropy,
+        |  CASE WHEN n_types = 1 THEN 0.0
+        |    ELSE least(1.0, floor((hs / ln(n_types::DOUBLE)) * 1000000 + 0.5) / 1000000)
+        |  END AS norm_entropy
+        |FROM h ORDER BY doc_id""".stripMargin,
     "text_lexical_diversity" ->
       """WITH tf AS (
         |  SELECT doc_id, w, COUNT(*) AS c FROM (

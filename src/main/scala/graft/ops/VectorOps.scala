@@ -742,6 +742,54 @@ object VectorOps {
       .orderBy("query_id")
   }
 
+  /** L5f: truncated-dimension (Matryoshka-style) recall audit — recall@10
+    * of exact cosine search over PREFIX dims d ∈ {8, 16, 32, 64} against
+    * the full-width (d = 64) exact top-10, per query. This is the
+    * evaluation an embedding store runs before committing to
+    * dimension-truncated serving (MRL embeddings): how much recall does a
+    * d-prefix index keep, i.e. can the ANN tier run on 8 floats instead
+    * of 64? The d = 64 rows are the protocol's built-in control — recall
+    * 1.0 by construction, which the oracle also pins.
+    *
+    * Scale shape: ONE corpus scan scores every prefix length — the query
+    * set broadcasts, each (vector, query) pair explodes into 4 fixed-width
+    * (dim, cos) rows (cosine over `slice` prefixes; prefix cosine is
+    * scale-invariant so no renormalization pass is needed), and the
+    * per-(dim, query) top-k is window-bounded. The two consumers of the
+    * ranking (truth slice + hit check) share the (dim, query_id) exchange,
+    * which Spark reuses; at 100 TB the per-dim rankings are a persisted
+    * eval artifact and queries are a fixed sample, exactly like
+    * [[knnRecall]]. */
+  def embedMrlRecall(s: SparkSession, dir: String): DataFrame = {
+    val dims = Seq(8, 16, 32, 64)
+    val e = embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), asD(col("embedding")).as("qv"))
+    val w = Window.partitionBy("dim", "query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val topk = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        explode(array(dims.map(d => struct(lit(d).as("dim"),
+          cosine(slice(asD(col("embedding")), 1, d), slice(col("qv"), 1, d))
+            .as("cos"))): _*)).as("s"))
+      .select(col("query_id"), col("vec_id"),
+        col("s.dim").as("dim"), col("s.cos").as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+      .select("dim", "query_id", "vec_id")
+    val truth = topk.filter(col("dim") === dims.max).select("query_id", "vec_id")
+    val hits = topk.join(truth, Seq("query_id", "vec_id"), "leftsemi")
+      .groupBy("dim", "query_id").agg(count(lit(1)).as("h"))
+    val spine = s.range(1)
+      .select(explode(array(dims.map(lit): _*)).as("dim"))
+      .crossJoin(q.select("query_id"))
+    spine.join(hits, Seq("dim", "query_id"), "left")
+      .select(col("dim"), col("query_id"),
+        coalesce(col("h"), lit(0L)).as("n_hit"),
+        r6(coalesce(col("h"), lit(0L)).cast("double") / lit(K)).as("recall"))
+      .orderBy("dim", "query_id")
+  }
+
   /** L3e: binary-hash ANN — each vector collapses to a 60-bit sign
     * signature (one bit per leading dimension: the degenerate form of
     * signed-random-projection LSH, kept deterministic so a SQL oracle can
@@ -1003,6 +1051,7 @@ object VectorOps {
     "knn_hamming"     -> knnHamming _,
     "knn_batch"       -> knnBatch _,
     "knn_recall"      -> knnRecall _,
+    "embed_mrl_recall" -> embedMrlRecall _,
     "knn_recall_kmeans" -> knnRecallKmeans _,
     "knn_recall_pq"   -> knnRecallPq _,
     "knn_ivf_kmeans"  -> knnIvfKmeans _,
@@ -1389,6 +1438,29 @@ object VectorOps {
          |    ORDER BY cos DESC, vec_id ASC) AS rn FROM sc) t
          |WHERE rn <= 5
          |ORDER BY query_id ASC, cos DESC, vec_id ASC""".stripMargin,
+    "embed_mrl_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 3),
+         |d(dim) AS (VALUES (8), (16), (32), (64)),
+         |tk AS (SELECT dim, query_id, vec_id FROM (
+         |  SELECT d.dim, q.query_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY d.dim, q.query_id
+         |      ORDER BY ${sqlCos("list_slice(e.embedding, 1, d.dim)",
+                                  "list_slice(q.qv, 1, d.dim)")} DESC,
+         |        e.vec_id ASC) AS rn
+         |  FROM embeddings e CROSS JOIN q CROSS JOIN d
+         |  WHERE e.vec_id <> q.query_id) t WHERE rn <= $K),
+         |tr AS (SELECT query_id, vec_id FROM tk WHERE dim = 64),
+         |h AS (SELECT tk.dim, tk.query_id, count(*) AS h
+         |  FROM tk JOIN tr USING (query_id, vec_id)
+         |  GROUP BY tk.dim, tk.query_id)
+         |SELECT d.dim, q.query_id,
+         |  CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hit,
+         |  floor((CAST(COALESCE(h.h, 0) AS DOUBLE) / $K) * 1000000 + 0.5)
+         |    / 1000000 AS recall
+         |FROM d CROSS JOIN q
+         |LEFT JOIN h ON h.dim = d.dim AND h.query_id = q.query_id
+         |ORDER BY d.dim, q.query_id""".stripMargin,
     "knn_recall" ->
       s"""WITH c AS (SELECT vec_id, embedding, $sqlCell AS cell FROM embeddings),
          |q AS (SELECT vec_id AS query_id, embedding AS qv, cell AS qcell

@@ -11,6 +11,10 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
 final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                     event_type: String, value: Double, props: String)
 
+/** Typed document row for the streaming-dedup surface (the `documents`
+  * table's (id, text) core). */
+final case class DocRow(doc_id: Long, text: String)
+
 /** Structured Streaming surface (SURVEY.md §2.13): the incremental form of
   * the reference's append-only ingest + idempotent upsert
   * (/root/reference/dags/bigbookapi.py:51 daily batch;
@@ -169,6 +173,38 @@ object StreamingOps {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(path)
+
+  /** Streaming incremental dedup against the STORED MinHash postings —
+    * the streaming face of `dedup_incremental` (and the consumer of
+    * `build_minhash_index`'s artifact), shipped as a `foreachBatch` body:
+    * `stream.writeStream.foreachBatch(dedupBatchAgainstIndex(ix, out,
+    * "id", "text") _)`. Each micro-batch of (id, text) documents
+    * shingles + signs ONLY itself, left-semi probes the persisted band
+    * table, and lands (id, is_dup) through the idempotent
+    * partition-per-batch sink. Per-batch cost is O(batch) against an
+    * on-disk index the corpus wrote once; combined with the checkpoint
+    * this is the full streaming-ingest dedup recipe — at-least-once
+    * source replay × [[idempotentBatchWriter]] = exactly-once flags.
+    * The index frame is bound per batch (read inside foreachBatch, so a
+    * compacted/refreshed index is picked up at the next batch boundary,
+    * not mid-query). Banding parameters must match the ones the index
+    * was built with — [[graft.api.GraftAPI.minhashBands]] defaults on
+    * both sides. */
+  def dedupBatchAgainstIndex(indexBandsPath: String, outPath: String,
+                             id: String, text: String,
+                             numHashes: Int = 128, bands: Int = 16)
+                            (batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val index = s.read.parquet(indexBandsPath)
+      .select("band", "band_key").distinct()
+    val bt = graft.api.GraftAPI.minhashBands(batch, id, text, numHashes, bands)
+    val hits = bt.join(index, Seq("band", "band_key"), "left_semi")
+      .select(id).distinct().withColumn("is_dup", lit(true))
+    val flags = batch.select(id).distinct()
+      .join(hits, Seq(id), "left")
+      .select(col(id), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+    idempotentBatchWriter(outPath)(flags, batchId)
+  }
 
   /** Closed session emitted by the custom sessionizer (epoch-µs bounds). */
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

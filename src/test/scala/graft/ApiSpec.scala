@@ -441,4 +441,49 @@ class ApiSpec extends AnyFunSuite {
     // the cap actually binds on the fixture
     assert(got.exists(!_.getBoolean(3)))
   }
+
+  test("truncatedDimRecall == VectorOps.embedMrlRecall at the registry protocol") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val got = GraftAPI.truncatedDimRecall(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+        dims = Seq(8, 16, 32, 64), k = 10)
+      .orderBy("dim", "vec_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = ops.VectorOps.embedMrlRecall(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
+  test("tokenEntropy == TextOps.textTokenEntropy") {
+    val got = GraftAPI.tokenEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val want = ops.TextOps.textTokenEntropy(spark, sf).collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      assert((0 to 2).forall(i => g.getAs[Number](i).longValue ==
+        w.getAs[Number](i).longValue))
+      assert(g.getDouble(3) == w.getDouble(3) && g.getDouble(4) == w.getDouble(4))
+    }
+  }
+
+  test("writeMinhashIndex at the harness 8/2 point == DedupOps band table; marker committed") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mhix_api").toString
+    val manifest = GraftAPI.writeMinhashIndex(docs, "doc_id", "text", root,
+        numHashes = 8, bands = 2)
+      .orderBy("band").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(manifest.map(_._1).toSeq == Seq(1, 2))
+    manifest.foreach { case (_, keys, postings, ndocs) =>
+      assert(postings == ndocs && keys <= ndocs && keys > 0)
+    }
+    assert(new java.io.File(root, "_SUCCESS").isFile)
+    val stored = spark.read.parquet(s"$root/bands")
+      .select("_id", "band", "band_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    val want = ops.DedupOps.dedupMinhash(spark, sf)
+      .select("doc_id", "band", "band_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    assert(stored.nonEmpty && stored.sameElements(want))
+  }
 }

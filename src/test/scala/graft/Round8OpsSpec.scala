@@ -1,0 +1,125 @@
+package graft
+
+import graft.ops.{DedupOps, MinhashIndex, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 additions: the persisted MinHash index lifecycle and the
+  * token-entropy quality signal. */
+class Round8OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  test("build_minhash_index: stored postings multiset-equal the in-memory band table") {
+    val ix = MinhashIndex.ensure(spark, sf)
+    val stored = spark.read.parquet(ix.bands)
+      .select("doc_id", "band", "band_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    val mem = DedupOps.dedupMinhash(spark, sf)
+      .select("doc_id", "band", "band_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    assert(stored.nonEmpty && stored.sameElements(mem),
+      s"stored index (${stored.length} rows) != in-memory band table (${mem.length})")
+  }
+
+  test("build_minhash_index manifest: one key per (doc, band) => n_postings == n_docs") {
+    val rows = DedupOps.buildMinhashIndex(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (postings, docs, keys) = (r.getLong(2), r.getLong(3), r.getLong(1))
+      assert(postings == docs, s"band ${r.getInt(0)}: $postings postings != $docs docs")
+      assert(keys <= docs && keys > 0)
+    }
+  }
+
+  test("minhash index build is idempotent: a second ensure does not rewrite") {
+    val ix = MinhashIndex.ensure(spark, sf)
+    val marker = new java.io.File(ix.root, "_SUCCESS")
+    val t0 = marker.lastModified
+    val files0 = new java.io.File(ix.bands).listFiles().map(_.getName).toSet
+    val ix2 = MinhashIndex.ensure(spark, sf)
+    assert(ix2.root == ix.root)
+    assert(marker.lastModified == t0, "second ensure must not touch the marker")
+    assert(new java.io.File(ix.bands).listFiles().map(_.getName).toSet == files0)
+  }
+
+  test("dedup_incremental (stored index) == the in-memory formulation") {
+    // the pre-r8 in-memory form, recomputed from the public band table
+    val bands = DedupOps.dedupMinhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val idx = bands.collect { case (d, b, k) if d < 400 => (b, k) }.toSet
+    val batch = bands.filter(_._1 >= 400)
+    val expected = batch.map(_._1).distinct.sorted
+      .map(d => d -> batch.exists(r => r._1 == d && idx((r._2, r._3)))).toMap
+    val got = DedupOps.dedupIncremental(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == expected)
+    assert(got.values.exists(identity), "fixture should flag at least one dup")
+    assert(got.values.exists(!_), "fixture should keep at least one non-dup")
+  }
+
+  test("text_token_entropy matches a local snapped recompute; bounds hold") {
+    val local = Tables.documents(spark, sf).select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).toLowerCase.split(" ").toSeq
+      val n = toks.size.toDouble
+      val counts = toks.groupBy(identity).map(_._2.size)
+      def snap(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val h = counts.map(c => snap(c / n * math.log(n / c))).sum
+      r.getLong(0) -> (toks.size.toLong, counts.size.toLong, snap(h))
+    }.toMap
+    val rows = TextOps.textTokenEntropy(spark, sf).collect()
+    assert(rows.length == local.size)
+    rows.foreach { r =>
+      val (nTok, nTyp, h, hn) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      val (eTok, eTyp, eH) = local(r.getLong(0))
+      assert(nTok == eTok && nTyp == eTyp)
+      assert(math.abs(h - eH) < 2e-6, s"doc ${r.getLong(0)}: $h vs $eH")
+      assert(h >= 0 && hn >= 0 && hn <= 1 + 1e-9)
+      if (nTyp > 1) // hn is snapped+clamped from the UNsnapped decimal sum,
+        // h is the snapped sum — allow both snap quanta of drift
+        assert(math.abs(hn - math.min(1.0, h / math.log(nTyp.toDouble))) < 5e-6)
+    }
+  }
+
+  test("embed_mrl_recall matches a local brute-force recompute; dim=64 is the control") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def snap(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def cos(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      snap(dp / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val dims = Seq(8, 16, 32, 64)
+    val queries = vecs.keys.filter(_ < 3).toSeq.sorted
+    val topk: Map[(Int, Long), Set[Long]] = (for { d <- dims; q <- queries } yield {
+      val ranked = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(v, vecs(q), d)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      (d, q) -> ranked
+    }).toMap
+    val got = graft.ops.VectorOps.embedMrlRecall(spark, sf).collect()
+    assert(got.length == dims.size * queries.size)
+    got.foreach { r =>
+      val (d, q, nHit, rec) = (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val expect = (topk((d, q)) & topk((64, q))).size.toLong
+      assert(nHit == expect, s"dim=$d query=$q: $nHit vs $expect")
+      assert(rec == snap(expect / 10.0))
+      if (d == 64) assert(nHit == 10 && rec == 1.0)
+    }
+    // the audit has signal on the fixture: SOME prefix loses recall
+    assert(got.exists(r => r.getLong(2) < 10))
+  }
+
+  test("token entropy separates skewed from uniform at equal TTR") {
+    // {a:99,b:1} vs {a:50,b:50}: same n_types/n_tokens, different entropy —
+    // the signal's whole point. Computed with the op's own snapping rule.
+    def h(counts: Seq[Int]): Double = {
+      val n = counts.sum.toDouble
+      counts.map(c => math.floor((c / n * math.log(n / c)) * 1e6 + 0.5) / 1e6).sum
+    }
+    assert(h(Seq(99, 1)) < 0.1 && h(Seq(50, 50)) > 0.69)
+  }
+}

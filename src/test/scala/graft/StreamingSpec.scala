@@ -430,4 +430,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streaming dedup against the stored MinHash index == batch incremental dedup") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // corpus index: docs < 400 (the dedup_incremental protocol), stored
+    val ixRoot = "/tmp/graft_stream_mhix"
+    val out = "/tmp/graft_stream_dedup_out"
+    Seq(ixRoot, out).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    graft.api.GraftAPI.writeMinhashIndex(
+      docs.filter($"doc_id" < 400), "doc_id", "text", ixRoot,
+      numHashes = 8, bands = 2)
+    // stream the batch side (docs >= 400) in 3 micro-batches
+    val batchDocs = docs.filter($"doc_id" >= 400)
+      .select("doc_id", "text").as[streaming.DocRow]
+      .collect().sortBy(_.doc_id).toSeq
+    val ms = MemoryStream[streaming.DocRow]
+    val q = ms.toDF().writeStream
+      .foreachBatch(StreamingOps.dedupBatchAgainstIndex(
+        s"$ixRoot/bands", out, "doc_id", "text", numHashes = 8, bands = 2) _)
+      .start()
+    try {
+      batchDocs.grouped(math.max(1, batchDocs.size / 3)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val batch = graft.ops.DedupOps.dedupIncremental(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(streamed == batch,
+      "per-batch probe flags must equal the one-shot incremental dedup")
+    assert(streamed.values.exists(identity) && streamed.values.exists(!_))
+  }
 }
