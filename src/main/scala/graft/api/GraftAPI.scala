@@ -530,8 +530,14 @@ object GraftAPI {
         col("_s.dim").as("_dim"), col("_s.cos").as("_cos"))
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
       .select(col("_dim"), col("_qid"), col(id))
-    val truth = topk.filter(col("_dim") === dims.max).select("_qid", id)
-    val hits = topk.join(truth, Seq("_qid", id), "leftsemi")
+    // single-pass hit count: a (query, id) surviving at the full width
+    // contributes one hit to every dim it survived in — no filtered
+    // "truth" branch, which would push below the top-k and duplicate
+    // the corpus subtree (see the registry twin's captured plan)
+    val hits = topk.groupBy("_qid", id)
+      .agg(collect_set(col("_dim")).as("_ds"))
+      .filter(array_contains(col("_ds"), lit(dims.max)))
+      .select(col("_qid"), explode(col("_ds")).as("_dim"))
       .groupBy("_dim", "_qid").agg(count(lit(1)).as("_h"))
     val spine = df.sparkSession.range(1)
       .select(explode(array(dims.map(lit): _*)).as("_dim"))

@@ -43,19 +43,11 @@ object IvfPqIndex {
     def ivfCodes: String     = s"$root/ivfpq_codes"
   }
 
-  /** Corpus fingerprint: fold (name, mtime, length) over the embeddings
-    * parquet file (or every file under it when it's a directory). */
-  private def fingerprint(dir: String): Long = {
-    def fold(f: java.io.File): Long =
-      if (f.isDirectory)
-        f.listFiles().sortBy(_.getName).foldLeft(17L)((a, c) => a * 31 + fold(c))
-      else f.getName.hashCode.toLong * 31 + f.lastModified * 7 + f.length
-    fold(new java.io.File(s"$dir/embeddings.parquet"))
-  }
-
+  /** Shared fingerprint-keyed root scheme ([[Artifacts]], byte-compatible
+    * with the original `annix_v1` layout so existing artifacts stay
+    * valid). */
   private def indexRoot(dir: String): String =
-    s"/tmp/graft_annix_v1_${dir.replaceAll("[^0-9.]", "")}_" +
-      java.lang.Long.toHexString(fingerprint(dir))
+    Artifacts.root("annix_v1", dir, "embeddings.parquet")
 
   /** Build-if-absent. Idempotent and crash-safe: the root `_SUCCESS`
     * marker is touched only after every table has committed, so a partial

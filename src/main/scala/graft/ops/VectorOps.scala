@@ -755,11 +755,16 @@ object VectorOps {
     * set broadcasts, each (vector, query) pair explodes into 4 fixed-width
     * (dim, cos) rows (cosine over `slice` prefixes; prefix cosine is
     * scale-invariant so no renormalization pass is needed), and the
-    * per-(dim, query) top-k is window-bounded. The two consumers of the
-    * ranking (truth slice + hit check) share the (dim, query_id) exchange,
-    * which Spark reuses; at 100 TB the per-dim rankings are a persisted
-    * eval artifact and queries are a fixed sample, exactly like
-    * [[knnRecall]]. */
+    * per-(dim, query) top-k plans as the native bounded-buffer operator
+    * (the rank-filter rewrite). The hit check deliberately does NOT take
+    * a filtered "truth" branch — a `dim = max` filter would push below
+    * the top-k and duplicate the whole corpus subtree (verified in the
+    * captured plan); instead ONE aggregation over the ranking itself
+    * counts, per (query, id), the dims it survived in, and ids whose
+    * dim-set contains the full width contribute a hit to each of those
+    * dims — |topk_d ∩ topk_max| without a second pass. At 100 TB the
+    * per-dim rankings are a persisted eval artifact and queries are a
+    * fixed sample, exactly like [[knnRecall]]. */
   def embedMrlRecall(s: SparkSession, dir: String): DataFrame = {
     val dims = Seq(8, 16, 32, 64)
     val e = embeddings(s, dir)
@@ -777,8 +782,10 @@ object VectorOps {
         col("s.dim").as("dim"), col("s.cos").as("cos"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
       .select("dim", "query_id", "vec_id")
-    val truth = topk.filter(col("dim") === dims.max).select("query_id", "vec_id")
-    val hits = topk.join(truth, Seq("query_id", "vec_id"), "leftsemi")
+    val hits = topk.groupBy("query_id", "vec_id")
+      .agg(collect_set(col("dim")).as("ds"))
+      .filter(array_contains(col("ds"), lit(dims.max)))
+      .select(col("query_id"), explode(col("ds")).as("dim"))
       .groupBy("dim", "query_id").agg(count(lit(1)).as("h"))
     val spine = s.range(1)
       .select(explode(array(dims.map(lit): _*)).as("dim"))
