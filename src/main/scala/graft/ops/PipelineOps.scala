@@ -405,6 +405,62 @@ object PipelineOps {
     packShards(survivors, Budget)
   }
 
+  /** L18c: the curation funnel report — per-stage survivor/dropped counts
+    * for the [[curationPipeline]] stage chain (corpus → quality → exact
+    * dedup → near-dup clusters → decontamination → eval holdout), the
+    * one-table dashboard every curation pipeline publishes next to its
+    * output.
+    *
+    * Computed in ONE corpus pass: each doc is tagged with the furthest
+    * stage it survives (quality is a pure expression; the exact-keeper /
+    * cluster-drop / contamination memberships are left-join markers
+    * against the same lineage-truncated drop-list artifacts the pipeline
+    * itself uses), the per-stage-reached counts aggregate once, and the
+    * 6-row funnel is reverse-cumulated on a broadcast spine. At 100 TB
+    * with the staged pipeline the same report falls out of stage-table
+    * row counts — this in-plan form is the single-query equivalent, and
+    * its numbers must (and do, by the shared artifacts) match the staged
+    * tables exactly. */
+  def corpusDedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    DedupOps.freshGen()
+    val docs = documents(s, dir)
+    val toks = split(col("text"), " ")
+    val qOk = col("n_chars") >= 150 && col("n_chars") <= 450 &&
+      size(toks).cast("double") / size(array_distinct(toks)) <= 2.5
+    val exactKeep = docs.filter(qOk)
+      .groupBy(md5(col("text")).as("fp")).agg(min("doc_id").as("doc_id"))
+      .select("doc_id").withColumn("ek", lit(true))
+    val clusterDrops = DedupOps.truncate(DedupOps.dedupClusters(s, dir)
+      .filter(col("cluster_id") =!= col("doc_id")).select("doc_id"))
+      .withColumn("cd", lit(true))
+    val contaminated = DedupOps.truncate(DedupOps.decontamNgram(s, dir)
+      .filter(col("contam_ratio") >= 0.3).select("doc_id"))
+      .withColumn("ct", lit(true))
+    val reached = docs.select(col("doc_id"), qOk.as("q_ok"))
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(clusterDrops, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(when(!col("q_ok"), 0)
+        .when(col("ek").isNull, 1)
+        .when(col("cd"), 2)
+        .when(col("ct"), 3)
+        .when(col("doc_id") % 50 === 0, 4)
+        .otherwise(5).as("r"))
+      .groupBy("r").agg(count(lit(1)).as("cnt"))
+    val names = Seq("corpus", "quality", "exact_dedup", "near_dup",
+      "decontam", "eval_holdout")
+    val spine = s.range(1).select(posexplode(array(names.map(lit): _*)))
+      .select(col("pos").cast("int").as("stage"), col("col").as("stage_name"))
+    val funnel = spine.join(reached, col("r") >= col("stage"))
+      .groupBy("stage", "stage_name").agg(sum(col("cnt")).as("n_docs"))
+    val w = Window.orderBy("stage")
+    funnel
+      .select(col("stage"), col("stage_name"), col("n_docs"),
+        (coalesce(lag(col("n_docs"), 1).over(w), col("n_docs")) - col("n_docs"))
+          .as("n_dropped"))
+      .orderBy("stage")
+  }
+
   /** L10b: deterministic fixed-size per-group sample — at most 20 docs per
     * language, chosen by md5-of-id order. The "inspect a stable handful
     * from every slice" primitive (eval panels, annotation batches,
@@ -707,6 +763,7 @@ object PipelineOps {
     "row_global_index"     -> rowGlobalIndex _,
     "join_bloom_prefilter" -> joinBloomPrefilter _,
     "curation_pipeline"    -> curationPipeline _,
+    "corpus_dedup_funnel"  -> corpusDedupFunnel _,
     "curation_pipeline_staged" -> curationPipelineStaged _,
     "cdc_apply_changes"    -> cdcApplyChanges _,
     "cdc_diff_snapshots"   -> cdcDiffSnapshots _,
@@ -797,7 +854,56 @@ object PipelineOps {
     // staged form produces the identical final frame — same oracle text
     "curation_pipeline_staged" -> curationOracle,
     "curation_pipeline" -> curationOracle,
+    "corpus_dedup_funnel" -> funnelOracle,
   ) ++ oracleSqlRest
+
+  /** Stage-count funnel over the same CTE chain as [[curationOracle]]. */
+  private lazy val funnelOracle: String =
+      s"""WITH RECURSIVE ${DedupOps.shinglesCte},
+         |${DedupOps.bandsCte},
+         |${DedupOps.pairsCte},
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(n, m) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT e.a, reach.m FROM e JOIN reach ON e.b = reach.n),
+         |cluster_drops AS (
+         |  SELECT n AS doc_id FROM reach GROUP BY n HAVING min(m) <> n),
+         |shr AS (SELECT doc_id, unnest(shingles) AS x FROM shf),
+         |ev AS (SELECT DISTINCT x FROM shr WHERE doc_id % 50 = 0),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM shr
+         |        WHERE doc_id % 50 <> 0 GROUP BY doc_id),
+         |hit AS (SELECT doc_id, count(*) AS n_overlap
+         |        FROM shr JOIN ev USING (x)
+         |        WHERE doc_id % 50 <> 0 GROUP BY doc_id),
+         |contaminated AS (
+         |  SELECT t.doc_id FROM tot t JOIN hit h ON t.doc_id = h.doc_id
+         |  WHERE floor(n_overlap::DOUBLE / n_shingles * 1000000 + 0.5)
+         |        / 1000000 >= 0.3),
+         |q AS (
+         |  SELECT doc_id, md5(text) AS fp
+         |  FROM documents
+         |  WHERE n_chars BETWEEN 150 AND 450
+         |    AND len(string_split(text, ' '))::DOUBLE
+         |        / len(list_distinct(string_split(text, ' '))) <= 2.5),
+         |ek AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY fp),
+         |s3 AS (SELECT doc_id FROM ek
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM cluster_drops)),
+         |s4 AS (SELECT doc_id FROM s3
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |counts AS (
+         |  SELECT 0 AS stage, 'corpus' AS stage_name,
+         |    (SELECT count(*) FROM documents) AS n_docs
+         |  UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM q)
+         |  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM ek)
+         |  UNION ALL SELECT 3, 'near_dup', (SELECT count(*) FROM s3)
+         |  UNION ALL SELECT 4, 'decontam', (SELECT count(*) FROM s4)
+         |  UNION ALL SELECT 5, 'eval_holdout',
+         |    (SELECT count(*) FROM s4 WHERE doc_id % 50 <> 0))
+         |SELECT stage, stage_name, n_docs,
+         |  COALESCE(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS n_dropped
+         |FROM counts ORDER BY stage""".stripMargin
 
   private lazy val curationOracle: String =
       s"""WITH RECURSIVE ${DedupOps.shinglesCte},

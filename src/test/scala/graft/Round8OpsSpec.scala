@@ -113,6 +113,21 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(got.exists(r => r.getLong(2) < 10))
   }
 
+  test("corpus_dedup_funnel: monotone, self-consistent, final stage == pipeline output") {
+    val rows = graft.ops.PipelineOps.corpusDedupFunnel(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (0 to 5))
+    assert(rows.head._3 == Tables.documents(spark, sf).count())
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, s"funnel must be nonincreasing: $a -> $b")
+      assert(b._4 == a._3 - b._3, s"n_dropped inconsistent at stage ${b._1}")
+    }
+    assert(rows.head._4 == 0)
+    val finalCount = graft.ops.PipelineOps.curationPipeline(spark, sf).count()
+    assert(rows.last._3 == finalCount,
+      "eval_holdout stage must count exactly the pipeline's survivors")
+  }
+
   test("token entropy separates skewed from uniform at equal TTR") {
     // {a:99,b:1} vs {a:50,b:50}: same n_types/n_tokens, different entropy —
     // the signal's whole point. Computed with the op's own snapping rule.
