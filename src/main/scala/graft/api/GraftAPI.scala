@@ -482,11 +482,14 @@ object GraftAPI {
     * once; per-type terms 6-dp-snap before the DECIMAL sum so re-runs
     * byte-match. Harness twin: `text_token_entropy`. */
   def tokenEntropy(df: DataFrame, id: String, text: String): DataFrame = {
-    val tf = df.select(col(id), explode(split(lower(col(text)), " ")).as("_w"))
+    // window-over-tf form: one corpus explode serves counts AND totals
+    // (a tf⋈perDoc join would plan the tf subtree twice — see the
+    // registry twin's captured plan)
+    val wd = Window.partitionBy(id)
+    df.select(col(id), explode(split(lower(col(text)), " ")).as("_w"))
       .groupBy(id, "_w").agg(count(lit(1)).as("_c"))
-    val perDoc = tf.groupBy(id)
-      .agg(sum("_c").as("n_tokens"), count(lit(1)).as("n_types"))
-    tf.join(perDoc, id)
+      .withColumn("n_tokens", sum(col("_c")).over(wd))
+      .withColumn("n_types", count(lit(1)).over(wd))
       .select(col(id), col("n_tokens"), col("n_types"),
         r6(col("_c").cast("double") / col("n_tokens") *
           log(col("n_tokens").cast("double") / col("_c"))).as("_term"))

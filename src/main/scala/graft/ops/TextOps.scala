@@ -182,19 +182,22 @@ object TextOps {
     * is the length-comparable form pipelines threshold on (0 when
     * n_types = 1 — a one-word doc is degenerate by definition).
     *
-    * Scale shape: two hash-aggs and a join, ALL keyed on doc_id — the
-    * second agg and the join reuse the first shuffle's partitioning, so
-    * the corpus token stream shuffles exactly once. Per-type terms
-    * (c/n)·ln(n/c) are 6-dp-snapped before the DECIMAL sum
-    * ([[graft.Tables.dsum]] rule) so per-doc entropy is partition-order
-    * independent and re-runs byte-match. */
+    * Scale shape: the corpus token stream explodes and aggregates ONCE
+    * (a tf-vs-perDoc join formulation planned the tf subtree TWICE — two
+    * corpus explodes, caught in the captured plan); the per-doc totals
+    * come from windows over the tf rows' doc_id partition (state bounded
+    * by types-per-doc), so after the (doc, word) agg only fixed-width
+    * rows move, and the final agg reuses the window's doc_id
+    * partitioning. Per-type terms (c/n)·ln(n/c) are 6-dp-snapped before
+    * the DECIMAL sum ([[graft.Tables.dsum]] rule) so per-doc entropy is
+    * partition-order independent and re-runs byte-match. */
   def textTokenEntropy(s: SparkSession, dir: String): DataFrame = {
-    val tf = documents(s, dir)
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    documents(s, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-    val perDoc = tf.groupBy("doc_id")
-      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"))
-    tf.join(perDoc, "doc_id")
+      .withColumn("n_tokens", sum(col("c")).over(wd))
+      .withColumn("n_types", count(lit(1)).over(wd))
       .select(col("doc_id"), col("n_tokens"), col("n_types"),
         r6(col("c").cast("double") / col("n_tokens") *
           log(col("n_tokens").cast("double") / col("c"))).as("term"))
