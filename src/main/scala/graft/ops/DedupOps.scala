@@ -416,6 +416,64 @@ object DedupOps {
       .orderBy("band")
   }
 
+  /** L2k: MinHash index APPEND — the dedup lifecycle's third leg (build →
+    * probe → append), mirroring `ann_index_append`: the late-arriving
+    * batch (docs ≥ [[IncrementalCutoff]]) shingles + signs ONLY itself
+    * and lands its band postings as a delta table hive-partitioned by
+    * band next to the base index ([[MinhashIndex.ensureBase]]). No
+    * corpus re-read, no re-hash of stored postings — appending a day's
+    * documents to a 100 TB dedup index costs one map-side signature pass
+    * over the day. MinHash signatures are per-doc (no trained state), so
+    * unlike the ANN append there is nothing to re-encode against: the
+    * determinism contract is just the shared md5/Kirsch–Mitzenmacher
+    * hash recipe, and re-appends byte-match. Output is the merged
+    * per-band manifest (band, n_base, n_new); the oracle recomputes both
+    * sides from scratch, so a dropped/doubled delta row fails the gate. */
+  def dedupIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val ix = MinhashIndex.ensureBase(s, dir)
+    bandTableFrom(shingleRows(s, dir).filter(col("doc_id") >= IncrementalCutoff))
+      .withColumn("pband", col("band"))
+      .repartition(col("pband"))
+      .write.mode("overwrite").partitionBy("pband")
+      .parquet(s"${ix.root}/bands_delta")
+    val base = s.read.parquet(ix.bands)
+      .groupBy("band").agg(count(lit(1)).as("n_base"))
+    val fresh = s.read.parquet(s"${ix.root}/bands_delta")
+      .groupBy("band").agg(count(lit(1)).as("n_new"))
+    base.join(fresh, Seq("band"), "left")
+      .select(col("band").cast("int").as("band"), col("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .orderBy("band")
+  }
+
+  /** L2l: MinHash index COMPACT — base postings + appended delta fold
+    * into ONE band-partitioned layout (the lakehouse OPTIMIZE closing
+    * the lifecycle, mirroring `ann_index_compact`): the base artifact
+    * stays immutable, the compacted table is a sibling, and after the
+    * (catalog-metadata) swap, probes pay one table scan instead of a
+    * two-table union. Base ∪ batch = the full corpus, so the manifest
+    * read back FROM the compacted table must equal
+    * [[buildMinhashIndex]]'s full-index manifest exactly — the oracle
+    * pins that, making a lost or duplicated row in the merge loud. */
+  def dedupIndexCompact(s: SparkSession, dir: String): DataFrame = {
+    dedupIndexAppend(s, dir).count() // ensure the delta landed (idempotent)
+    val ix = MinhashIndex.ensureBase(s, dir)
+    s.read.parquet(ix.bands)
+      .unionByName(s.read.parquet(s"${ix.root}/bands_delta"))
+      .withColumn("pband", col("band"))
+      .repartition(col("pband"))
+      .write.mode("overwrite").partitionBy("pband")
+      .parquet(s"${ix.root}/bands_compact")
+    s.read.parquet(s"${ix.root}/bands_compact")
+      .groupBy("band")
+      .agg(countDistinct(col("band_key")).as("n_keys"),
+        count(lit(1)).as("n_postings"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .select(col("band").cast("int").as("band"), col("n_keys"),
+        col("n_postings"), col("n_docs"))
+      .orderBy("band")
+  }
+
   /** L14: incremental MinHash dedup of a new batch against the STORED
     * corpus index — the steady-state form of [[simjoinLsh]], now actually
     * reading the persisted artifact (r8: previously the "index" was
@@ -689,6 +747,8 @@ object DedupOps {
     "decontam_ngram"      -> decontamNgram _,
     "dedup_incremental"   -> dedupIncremental _,
     "build_minhash_index" -> buildMinhashIndex _,
+    "dedup_index_append"  -> dedupIndexAppend _,
+    "dedup_index_compact" -> dedupIndexCompact _,
     "dedup_crossdoc_ngrams" -> dedupCrossdocNgrams _,
     "dedup_paragraphs"    -> dedupParagraphs _,
   ).map { case (k, fn) =>
@@ -840,6 +900,21 @@ object DedupOps {
          |SELECT doc_id, (doc_id IN (SELECT doc_id FROM hit)) AS is_dup
          |FROM (SELECT DISTINCT doc_id FROM bt) ORDER BY doc_id""".stripMargin,
     "build_minhash_index" ->
+      s"""WITH $shinglesCte,
+         |$bandsCte
+         |SELECT CAST(band AS INT) AS band,
+         |  count(DISTINCT band_key) AS n_keys,
+         |  count(*) AS n_postings,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM bands GROUP BY band ORDER BY band""".stripMargin,
+    "dedup_index_append" ->
+      s"""WITH $shinglesCte,
+         |$bandsCte
+         |SELECT CAST(band AS INT) AS band,
+         |  count(*) FILTER (WHERE doc_id < $IncrementalCutoff) AS n_base,
+         |  count(*) FILTER (WHERE doc_id >= $IncrementalCutoff) AS n_new
+         |FROM bands GROUP BY band ORDER BY band""".stripMargin,
+    "dedup_index_compact" ->
       s"""WITH $shinglesCte,
          |$bandsCte
          |SELECT CAST(band AS INT) AS band,

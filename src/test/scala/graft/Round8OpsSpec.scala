@@ -43,6 +43,37 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(new java.io.File(ix.bands).listFiles().map(_.getName).toSet == files0)
   }
 
+  test("dedup_index_append: delta postings == in-memory batch bands; manifest splits at the cutoff") {
+    val manifest = DedupOps.dedupIndexAppend(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val mem = DedupOps.dedupMinhash(spark, sf)
+      .select("doc_id", "band", "band_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    manifest.foreach { case (b, nBase, nNew) =>
+      assert(nBase == mem.count(r => r._2 == b && r._1 < 400))
+      assert(nNew == mem.count(r => r._2 == b && r._1 >= 400))
+      assert(nBase > 0 && nNew > 0)
+    }
+    val ix = graft.ops.MinhashIndex.ensureBase(spark, sf)
+    val delta = spark.read.parquet(s"${ix.root}/bands_delta")
+      .select("doc_id", "band", "band_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    assert(delta.sameElements(mem.filter(_._1 >= 400).sorted))
+  }
+
+  test("dedup_index_compact: compacted manifest == full-index build manifest, one file per band") {
+    val got = DedupOps.dedupIndexCompact(spark, sf).collect().map(_.toSeq)
+    val want = DedupOps.buildMinhashIndex(spark, sf).collect().map(_.toSeq)
+    assert(got.nonEmpty && got.sameElements(want),
+      "base ∪ delta must reproduce the full-corpus index manifest exactly")
+    val ix = graft.ops.MinhashIndex.ensureBase(spark, sf)
+    new java.io.File(s"${ix.root}/bands_compact").listFiles()
+      .filter(_.getName.startsWith("pband=")).foreach { d =>
+        assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+          s"${d.getName}: expected exactly one file after compaction")
+      }
+  }
+
   test("dedup_incremental (stored index) == the in-memory formulation") {
     // the pre-r8 in-memory form, recomputed from the public band table
     val bands = DedupOps.dedupMinhash(spark, sf)
