@@ -88,7 +88,10 @@ object Explain {
                   // one-shuffle token entropy, single-scan multi-prefix
                   // MRL recall (exchange reuse across truth + hit check)
                   "build_minhash_index", "text_token_entropy",
-                  "embed_mrl_recall")) {
+                  "embed_mrl_recall",
+                  // round 8c: one-pass curation funnel (membership-marker
+                  // joins + 6-row spine), MinHash delta-append manifest
+                  "corpus_dedup_funnel", "dedup_index_append")) {
       println(s"===== $q =====")
       // Cap per-query output: cached-frame-heavy composites nest their
       // InMemoryRelation child plans repeatedly and can print 50k+ lines

@@ -265,4 +265,68 @@ class PropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("tokenEntropy == local snapped model on generated word-salad docs") {
+    val sq = spark; import sq.implicits._
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "x")
+    val docGen: Gen[(Long, String)] = for {
+      id <- Gen.choose(0L, 100000L)
+      n <- Gen.choose(1, 30)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield (id, ws.mkString(" "))
+    def snap(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val prop = Prop.forAll(Gen.listOfN(12, docGen)) { docs0 =>
+      val docs = docs0.distinctBy(_._1)
+      if (docs.isEmpty) Prop.passed
+      else {
+        val model = docs.map { case (id, text) =>
+          val toks = text.toLowerCase.split(" ").toSeq
+          val n = toks.size.toDouble
+          val counts = toks.groupBy(identity).map(_._2.size)
+          val h = counts.map(c => snap(c / n * math.log(n / c))).sum
+          val hn = if (counts.size == 1) 0.0
+            else math.min(1.0, snap(h / math.log(counts.size.toDouble)))
+          id -> (toks.size.toLong, counts.size.toLong, snap(h), hn)
+        }.toMap
+        val got = graft.api.GraftAPI
+          .tokenEntropy(docs.toDF("doc_id", "text"), "doc_id", "text")
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+        val ok = got.keySet == model.keySet && got.forall { case (id, (nt, ny, h, hn)) =>
+          val (mnt, mny, mh, mhn) = model(id)
+          nt == mnt && ny == mny && math.abs(h - mh) < 2e-6 && math.abs(hn - mhn) < 5e-6
+        }
+        Prop(ok) :| s"got=$got model=$model"
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("minhashBands shape invariant: every doc with >= 3 tokens emits exactly one key per band") {
+    val sq = spark; import sq.implicits._
+    val wordGen = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val docGen: Gen[(Long, String)] = for {
+      id <- Gen.choose(0L, 100000L)
+      n <- Gen.choose(0, 12) // includes docs too short to shingle
+      ws <- Gen.listOfN(n, wordGen)
+    } yield (id, ws.mkString(" "))
+    val prop = Prop.forAll(Gen.listOfN(10, docGen)) { docs0 =>
+      val docs = docs0.distinctBy(_._1)
+      if (docs.isEmpty) Prop.passed
+      else {
+        val bands = graft.api.GraftAPI
+          .minhashBands(docs.toDF("doc_id", "text"), "doc_id", "text",
+            numHashes = 8, bands = 2)
+          .collect().map(r => (r.getLong(0), r.getInt(1)))
+        val byDoc = bands.groupBy(_._1)
+        val shingleable = docs.filter(_._2.split(" ").count(_.nonEmpty) >= 3).map(_._1).toSet
+        val ok = byDoc.keySet == shingleable &&
+          byDoc.values.forall(rs => rs.map(_._2).sorted.toSeq == Seq(1, 2))
+        Prop(ok) :| s"docs=${docs.map(_._1)} shingleable=$shingleable byDoc=${byDoc.view.mapValues(_.length).toMap}"
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
