@@ -91,7 +91,10 @@ object Explain {
                   "embed_mrl_recall",
                   // round 8c: one-pass curation funnel (membership-marker
                   // joins + 6-row spine), MinHash delta-append manifest
-                  "corpus_dedup_funnel", "dedup_index_append")) {
+                  "corpus_dedup_funnel", "dedup_index_append",
+                  // round 8d: filtered ANN probe (predicate inside the
+                  // 4-cell candidate scan) + the two stored-index audits
+                  "knn_filtered", "ann_index_stats", "minhash_index_stats")) {
       println(s"===== $q =====")
       // Cap per-query output: cached-frame-heavy composites nest their
       // InMemoryRelation child plans repeatedly and can print 50k+ lines

@@ -822,6 +822,90 @@ object GraftAPI {
     nv.join(nc, "cell").select(col("cell"), col("n_vecs"), col("n_codes"))
   }
 
+  /** Health audit of a stored ANN index ([[buildAnnIndex]] layout) — the
+    * one-row dashboard an operator reads before deciding to re-train:
+    * cell coverage vs the quantizer's `quantizerCells` capacity, size
+    * skew (`imbalance` = 6-dp max-over-mean cell size, the re-train
+    * trigger; `max_cell` bounds worst-case probe I/O), and the raw code
+    * count for the m-codes-per-vector encode cross-check. Caller passes
+    * the STORED tables (`cells` = (vec_id, cell), `codes` = the code
+    * manifest) — reads touch only scalar columns, never floats, so the
+    * audit costs one pass over ~12 bytes/vector at any corpus size.
+    * Harness twin: `ann_index_stats`. */
+  def annIndexStats(cells: DataFrame, codes: DataFrame,
+                    quantizerCells: Int): DataFrame = {
+    require(quantizerCells > 0, "quantizerCells must be positive")
+    val per = cells.groupBy("cell").agg(count(lit(1)).as("n"))
+    per.agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("n")).as("n_vecs"),
+        min(col("n")).as("min_cell"),
+        max(col("n")).as("max_cell"),
+        r6(max(col("n")) * count(lit(1)) / sum(col("n")).cast("double"))
+          .as("imbalance"))
+      .withColumn("empty_cells", lit(quantizerCells.toLong) - col("n_cells"))
+      .crossJoin(broadcast(codes.agg(count(lit(1)).as("n_codes"))))
+      .select(col("n_cells"), col("n_vecs"), col("min_cell"),
+        col("max_cell"), col("imbalance"), col("empty_cells"), col("n_codes"))
+  }
+
+  /** Bucket-size skew audit over a stored MinHash postings table
+    * ([[writeMinhashIndex]] layout / [[minhashBands]] output): per band,
+    * the bucket count, max bucket, hot (≥2) vs singleton split, and the
+    * exact LSH candidate-pair volume Σ sz·(sz−1)/2 that band will feed a
+    * pair join — the quadratic-blowup early warning that decides a
+    * re-band (more bands / more rows per band) before a hot bucket
+    * stalls candidate generation. Two fixed-width aggregations over the
+    * stored scalar columns; document text is never touched. Harness
+    * twin: `minhash_index_stats`. */
+  def minhashIndexSkew(bands: DataFrame): DataFrame = {
+    val buckets = bands.groupBy("band", "band_key").agg(count(lit(1)).as("sz"))
+    buckets.groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("sz")).as("max_bucket"),
+        sum(when(col("sz") >= 2, 1L).otherwise(0L)).as("hot_buckets"),
+        sum(when(col("sz") === 1, 1L).otherwise(0L)).as("singletons"),
+        sum((col("sz") * (col("sz") - 1) / 2).cast("long")).as("cand_pairs"))
+      .select(col("band").cast("int").as("band"), col("n_buckets"),
+        col("max_bucket"), col("hot_buckets"), col("singletons"),
+        col("cand_pairs"))
+  }
+
+  /** Metadata-FILTERED ANN against a stored index: top-`k` by cosine
+    * among rows of `df` satisfying `pred`, scanning only the `probes`
+    * coarse cells nearest the `query` vector. `coarse`/`cells` are the
+    * stored quantizer tables ([[buildAnnIndex]] layout: (cid, cv) and
+    * (vec_id, cell)). Pre-filtering inside the probe, not post-filtering
+    * an unfiltered top-k: `pred` should reference scalar metadata
+    * columns of `df` so Catalyst pushes it to the candidate scan, and
+    * the probe fans wider than an unfiltered query's single cell because
+    * a filter thins each cell's pool. Exact cosine runs only on the
+    * filter-surviving candidates of the probed cells — at 100 TB with a
+    * cell-partitioned layout the probe touches ~k/selectivity vectors,
+    * never the corpus. Harness twin: `knn_filtered`. */
+  def annFilteredTopK(df: DataFrame, id: String, vec: String,
+                      coarse: DataFrame, cells: DataFrame,
+                      query: Seq[Double], pred: Column,
+                      probes: Int = 4, k: Int = 10): DataFrame = {
+    require(probes > 0 && k > 0, s"probes/k must be positive: $probes/$k")
+    def dot2(a: Column, b: Column) = graft.functions.VectorFunctions.graftDot(a, b)
+    val qv = typedLit(query)
+    val probeCells = coarse
+      .select(col("cid"), r6(dot2(qv, qv) - lit(2) * dot2(qv, col("cv")) +
+        dot2(col("cv"), col("cv"))).as("d"))
+      .orderBy(col("d").asc, col("cid").asc).limit(probes)
+      .select("cid")
+    val x = col(vec).cast("array<double>")
+    df.filter(pred)
+      .withColumnRenamed(id, "_gid")
+      .join(cells, col("_gid") === col("vec_id"))
+      .join(broadcast(probeCells), col("cell") === col("cid"))
+      .select(col("_gid").as(id),
+        r6(dot2(x, qv) / (sqrt(dot2(x, x)) * sqrt(dot2(qv, qv)))).as("cosine"))
+      .orderBy(col("cosine").desc, col(id).asc)
+      .limit(k)
+  }
+
   /** Corpus-scaled sign-bit bucketing for near-dup candidate generation:
     * the bit width grows with the row count (least B with 2^B ≥
     * n/targetBucketSize), so the same call that yields 32 buckets on a

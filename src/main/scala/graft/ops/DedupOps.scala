@@ -416,6 +416,34 @@ object DedupOps {
       .orderBy("band")
   }
 
+  /** L2m: MinHash index SKEW audit over the stored postings — the health
+    * dashboard for the dedup index, mirroring `ann_index_stats`. LSH
+    * candidate generation enumerates i<j pairs WITHIN each (band,
+    * band_key) bucket, so a hot bucket is quadratic work: `max_bucket`
+    * bounds the worst single-bucket blowup, `cand_pairs` (Σ sz·(sz−1)/2)
+    * is each band's exact candidate-join output size, and a rising
+    * hot/singleton ratio tells the operator the banding geometry (r/b) no
+    * longer matches the corpus duplication rate. Reads ONLY the stored
+    * (doc_id, band, band_key) table — two fixed-width aggregations, text
+    * never touched. At 100 TB this audit is what decides a re-band before
+    * a skewed bucket stalls the pair join. */
+  def minhashIndexStats(s: SparkSession, dir: String): DataFrame = {
+    val ix = MinhashIndex.ensure(s, dir)
+    val buckets = s.read.parquet(ix.bands)
+      .groupBy("band", "band_key").agg(count(lit(1)).as("sz"))
+    buckets.groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("sz")).as("max_bucket"),
+        sum(when(col("sz") >= 2, 1L).otherwise(0L)).as("hot_buckets"),
+        sum(when(col("sz") === 1, 1L).otherwise(0L)).as("singletons"),
+        // sz·(sz−1) is always even → the halved sum is exact in longs
+        sum((col("sz") * (col("sz") - 1) / 2).cast("long")).as("cand_pairs"))
+      .select(col("band").cast("int").as("band"), col("n_buckets"),
+        col("max_bucket"), col("hot_buckets"), col("singletons"),
+        col("cand_pairs"))
+      .orderBy("band")
+  }
+
   /** L2k: MinHash index APPEND — the dedup lifecycle's third leg (build →
     * probe → append), mirroring `ann_index_append`: the late-arriving
     * batch (docs ≥ [[IncrementalCutoff]]) shingles + signs ONLY itself
@@ -747,6 +775,7 @@ object DedupOps {
     "decontam_ngram"      -> decontamNgram _,
     "dedup_incremental"   -> dedupIncremental _,
     "build_minhash_index" -> buildMinhashIndex _,
+    "minhash_index_stats" -> minhashIndexStats _,
     "dedup_index_append"  -> dedupIndexAppend _,
     "dedup_index_compact" -> dedupIndexCompact _,
     "dedup_crossdoc_ngrams" -> dedupCrossdocNgrams _,
@@ -907,6 +936,19 @@ object DedupOps {
          |  count(*) AS n_postings,
          |  count(DISTINCT doc_id) AS n_docs
          |FROM bands GROUP BY band ORDER BY band""".stripMargin,
+    // Skew audit: same deterministic banding, bucket-size distribution.
+    "minhash_index_stats" ->
+      s"""WITH $shinglesCte,
+         |$bandsCte,
+         |bk AS (SELECT band, band_key, count(*) AS sz
+         |  FROM bands GROUP BY band, band_key)
+         |SELECT CAST(band AS INT) AS band,
+         |  count(*) AS n_buckets,
+         |  CAST(max(sz) AS BIGINT) AS max_bucket,
+         |  CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS hot_buckets,
+         |  CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singletons,
+         |  CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+         |FROM bk GROUP BY band ORDER BY band""".stripMargin,
     "dedup_index_append" ->
       s"""WITH $shinglesCte,
          |$bandsCte

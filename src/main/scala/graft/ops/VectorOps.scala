@@ -966,6 +966,74 @@ object VectorOps {
       .orderBy("cell")
   }
 
+  /** L3k: ANN index HEALTH audit over the STORED artifact — the one-row
+    * dashboard an index operator reads before deciding to re-train or
+    * re-balance. Cell-size skew is the IVF killer at corpus scale: a probe
+    * reads whole cells, so `max_cell` bounds worst-case probe I/O and
+    * `imbalance` (max over mean cell size) is the re-train trigger;
+    * `empty_cells` flags wasted quantizer capacity; `n_codes` cross-checks
+    * the encode pass against the cells table (exactly PqM codes per
+    * vector — a lost or doubled encode row breaks it). Reads ONLY the
+    * persisted index tables (two fixed-width aggregations over (vec_id,
+    * cell) and the code manifest; the float corpus is never touched), so
+    * at 100 TB the audit costs one pass over 12 bytes/vector. The oracle
+    * reproduces the deterministic coarse training and derives the same
+    * summary from first principles. */
+  def annIndexStats(s: SparkSession, dir: String): DataFrame = {
+    val ix = IvfPqIndex.ensure(s, dir)
+    val per = s.read.parquet(ix.cells)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    val codeCnt = s.read.parquet(ix.ivfCodes).agg(count(lit(1)).as("n_codes"))
+    per.agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("n")).as("n_vecs"),
+        min(col("n")).as("min_cell"),
+        max(col("n")).as("max_cell"),
+        r6(max(col("n")) * count(lit(1)) / sum(col("n")).cast("double"))
+          .as("imbalance"))
+      .withColumn("empty_cells", lit(KmeansCells.toLong) - col("n_cells"))
+      .crossJoin(broadcast(codeCnt))
+      .select(col("n_cells"), col("n_vecs"), col("min_cell"),
+        col("max_cell"), col("imbalance"), col("empty_cells"), col("n_codes"))
+  }
+
+  /** Filtered-ANN probe count: candidate pool = the 4 coarse cells nearest
+    * the query (filters thin each cell, so a filtered probe widens its
+    * cell fan-out to keep the pool ≥ K). */
+  private val FilteredProbes = 4
+
+  /** L3l: metadata-FILTERED ANN — top-K nearest neighbors AMONG rows
+    * matching a scalar predicate (here `label % 2 = 1`), the shape every
+    * production vector store serves ("nearest English docs", "nearest in
+    * this tenant"). Pre-filtering inside the IVF probe, not post-filtering
+    * the unfiltered top-K: the predicate lands on the candidate SCAN
+    * (label is a stored scalar column, so pushdown prunes before any
+    * float math), and the probe fans out to [[FilteredProbes]] cells
+    * because a filter thins each cell's pool — the standard
+    * filtered-search adaptation. Reads the STORED coarse centroids +
+    * cell assignment ([[IvfPqIndex]]); exact cosine only on the
+    * filter-surviving candidates of 4/16 cells. At 100 TB: predicate and
+    * cell id are both scan-level prunes (cell-partitioned layout +
+    * parquet predicate pushdown), so the probe touches ~K × selectivity⁻¹
+    * vectors, never the corpus. */
+  def knnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val ix = IvfPqIndex.ensure(s, dir)
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("label"), asD(col("embedding")).as("x"))
+    val q = e.filter(col("vec_id") === 0).select(col("x").as("qv"))
+    // 4 nearest stored centroids to the query (16-row broadcast argsort)
+    val probes = s.read.parquet(ix.coarse).crossJoin(broadcast(q))
+      .select(col("cid"), col("qv"), sqDist(col("qv"), col("cv")).as("d"))
+      .orderBy(col("d").asc, col("cid").asc).limit(FilteredProbes)
+      .select(col("cid"), col("qv"))
+    e.join(s.read.parquet(ix.cells), "vec_id")
+      .join(broadcast(probes), col("cell") === col("cid"))
+      .filter(col("label") % 2 === 1 && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"), cosine(col("x"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(K)
+  }
+
   /** L3j: ANN index APPEND — the third leg of the index lifecycle
     * (build → probe → append): a later-arriving batch (the held-out
     * `vec_id % 10 == 7` slice) is encoded against the STORED codebooks of
@@ -1050,7 +1118,9 @@ object VectorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_index_compact" -> annIndexCompact _,
     "ann_index_append"  -> annIndexAppend _,
+    "ann_index_stats"   -> annIndexStats _,
     "build_ivfpq_index" -> buildIvfpqIndex _,
+    "knn_filtered"      -> knnFiltered _,
     "semantic_dedup"  -> semanticDedup _,
     "semantic_dedup_scaled" -> semanticDedupScaled _,
     "embed_power_iter" -> embedPowerIter _,
@@ -1199,6 +1269,36 @@ object VectorOps {
          |SELECT cell, count(*) AS n_vecs,
          |  CAST(count(*) * $PqM AS BIGINT) AS n_codes
          |FROM cells GROUP BY cell ORDER BY cell""".stripMargin,
+    // Index health: the same deterministic coarse chain, summarized.
+    // n_codes = PqM × n_vecs by the encode contract (one code per
+    // (vector, subspace)); imbalance snapped 6-dp on both sides.
+    "ann_index_stats" ->
+      s"""WITH $sqlKmeansCte,
+         |per AS (SELECT cell, count(*) AS n FROM cells GROUP BY cell)
+         |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(n) AS BIGINT) AS n_vecs,
+         |  CAST(min(n) AS BIGINT) AS min_cell,
+         |  CAST(max(n) AS BIGINT) AS max_cell,
+         |  floor((max(n) * count(*) / CAST(sum(n) AS DOUBLE))
+         |    * 1000000 + 0.5) / 1000000 AS imbalance,
+         |  CAST($KmeansCells - count(*) AS BIGINT) AS empty_cells,
+         |  CAST(sum(n) * $PqM AS BIGINT) AS n_codes
+         |FROM per""".stripMargin,
+    // Filtered ANN: 4 nearest trained cells, predicate applied INSIDE the
+    // candidate pool, exact cosine on the survivors.
+    "knn_filtered" ->
+      s"""WITH $sqlKmeansCte,
+         |q AS (SELECT x AS qv FROM e WHERE vec_id = 0),
+         |probes AS (SELECT cid FROM (
+         |  SELECT c.cid, ${sqlDist("q.qv", "c.cv")} AS d
+         |  FROM c2 c CROSS JOIN q
+         |  ORDER BY d ASC, c.cid ASC LIMIT $FilteredProbes))
+         |SELECT e.vec_id, e.label, ${sqlCos("e.x", "q.qv")} AS cos
+         |FROM e JOIN cells cl USING (vec_id)
+         |  JOIN probes p ON p.cid = cl.cell
+         |  CROSS JOIN q
+         |WHERE e.label % 2 = 1 AND e.vec_id <> 0
+         |ORDER BY cos DESC, vec_id ASC LIMIT $K""".stripMargin,
     // Compact: the merged read-back must carry exactly base+batch vectors
     // per cell and PqM codes per vector — a lost or doubled row in the
     // merge breaks either count.

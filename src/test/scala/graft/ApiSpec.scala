@@ -486,4 +486,37 @@ class ApiSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
     assert(stored.nonEmpty && stored.sameElements(want))
   }
+
+  test("annIndexStats(facade) == VectorOps.annIndexStats on the stored registry index") {
+    val ix = ops.IvfPqIndex.ensure(spark, sf)
+    val got = GraftAPI.annIndexStats(
+      spark.read.parquet(ix.cells), spark.read.parquet(ix.ivfCodes),
+      quantizerCells = 16).collect().head
+    val want = ops.VectorOps.annIndexStats(spark, sf).collect().head
+    (0 until want.length).foreach(i => assert(got.get(i) == want.get(i),
+      s"column ${want.schema(i).name} drift"))
+  }
+
+  test("minhashIndexSkew(facade) == DedupOps.minhashIndexStats on the stored postings") {
+    val ix = ops.MinhashIndex.ensure(spark, sf)
+    val got = GraftAPI.minhashIndexSkew(spark.read.parquet(ix.bands))
+      .orderBy("band").collect().map(_.toSeq)
+    val want = ops.DedupOps.minhashIndexStats(spark, sf)
+      .collect().map(_.toSeq)
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
+  test("annFilteredTopK(facade) == VectorOps.knnFiltered at the registry protocol") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ix = ops.IvfPqIndex.ensure(spark, sf)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+    val got = GraftAPI.annFilteredTopK(emb, "vec_id", "embedding",
+        spark.read.parquet(ix.coarse), spark.read.parquet(ix.cells),
+        q, col("label") % 2 === 1 && col("vec_id") =!= 0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = ops.VectorOps.knnFiltered(spark, sf)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    assert(got.toSeq == want.toSeq)
+  }
 }

@@ -186,4 +186,27 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fps == again, "simhash must be deterministic across runs")
   }
+
+  test("minhash_index_stats: skew summary derives exactly from the stored postings (L2m)") {
+    val stats = DedupOps.minhashIndexStats(spark, sf).collect()
+      .map(r => r.getAs[Int]("band") ->
+        (r.getAs[Long]("n_buckets"), r.getAs[Long]("max_bucket"),
+         r.getAs[Long]("hot_buckets"), r.getAs[Long]("singletons"),
+         r.getAs[Long]("cand_pairs"))).toMap
+    // independent local model over the same stored band table
+    val ix = ops.MinhashIndex.ensure(spark, sf)
+    val postings = spark.read.parquet(ix.bands)
+      .select("band", "band_key").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    postings.groupBy(_._1).foreach { case (band, rows) =>
+      val sizes = rows.groupBy(_._2).map(_._2.length.toLong).toSeq
+      val (nb, mx, hot, single, pairs) = stats(band)
+      assert(nb == sizes.length && mx == sizes.max)
+      assert(hot == sizes.count(_ >= 2) && single == sizes.count(_ == 1))
+      assert(hot + single == nb, "every bucket is hot xor singleton")
+      assert(pairs == sizes.map(s => s * (s - 1) / 2).sum,
+        s"band $band: candidate-pair volume drift")
+    }
+    assert(stats.keySet == postings.map(_._1).toSet)
+  }
 }

@@ -39,7 +39,7 @@ class InventorySpec extends AnyFunSuite {
     // a 1-row aggregate (count_star / scan_rest_pages shapes).
     val noOrder = SparkEntry.oracleSql.filterNot(_._2.toUpperCase.contains("ORDER BY"))
     val allowed = Set("count_star", "scan_rest_pages", "sql_forecast_revenue",
-      "pipeline_observe") // single-row metrics record
+      "pipeline_observe", "ann_index_stats") // single-row metrics records
     assert((noOrder.keySet -- allowed).isEmpty,
       s"oracles missing ORDER BY: ${noOrder.keySet -- allowed}")
   }

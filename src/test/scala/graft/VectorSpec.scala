@@ -277,6 +277,43 @@ class VectorSpec extends AnyFunSuite {
       s"learned centroids did not improve total hits: $km vs $grid")
   }
 
+  test("ann_index_stats: summary derives exactly from the stored tables (L3k)") {
+    val row = VectorOps.annIndexStats(spark, sf).collect().head
+    val ix = ops.IvfPqIndex.ensure(spark, sf)
+    val sizes = spark.read.parquet(ix.cells).groupBy("cell").count()
+      .collect().map(_.getLong(1))
+    assert(row.getAs[Long]("n_cells") == sizes.length)
+    assert(row.getAs[Long]("n_vecs") == sizes.sum)
+    assert(row.getAs[Long]("min_cell") == sizes.min)
+    assert(row.getAs[Long]("max_cell") == sizes.max)
+    assert(row.getAs[Long]("empty_cells") == 16 - sizes.length)
+    assert(row.getAs[Long]("n_codes") == sizes.sum * VectorOps.PqM,
+      "encode contract: exactly PqM codes per stored vector")
+    val imb = row.getAs[Double]("imbalance")
+    assert(imb >= 1.0 - 1e-9 && // max/mean is ≥ 1 by definition
+      math.abs(imb - math.floor(sizes.max.toDouble * sizes.length / sizes.sum * 1e6 + 0.5) / 1e6) < 1e-9)
+  }
+
+  test("knn_filtered: predicate holds, scores exact, recalls the filtered truth (L3l)") {
+    val got = VectorOps.knnFiltered(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"), r.getAs[Double]("cos")))
+    assert(got.length == 10)
+    assert(got.forall(_._2 % 2 == 1), "every hit must satisfy the label predicate")
+    assert(!got.exists(_._1 == 0L), "the query vector must be excluded")
+    assert(got.map(-_._3).toSeq == got.map(-_._3).sorted.toSeq, "descending by cosine")
+    // scores are exact cosines (probe never approximates the metric) ...
+    val full = localTopK(Int.MaxValue).toMap
+    got.foreach { case (id, _, c) => assert(math.abs(full(id) - c) < 1e-9) }
+    // ... and the 4/16-cell probe recalls most of the global filtered top-10
+    val labels = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val truth = localTopK(Int.MaxValue)
+      .filter { case (id, _) => id != 0L && labels(id) % 2 == 1 }
+      .take(10).map(_._1).toSet
+    val recall = got.count(g => truth(g._1)) / 10.0
+    assert(recall >= 0.5, s"filtered recall@10 $recall below the 4-probe floor")
+  }
+
   test("approx_count_distinct stays within 5% of exact (A3 tolerance)") {
     // calibration-audit form: the ±5% check runs inside the query as
     // `approx_ok`; the exact column must agree with aggCountDistinct.
