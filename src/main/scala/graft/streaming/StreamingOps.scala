@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
   GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
@@ -205,6 +205,49 @@ object StreamingOps {
       .select(col(id), coalesce(col("is_dup"), lit(false)).as("is_dup"))
     idempotentBatchWriter(outPath)(flags, batchId)
   }
+
+  /** Streaming ANN probe against the STORED IVF index — the serving face
+    * of `build_ivfpq_index`'s artifact, shipped as a `foreachBatch` body:
+    * `queries.writeStream.foreachBatch(annProbeBatch(corpusPath, ixRoot,
+    * out, "qid", "qvec") _)`. Each micro-batch of (id, vector) queries is
+    * coarse-assigned against the stored centroid table (broadcast-argmin
+    * over the tiny batch), joins ONLY its assigned cells' corpus vectors
+    * — with a cell-partitioned corpus layout at 100 TB that join is a
+    * partition-pruned scan, never the full corpus — and lands exact
+    * per-query cosine top-k through the idempotent partition-per-batch
+    * sink (at-least-once replay × [[idempotentBatchWriter]] = exactly-once
+    * results). Index and corpus frames are bound per batch (read inside
+    * foreachBatch), so a re-trained/compacted index is picked up at the
+    * next batch boundary, not mid-query. */
+  def annProbeBatch(corpusPath: String, indexRoot: String, outPath: String,
+                    qId: String, qVec: String,
+                    cId: String = "vec_id", cVec: String = "embedding",
+                    k: Int = 10)(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val coarse = s.read.parquet(s"$indexRoot/coarse")
+    val cells = s.read.parquet(s"$indexRoot/cells")
+    def dot2(a: Column, b: Column) = graft.functions.VectorFunctions.graftDot(a, b)
+    val q = batch.select(col(qId).as("query_id"),
+      col(qVec).cast("array<double>").as("qx"))
+    val qa = graft.ops.VectorOps.assignCells(
+        q.select(col("query_id").as("vec_id"), col("qx").as("x")), coarse)
+      .select(col("vec_id").as("query_id"), col("cell").as("qcell"))
+    val qfull = broadcast(q.join(qa, "query_id"))
+    val scored = s.read.parquet(corpusPath)
+      .select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cx"))
+      .join(cells, col("corpus_id") === col("vec_id"))
+      .join(qfull, col("cell") === col("qcell"))
+      .select(col("query_id"), col("corpus_id"),
+        graft.Tables.r6(dot2(col("cx"), col("qx")) /
+          (sqrt(dot2(col("cx"), col("cx"))) * sqrt(dot2(col("qx"), col("qx")))))
+          .as("cosine"))
+    val topk = graft.api.GraftAPI
+      .topKPerGroup(scored, Seq("query_id"), "cosine", "corpus_id", k)
+    idempotentBatchWriter(outPath)(topk, batchId)
+  }
+
+  /** Query-vector row for the streaming ANN probe spec. */
+  final case class VecRow(vec_id: Long, embedding: Seq[Double])
 
   /** Closed session emitted by the custom sessionizer (epoch-µs bounds). */
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -466,4 +466,59 @@ class StreamingSpec extends AnyFunSuite {
       "per-batch probe flags must equal the one-shot incremental dedup")
     assert(streamed.values.exists(identity) && streamed.values.exists(!_))
   }
+
+  test("streaming ANN probe against the stored IVF index == local cell-pruned top-k") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val corpusPath = s"$sf/embeddings.parquet"
+    val ixRoot = "/tmp/graft_stream_annix"
+    val out = "/tmp/graft_stream_ann_out"
+    Seq(ixRoot, out).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val emb = spark.read.parquet(corpusPath)
+    graft.api.GraftAPI.buildAnnIndex(emb, "vec_id", "embedding", ixRoot,
+      cells = 8, m = 4, k = 8).collect()
+    // query side: 6 corpus vectors replayed as 3 micro-batches
+    val queries = emb.filter($"vec_id" % 97 === 3)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[streaming.StreamingOps.VecRow].collect().sortBy(_.vec_id).toSeq
+    assert(queries.size >= 3)
+    val ms = MemoryStream[streaming.StreamingOps.VecRow]
+    val q = ms.toDF().writeStream
+      .foreachBatch(StreamingOps.annProbeBatch(
+        corpusPath, ixRoot, out, "vec_id", "embedding", k = 5) _)
+      .start()
+    try {
+      queries.grouped(math.max(1, queries.size / 3)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("query_id", "corpus_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(p => (-p._2, p._1)).toSeq).toMap
+    // independent local model: nearest stored centroid → same-cell
+    // candidates → exact snapped cosine top-5
+    val cellsT = spark.read.parquet(s"$ixRoot/cells").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    val coarseT = spark.read.parquet(s"$ixRoot/coarse").collect()
+      .map(r => r.getAs[Long]("cid") -> r.getAs[Seq[Double]]("cv").toArray)
+    val vecs = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def snap(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val model = queries.map { qr =>
+      val qx = qr.embedding.toArray
+      val qcell = coarseT.map { case (cid, cv) =>
+        (snap(dot(qx, qx) - 2 * dot(qx, cv) + dot(cv, cv)), cid) }.min._2
+      val top = vecs.toSeq.filter(v => cellsT(v._1) == qcell)
+        .map { case (id, cx) =>
+          (id, snap(dot(cx, qx) / (math.sqrt(dot(cx, cx)) * math.sqrt(dot(qx, qx))))) }
+        .sortBy(p => (-p._2, p._1)).take(5)
+      qr.vec_id -> top
+    }.toMap
+    assert(streamed == model,
+      "streamed per-query top-k must equal the local cell-pruned model")
+  }
 }
