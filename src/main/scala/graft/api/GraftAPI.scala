@@ -377,6 +377,50 @@ object GraftAPI {
         when(norm > 0.0, transform(v, x => x / norm)).otherwise(v))
   }
 
+  /** Embedding outlier audit — per-group centroid-distance z-score over
+    * an array<float|double> column: (id, group, d2, z, is_outlier) with
+    * `is_outlier` = z > `zThreshold`. The corrupt/mis-embedded-row
+    * filter a pipeline runs before any semantic op trusts the vectors
+    * (truncated downloads, preprocessing-version drift, and mislabels
+    * all land far from their group's centroid). One long-form explode,
+    * two fixed-width shuffles ((group, dim) and id), centroids broadcast
+    * back; every stage 6-dp-snaps before its DECIMAL sum so flags are
+    * partition-order independent and backfills byte-match. At 100 TB,
+    * persist the centroid table like an IVF coarse table and recompute
+    * it on the sample cadence. Harness twin: `embed_outliers`. */
+  def embeddingOutliers(df: DataFrame, id: String, group: String,
+                        vec: String, zThreshold: Double = 2.0): DataFrame = {
+    val el = df
+      .select(col(id).as("_id"), col(group).as("_grp"),
+        posexplode(col(vec).cast("array<double>")))
+      .select(col("_id"), col("_grp"),
+        col("pos").cast("long").as("dim"), r6(col("col")).as("v"))
+    val cent = el.groupBy("_grp", "dim")
+      .agg(count(lit(1)).as("n"), dsum(col("v")).as("sv"))
+      .select(col("_grp").as("cg"), col("dim").as("cd"),
+        r6(col("sv") / col("n")).as("c"))
+    val d2 = el.join(broadcast(cent),
+        col("_grp") === col("cg") && col("dim") === col("cd"))
+      .select(col("_id"), col("_grp"),
+        r6((col("v") - col("c")) * (col("v") - col("c"))).as("sq"))
+      .groupBy("_id", "_grp")
+      .agg(r6(dsum(col("sq"))).as("d2"))
+    val stats = d2
+      .select(col("_grp"), col("d2"), r6(col("d2") * col("d2")).as("d2sq"))
+      .groupBy("_grp")
+      .agg(count(lit(1)).as("n"), dsum(col("d2")).as("sd"),
+        dsum(col("d2sq")).as("sd2"))
+      .select(col("_grp").as("sg"), r6(col("sd") / col("n")).as("mu"),
+        r6(sqrt(greatest(
+          r6((col("sd2") - col("sd") * col("sd") / col("n")) / col("n")),
+          lit(0.0)))).as("sigma"))
+    d2.join(broadcast(stats), col("_grp") === col("sg"))
+      .select(col("_id").as(id), col("_grp").as(group), col("d2"),
+        when(col("sigma") > 0, r6((col("d2") - col("mu")) / col("sigma")))
+          .otherwise(lit(0.0)).as("z"))
+      .withColumn("is_outlier", col("z") > zThreshold)
+  }
+
   /** Token-budget selection: keep the rows with the highest integer
     * `quality` until the global sum of `weight` reaches
     * `budgetFrac × total`, truncating the boundary-quality group at its

@@ -626,6 +626,52 @@ object VectorOps {
         r6(col("sv") / col("n")).as("centroid"))
       .orderBy("label", "dim")
 
+  /** L19d: embedding OUTLIER audit — per-label centroid-distance z-score,
+    * the corrupt/mis-embedded-row filter a curation pipeline runs before
+    * any semantic op trusts the vectors (a truncated download, a wrong
+    * preprocessing version, or a mislabeled row all land far from its
+    * group's centroid). Dataflow: ONE long-form explode feeds both the
+    * per-(label, dim) centroid hash-agg (label-cardinality output,
+    * broadcast back) and the per-vector squared-distance re-agg — two
+    * fixed-width shuffles keyed (label, dim) and vec_id, no vector ever
+    * leaves its row as an object. z-scores use the population σ of d²
+    * within the label; every stage 6-dp-snaps before its DECIMAL sum, so
+    * flags are partition-order independent and the DuckDB mirror
+    * hash-matches. At 100 TB: the centroid table is a persistable
+    * artifact like the IVF coarse table — recompute it on the sample
+    * cadence, not per audit. */
+  def embedOutliers(s: SparkSession, dir: String): DataFrame = {
+    val el = embeddings(s, dir)
+      .select(col("vec_id"), col("label"), posexplode(asD(col("embedding"))))
+      .select(col("vec_id"), col("label"),
+        col("pos").cast("long").as("dim"), r6(col("col")).as("v"))
+    val cent = el.groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), dsum(col("v")).as("sv"))
+      .select(col("label").as("cl"), col("dim").as("cd"),
+        r6(col("sv") / col("n")).as("c"))
+    val d2 = el.join(broadcast(cent),
+        col("label") === col("cl") && col("dim") === col("cd"))
+      .select(col("vec_id"), col("label"),
+        r6((col("v") - col("c")) * (col("v") - col("c"))).as("sq"))
+      .groupBy("vec_id", "label")
+      .agg(r6(dsum(col("sq"))).as("d2"))
+    val stats = d2
+      .select(col("label"), col("d2"), r6(col("d2") * col("d2")).as("d2sq"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), dsum(col("d2")).as("sd"),
+        dsum(col("d2sq")).as("sd2"))
+      .select(col("label").as("sl"), r6(col("sd") / col("n")).as("mu"),
+        r6(sqrt(greatest(
+          r6((col("sd2") - col("sd") * col("sd") / col("n")) / col("n")),
+          lit(0.0)))).as("sigma"))
+    d2.join(broadcast(stats), col("label") === col("sl"))
+      .select(col("vec_id"), col("label"), col("d2"),
+        when(col("sigma") > 0, r6((col("d2") - col("mu")) / col("sigma")))
+          .otherwise(lit(0.0)).as("z"))
+      .withColumn("is_outlier", col("z") > 2.0)
+      .orderBy("vec_id")
+  }
+
   /** L19c: per-dimension corpus moments (mean + variance) — the whitening
     * / normalization statistics an embedding store computes before PCA or
     * scalar quantization. Same long-form posexplode + one partial+final
@@ -1139,6 +1185,7 @@ object VectorOps {
     "embed_quantize"  -> embedQuantize _,
     "embed_centroids" -> embedCentroids _,
     "embed_dim_stats" -> embedDimStats _,
+    "embed_outliers"  -> embedOutliers _,
     "knn_cosine"    -> knnCosine _,
     "knn_ivf"       -> knnIvf _,
     "knn_ivf_multiprobe" -> knnIvfMultiprobe _,
@@ -1610,6 +1657,48 @@ object VectorOps {
         |  floor((CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) / count(*))
         |    * 1000000 + 0.5) / 1000000 AS centroid
         |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // Outlier audit: long-form centroids → per-vector snapped squared
+    // distance → per-label population moments → snapped z. Every sum is
+    // DECIMAL(25,6) over 6-dp-snapped terms, mirroring dsum/r6 exactly.
+    "embed_outliers" ->
+      """WITH el AS (
+        |  SELECT vec_id, label,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        |    floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) / 1000000 AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, dim,
+        |    floor((CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) / count(*))
+        |      * 1000000 + 0.5) / 1000000 AS c
+        |  FROM el GROUP BY label, dim),
+        |d2 AS (
+        |  SELECT el.vec_id, el.label,
+        |    floor(CAST(SUM(CAST(
+        |      floor((el.v - cent.c) * (el.v - cent.c) * 1000000 + 0.5) / 1000000
+        |      AS DECIMAL(25,6))) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS d2
+        |  FROM el JOIN cent USING (label, dim)
+        |  GROUP BY el.vec_id, el.label),
+        |stats AS (
+        |  SELECT label,
+        |    floor((CAST(SUM(CAST(d2 AS DECIMAL(25,6))) AS DOUBLE) / count(*))
+        |      * 1000000 + 0.5) / 1000000 AS mu,
+        |    floor(sqrt(greatest(
+        |      floor(((CAST(SUM(CAST(floor(d2 * d2 * 1000000 + 0.5) / 1000000
+        |                AS DECIMAL(25,6))) AS DOUBLE)
+        |        - CAST(SUM(CAST(d2 AS DECIMAL(25,6))) AS DOUBLE)
+        |          * CAST(SUM(CAST(d2 AS DECIMAL(25,6))) AS DOUBLE) / count(*))
+        |        / count(*)) * 1000000 + 0.5) / 1000000,
+        |      0.0)) * 1000000 + 0.5) / 1000000 AS sigma
+        |  FROM d2 GROUP BY label)
+        |SELECT d2.vec_id, d2.label, d2.d2,
+        |  CASE WHEN s.sigma > 0
+        |    THEN floor((d2.d2 - s.mu) / s.sigma * 1000000 + 0.5) / 1000000
+        |    ELSE 0.0 END AS z,
+        |  CASE WHEN s.sigma > 0
+        |    THEN floor((d2.d2 - s.mu) / s.sigma * 1000000 + 0.5) / 1000000 > 2.0
+        |    ELSE FALSE END AS is_outlier
+        |FROM d2 JOIN stats s USING (label)
+        |ORDER BY vec_id""".stripMargin,
     "embed_quantize" ->
       """WITH m AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e,

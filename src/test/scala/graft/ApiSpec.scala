@@ -506,6 +506,14 @@ class ApiSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.toSeq == want.toSeq)
   }
 
+  test("embeddingOutliers(facade) == VectorOps.embedOutliers at the registry protocol") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val got = GraftAPI.embeddingOutliers(emb, "vec_id", "label", "embedding")
+      .orderBy("vec_id").collect().map(_.toSeq)
+    val want = ops.VectorOps.embedOutliers(spark, sf).collect().map(_.toSeq)
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
   test("annFilteredTopK(facade) == VectorOps.knnFiltered at the registry protocol") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val ix = ops.IvfPqIndex.ensure(spark, sf)

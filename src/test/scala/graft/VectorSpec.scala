@@ -294,6 +294,43 @@ class VectorSpec extends AnyFunSuite {
       math.abs(imb - math.floor(sizes.max.toDouble * sizes.length / sizes.sum * 1e6 + 0.5) / 1e6) < 1e-9)
   }
 
+  test("embed_outliers: z-scores match a local snapped model; flags = z > 2 (L19d)") {
+    def snap(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // exact 6-dp decimal, mirroring the DECIMAL(25,6) cast in Tables.dsum
+    def dec(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val rows = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Seq[Float]](2).map(f => snap(f.toDouble)).toArray))
+    val byLabel = rows.groupBy(_._2)
+    val model = byLabel.flatMap { case (_, vs) =>
+      val dim = vs.head._3.length
+      val cent = (0 until dim).map(d =>
+        snap(vs.map(v => dec(v._3(d))).sum.toDouble / vs.size)).toArray
+      val d2s = vs.map { case (id, _, x) =>
+        id -> snap(x.indices.map(i => dec(snap((x(i) - cent(i)) * (x(i) - cent(i)))))
+          .sum.toDouble) }
+      val mu = snap(d2s.map(p => dec(p._2)).sum.toDouble / d2s.size)
+      val ex2 = d2s.map(p => dec(snap(p._2 * p._2))).sum.toDouble
+      val sumd = d2s.map(p => dec(p._2)).sum.toDouble
+      val sigma = snap(math.sqrt(math.max(0.0,
+        snap((ex2 - sumd * sumd / d2s.size) / d2s.size))))
+      d2s.toSeq.map { case (id, d2) =>
+        id -> ((d2, if (sigma > 0) snap((d2 - mu) / sigma) else 0.0)) }
+    }.toMap
+    val got = ops.VectorOps.embedOutliers(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("d2"), r.getAs[Double]("z"), r.getAs[Boolean]("is_outlier")))
+    assert(got.length == rows.length)
+    got.foreach { case (id, (d2, z, flag)) =>
+      val (md2, mz) = model(id)
+      assert(math.abs(d2 - md2) < 1e-9, s"vec $id d2 drift: $d2 vs $md2")
+      assert(math.abs(z - mz) < 1e-9, s"vec $id z drift: $z vs $mz")
+      assert(flag == (z > 2.0))
+    }
+    assert(got.exists(_._2._3) || got.forall(!_._2._3), "flags well-defined")
+  }
+
   test("knn_filtered: predicate holds, scores exact, recalls the filtered truth (L3l)") {
     val got = VectorOps.knnFiltered(spark, sf).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"), r.getAs[Double]("cos")))
