@@ -179,6 +179,8 @@ object GraftAPI {
       .withColumn("pband", col("band"))
       .repartition(col("pband"))
       .write.mode("overwrite").partitionBy("pband").parquet(s"$path/bands")
+    graft.ops.Artifacts.writeMeta(path,
+      "numHashes" -> numHashes.toString, "bands" -> bands.toString)
     require(new java.io.File(path, "_SUCCESS").createNewFile() ||
       new java.io.File(path, "_SUCCESS").isFile,
       s"could not commit index marker under $path")

@@ -10,7 +10,48 @@ package graft.ops
   * → index table) rather than an mtime fold; the local form keeps the
   * build-once / probe-many contract testable in this harness.
   */
-private[ops] object Artifacts {
+private[graft] object Artifacts {
+
+  /** Write the index geometry manifest (`<root>/index.properties`) next
+    * to the artifact tables. Probes and appends validate against it via
+    * [[requireGeometry]] instead of trusting their caller's parameters —
+    * a probe against an index built with different banding/quantizer
+    * geometry would return silently wrong results, which is strictly
+    * worse than the loud mismatch this turns it into. At 100 TB these
+    * are table properties in the catalog; the local properties file
+    * keeps the contract testable in this harness. */
+  private[graft] def writeMeta(root: String, kv: (String, String)*): Unit = {
+    val p = new java.util.Properties()
+    kv.foreach { case (k, v) => p.setProperty(k, v) }
+    val w = new java.io.FileWriter(new java.io.File(root, "index.properties"))
+    try p.store(w, "graft index geometry") finally w.close()
+  }
+
+  /** Read the manifest; empty when absent (pre-manifest artifacts stay
+    * readable — the guard only fires on a RECORDED mismatch). */
+  private[graft] def readMeta(root: String): Map[String, String] = {
+    val f = new java.io.File(root, "index.properties")
+    if (!f.isFile) Map.empty
+    else {
+      val p = new java.util.Properties()
+      val r = new java.io.FileReader(f)
+      try p.load(r) finally r.close()
+      import scala.jdk.CollectionConverters._
+      p.stringPropertyNames().asScala.map(k => k -> p.getProperty(k)).toMap
+    }
+  }
+
+  /** Loud geometry check: every expected key that IS recorded in the
+    * manifest must match exactly. */
+  private[graft] def requireGeometry(root: String,
+                                     expected: (String, String)*): Unit = {
+    val meta = readMeta(root)
+    expected.foreach { case (k, v) =>
+      meta.get(k).foreach(stored => require(stored == v,
+        s"index at $root was built with $k=$stored but the probe expects " +
+          s"$k=$v — rebuild the index or match its parameters"))
+    }
+  }
 
   /** Fold (name, mtime, length) over the source file (or every file under
     * it when it's a directory, in name order). */

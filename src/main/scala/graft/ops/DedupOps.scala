@@ -129,8 +129,8 @@ object DedupOps {
     shingleRows(s, dir).groupBy("doc_id")
       .agg(collect_list(col("x")).as("shingles"))
 
-  private val NumHashes = 8
-  private val NumBands  = 2
+  private[ops] val NumHashes = 8
+  private[ops] val NumBands  = 2
   private val RowsPerBand = NumHashes / NumBands
 
   /** MinHash signatures, computed in the scale-friendly explode +

@@ -144,6 +144,9 @@ object IvfPqIndex {
           .repartition(col("pcell"))
           .write.mode("overwrite").partitionBy("pcell").parquet(ix.ivfCodes)
       } finally remLong.unpersist(false)
+      Artifacts.writeMeta(ix.root,
+        "cells" -> cells.toString, "m" -> m.toString, "k" -> k.toString,
+        "iters" -> iters.toString, "dim" -> dim.toString)
       require(new java.io.File(ix.root, "_SUCCESS").createNewFile() ||
         new java.io.File(ix.root, "_SUCCESS").isFile,
         s"could not commit index marker under ${ix.root}")

@@ -59,6 +59,9 @@ object MinhashIndex {
       .withColumn("pband", col("band"))
       .repartition(col("pband"))
       .write.mode("overwrite").partitionBy("pband").parquet(ix.bands)
+    Artifacts.writeMeta(ix.root,
+      "numHashes" -> DedupOps.NumHashes.toString,
+      "bands" -> DedupOps.NumBands.toString)
     require(new java.io.File(ix.root, "_SUCCESS").createNewFile() ||
       new java.io.File(ix.root, "_SUCCESS").isFile,
       s"could not commit index marker under ${ix.root}")

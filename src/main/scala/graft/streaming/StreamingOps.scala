@@ -195,6 +195,11 @@ object StreamingOps {
                              numHashes: Int = 128, bands: Int = 16)
                             (batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
+    // geometry guard: a probe banded differently from the stored index
+    // would return silently wrong flags; the manifest makes it loud
+    Option(new java.io.File(indexBandsPath).getParent).foreach(root =>
+      graft.ops.Artifacts.requireGeometry(root,
+        "numHashes" -> numHashes.toString, "bands" -> bands.toString))
     val index = s.read.parquet(indexBandsPath)
       .select("band", "band_key").distinct()
     val bt = graft.api.GraftAPI.minhashBands(batch, id, text, numHashes, bands)
@@ -229,6 +234,15 @@ object StreamingOps {
     def dot2(a: Column, b: Column) = graft.functions.VectorFunctions.graftDot(a, b)
     val q = batch.select(col(qId).as("query_id"),
       col(qVec).cast("array<double>").as("qx"))
+    // geometry guard: a query whose dimensionality differs from the
+    // trained index would score garbage distances; the stored manifest
+    // makes it a loud failure on the (tiny) batch instead
+    graft.ops.Artifacts.readMeta(indexRoot).get("dim").foreach { d =>
+      q.select(size(col("qx"))).take(1).foreach { r =>
+        require(r.getInt(0) == d.toInt,
+          s"index at $indexRoot serves dim=$d vectors; batch has dim=${r.getInt(0)}")
+      }
+    }
     val qa = graft.ops.VectorOps.assignCells(
         q.select(col("query_id").as("vec_id"), col("qx").as("x")), coarse)
       .select(col("vec_id").as("query_id"), col("cell").as("qcell"))

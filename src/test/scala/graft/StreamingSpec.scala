@@ -521,4 +521,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == model,
       "streamed per-query top-k must equal the local cell-pruned model")
   }
+
+  test("index geometry guards: mismatched banding or dim fails loudly, matched passes") {
+    val sq = spark; import sq.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(20)
+    val mhRoot = "/tmp/graft_geom_mhix"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mhRoot))
+    graft.api.GraftAPI.writeMinhashIndex(docs, "doc_id", "text", mhRoot,
+      numHashes = 8, bands = 2).collect()
+    // probe at the (different) production default banding → loud mismatch
+    val batch = docs.select("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.dedupBatchAgainstIndex(s"$mhRoot/bands",
+        "/tmp/graft_geom_out", "doc_id", "text")(batch, 0L)
+    }
+    assert(e.getMessage.contains("numHashes=8"), e.getMessage)
+    // matched geometry goes through
+    StreamingOps.dedupBatchAgainstIndex(s"$mhRoot/bands",
+      "/tmp/graft_geom_out", "doc_id", "text",
+      numHashes = 8, bands = 2)(batch, 0L)
+    assert(spark.read.parquet("/tmp/graft_geom_out").count() > 0)
+    // ANN dim guard: 64-dim index refuses a 32-dim query batch
+    val annRoot = "/tmp/graft_geom_annix"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(annRoot))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    graft.api.GraftAPI.buildAnnIndex(emb, "vec_id", "embedding", annRoot,
+      cells = 8, m = 4, k = 8).collect()
+    val short = emb.limit(2).select($"vec_id",
+      org.apache.spark.sql.functions.slice(
+        $"embedding".cast("array<double>"), 1, 32).as("embedding"))
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingOps.annProbeBatch(s"$sf/embeddings.parquet", annRoot,
+        "/tmp/graft_geom_ann_out", "vec_id", "embedding")(short, 0L)
+    }
+    assert(e2.getMessage.contains("dim=64"), e2.getMessage)
+  }
 }
