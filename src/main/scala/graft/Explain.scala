@@ -94,7 +94,8 @@ object Explain {
                   "corpus_dedup_funnel", "dedup_index_append",
                   // round 8d: filtered ANN probe (predicate inside the
                   // 4-cell candidate scan) + the two stored-index audits
-                  "knn_filtered", "ann_index_stats", "minhash_index_stats")) {
+                  "knn_filtered", "ann_index_stats", "minhash_index_stats",
+                  "embed_outliers")) {
       println(s"===== $q =====")
       // Cap per-query output: cached-frame-heavy composites nest their
       // InMemoryRelation child plans repeatedly and can print 50k+ lines
