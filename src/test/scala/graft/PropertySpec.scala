@@ -329,4 +329,47 @@ class PropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("embeddingOutliers == local snapped model on generated vectors (incl. degenerate groups)") {
+    val sq = spark; import sq.implicits._
+    def snap(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def dec(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val rowGen: Gen[(Long, Int, Seq[Double])] = for {
+      id <- Gen.choose(0L, 100000L)
+      grp <- Gen.choose(0, 2)
+      // constant vectors (σ=0 inside a group) and tiny magnitudes included
+      vec <- Gen.oneOf(
+        Gen.listOfN(4, Gen.choose(-1.0, 1.0)),
+        Gen.const(List(0.5, -0.25, 0.125, 0.0)))
+    } yield (id, grp, vec)
+    val prop = Prop.forAll(Gen.chooseNum(1, 14).flatMap(n => Gen.listOfN(n, rowGen))) { rows0 =>
+      val rows = rows0.distinctBy(_._1)
+      val snapped = rows.map { case (id, g, v) => (id, g, v.map(snap).toArray) }
+      val model = snapped.groupBy(_._2).flatMap { case (_, vs) =>
+        val cent = (0 until 4).map(d =>
+          snap(vs.map(v => dec(v._3(d))).sum.toDouble / vs.size)).toArray
+        val d2s = vs.map { case (id, _, x) =>
+          id -> snap(x.indices.map(i => dec(snap((x(i) - cent(i)) * (x(i) - cent(i)))))
+            .sum.toDouble) }
+        val mu = snap(d2s.map(p => dec(p._2)).sum.toDouble / d2s.size)
+        val ex2 = d2s.map(p => dec(snap(p._2 * p._2))).sum.toDouble
+        val sumd = d2s.map(p => dec(p._2)).sum.toDouble
+        val sigma = snap(math.sqrt(math.max(0.0,
+          snap((ex2 - sumd * sumd / d2s.size) / d2s.size))))
+        d2s.map { case (id, d2) =>
+          id -> ((d2, if (sigma > 0) snap((d2 - mu) / sigma) else 0.0)) }
+      }
+      val got = graft.api.GraftAPI.embeddingOutliers(
+          rows.toDF("vec_id", "label", "embedding"), "vec_id", "label", "embedding")
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Double]("d2"), r.getAs[Double]("z"), r.getAs[Boolean]("is_outlier"))).toMap
+      val ok = got.keySet == model.keySet && got.forall { case (id, (d2, z, f)) =>
+        val (md2, mz) = model(id)
+        math.abs(d2 - md2) < 1e-9 && math.abs(z - mz) < 1e-9 && f == (z > 2.0)
+      }
+      Prop(ok) :| s"got=$got model=$model"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
