@@ -34,6 +34,18 @@ class InventorySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("SURVEY.md §2 and the registry agree: no broken promises, no undocumented ops") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
+    // every ✅-marked key in the coverage table must be a real registry query
+    val promised = "`([a-z0-9_]+)` ✅".r.findAllMatchIn(survey).map(_.group(1)).toSet
+    val broken = promised -- SparkEntry.queries.keySet
+    assert(broken.isEmpty, s"SURVEY promises queries the registry lacks: $broken")
+    // every registry key must be documented somewhere in SURVEY (table or prose)
+    val undocumented = SparkEntry.queries.keySet.filterNot(k => survey.contains(s"`$k`"))
+    assert(undocumented.isEmpty, s"registry queries missing from SURVEY.md: $undocumented")
+  }
+
   test("every oracle ends in a total ORDER BY or is a single-row aggregate") {
     // hash-compare is order-sensitive; an oracle without ORDER BY must be
     // a 1-row aggregate (count_star / scan_rest_pages shapes).
