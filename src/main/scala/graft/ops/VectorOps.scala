@@ -1012,6 +1012,69 @@ object VectorOps {
       .orderBy("cell")
   }
 
+  /** The partition-pruned delete core shared by [[annIndexDelete]] and its
+    * spec: anti-join the deletion list out of ONLY the cell partitions
+    * that contain deleted vectors, and dynamic-partition-overwrite exactly
+    * those directories — every other partition's files are untouched
+    * (byte-identical; VectorSpec proves it on the live layout). Guards
+    * loudly against a cell emptying out entirely: dynamic overwrite only
+    * replaces partitions PRESENT in the written data, so a fully-deleted
+    * cell would leave stale files behind — at 100 TB that case is a
+    * catalog DROP PARTITION, here it throws with instructions. */
+  private[graft] def deleteFromCodes(s: SparkSession, live: String,
+                                     del: DataFrame): Unit = {
+    val liveT = s.read.parquet(live)
+    val affected = liveT.join(del, "vec_id")
+      .select(col("cell").as("acell")).distinct()
+    val survivors = liveT.drop("pcell")
+      .join(broadcast(affected), col("cell") === col("acell"))
+      .join(del, Seq("vec_id"), "left_anti")
+      .drop("acell")
+    val emptied = affected.join(
+        survivors.select(col("cell").as("scell")).distinct(),
+        col("acell") === col("scell"), "left_anti")
+      .collect().map(_.getLong(0))
+    require(emptied.isEmpty,
+      s"cells ${emptied.mkString(",")} would be emptied by this delete; " +
+        "drop those partitions via the catalog instead of a data rewrite")
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      survivors.withColumn("pcell", col("cell"))
+        .repartition(col("pcell"))
+        .write.mode("overwrite").partitionBy("pcell").parquet(live)
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  /** L3m: ANN index DELETE — the removal leg of the lifecycle (takedown
+    * requests, right-to-be-forgotten, poisoned-sample removal): drop a
+    * deletion list's vectors from the stored code table by rewriting
+    * ONLY the cell partitions that contain them ([[deleteFromCodes]];
+    * the cell-partitioned layout is what makes deletes cheap — a 100 TB
+    * index with a thousand-row takedown rewrites a handful of cell
+    * directories, never the corpus). The registry form first copies the
+    * pristine stored codes into a scratch "live" layout (the table a
+    * production delete mutates in place), so the op is idempotent and
+    * bench re-runs measure the same work. Deletion list = the
+    * deterministic `vec_id % 29 == 0` slice; output is the post-delete
+    * per-cell manifest, which the oracle reproduces from the coarse
+    * chain minus the deleted ids. */
+  def annIndexDelete(s: SparkSession, dir: String): DataFrame = {
+    val ix = IvfPqIndex.ensure(s, dir)
+    val live = s"${ix.root}/ivfpq_codes_live"
+    s.read.parquet(ix.ivfCodes).drop("pcell")
+      .withColumn("pcell", col("cell"))
+      .repartition(col("pcell"))
+      .write.mode("overwrite").partitionBy("pcell").parquet(live)
+    val del = embeddings(s, dir)
+      .filter(col("vec_id") % 29 === 0).select("vec_id")
+    deleteFromCodes(s, live, del)
+    s.read.parquet(live)
+      .groupBy("cell")
+      .agg(countDistinct(col("vec_id")).as("n_vecs"), count(lit(1)).as("n_codes"))
+      .orderBy("cell")
+  }
+
   /** L3k: ANN index HEALTH audit over the STORED artifact — the one-row
     * dashboard an index operator reads before deciding to re-train or
     * re-balance. Cell-size skew is the IVF killer at corpus scale: a probe
@@ -1164,6 +1227,7 @@ object VectorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_index_compact" -> annIndexCompact _,
     "ann_index_append"  -> annIndexAppend _,
+    "ann_index_delete"  -> annIndexDelete _,
     "ann_index_stats"   -> annIndexStats _,
     "build_ivfpq_index" -> buildIvfpqIndex _,
     "knn_filtered"      -> knnFiltered _,
@@ -1316,6 +1380,15 @@ object VectorOps {
          |SELECT cell, count(*) AS n_vecs,
          |  CAST(count(*) * $PqM AS BIGINT) AS n_codes
          |FROM cells GROUP BY cell ORDER BY cell""".stripMargin,
+    // Delete: post-delete manifest = the coarse chain minus the deleted
+    // slice; n_codes stays PqM per surviving vector (a partition rewrite
+    // that loses or duplicates a surviving row breaks either count).
+    "ann_index_delete" ->
+      s"""WITH $sqlKmeansCte
+         |SELECT cell, count(*) AS n_vecs,
+         |  CAST(count(*) * $PqM AS BIGINT) AS n_codes
+         |FROM cells WHERE vec_id % 29 <> 0
+         |GROUP BY cell ORDER BY cell""".stripMargin,
     // Index health: the same deterministic coarse chain, summarized.
     // n_codes = PqM × n_vecs by the encode contract (one code per
     // (vector, subspace)); imbalance snapped 6-dp on both sides.

@@ -277,6 +277,47 @@ class VectorSpec extends AnyFunSuite {
       s"learned centroids did not improve total hits: $km vs $grid")
   }
 
+  test("ann_index_delete: content == anti-join; untouched cell partitions byte-identical (L3m)") {
+    import org.apache.spark.sql.functions._
+    val ix = ops.IvfPqIndex.ensure(spark, sf)
+    val live = s"${ix.root}/ivfpq_codes_live_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(live))
+    spark.read.parquet(ix.ivfCodes).drop("pcell")
+      .withColumn("pcell", col("cell"))
+      .repartition(col("pcell"))
+      .write.mode("overwrite").partitionBy("pcell").parquet(live)
+    def listing(): Map[String, Map[String, Long]] =
+      new java.io.File(live).listFiles().filter(_.getName.startsWith("pcell="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(f => f.getName.endsWith(".parquet") && f.length > 0)
+          .map(f => f.getName -> f.length).toMap).toMap
+    val before = listing()
+    val del = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 29 === 0).select("vec_id")
+    val delIds = del.collect().map(_.getLong(0)).toSet
+    assert(delIds.nonEmpty)
+    val affectedCells = spark.read.parquet(live)
+      .filter(col("vec_id").isin(delIds.toSeq: _*))
+      .select("cell").distinct().collect().map(r => s"pcell=${r.getLong(0)}").toSet
+    assert(affectedCells.nonEmpty && affectedCells.size < before.size,
+      "fixture must leave some cells untouched for the pruning claim")
+    ops.VectorOps.deleteFromCodes(spark, live, del)
+    val after = listing()
+    // untouched partitions: identical file name→length maps (no rewrite)
+    (before.keySet -- affectedCells).foreach { p =>
+      assert(after(p) == before(p), s"$p was rewritten but contains no deleted vector")
+    }
+    // affected partitions were rewritten (fresh part files)
+    affectedCells.foreach(p =>
+      assert(after(p).keySet.intersect(before(p).keySet).isEmpty, s"$p kept stale files"))
+    // content: exactly the anti-join survivors, nothing lost or duplicated
+    val got = spark.read.parquet(live).drop("pcell")
+    val want = spark.read.parquet(ix.ivfCodes).drop("pcell")
+      .filter(!col("vec_id").isin(delIds.toSeq: _*))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "post-delete content must be the exact survivor multiset")
+  }
+
   test("ann_index_stats: summary derives exactly from the stored tables (L3k)") {
     val row = VectorOps.annIndexStats(spark, sf).collect().head
     val ix = ops.IvfPqIndex.ensure(spark, sf)
