@@ -95,7 +95,7 @@ object Explain {
                   // round 8d: filtered ANN probe (predicate inside the
                   // 4-cell candidate scan) + the two stored-index audits
                   "knn_filtered", "ann_index_stats", "minhash_index_stats",
-                  "embed_outliers")) {
+                  "embed_outliers", "ann_index_delete")) {
       println(s"===== $q =====")
       // Cap per-query output: cached-frame-heavy composites nest their
       // InMemoryRelation child plans repeatedly and can print 50k+ lines
