@@ -279,58 +279,121 @@ object PipelineOps {
       .orderBy("doc_id", "epoch")
   }
 
-  /** L18: the FLAGSHIP composition — the full training-data curation job
-    * as ONE DataFrame pipeline, every stage an operator this engine
-    * already verifies in isolation:
-    *
-    *   1. rule-based quality filter (length bounds + token-repetition);
-    *   2. exact dedup (keep min doc_id per content hash);
-    *   3. near-dup collapse (keep only each MinHash-LSH cluster's
-    *      representative — [[DedupOps.dedupClusters]] min-label ids);
-    *   4. test-set decontamination (drop the eval slice AND train docs
-    *      with ≥ 30% of their 3-grams in it — [[DedupOps.decontamNgram]]
-    *      thresholded on contam_ratio);
-    *   5. token-budget shard packing of the survivors (the two-pass
-    *      prefix sum of [[shardPackTokens]], budget 2000).
-    *
-    * Dedup/decontam verdicts are computed on the FULL corpus (they are
-    * corpus-level index artifacts; a doc's near-dup is a dup even if the
-    * quality filter would drop it), then applied to the quality-kept set.
-    * Scale shape: stages 1/2/4 are map-side or one fixed-width shuffle;
-    * stage 3's iterative component collapse is bounded by near-dup
-    * component diameter; stage 5's only global window runs over bucket
-    * totals. The oracle chains the same five stages as one DuckDB WITH
-    * (including the recursive-CTE reachability for stage 3). */
-  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
-    // one cache generation for the WHOLE composite: dedupClusters' and
-    // decontamNgram's persisted intermediates must all stay alive until
-    // this pipeline's own action runs (DedupOps.freshGen scaladoc)
-    DedupOps.freshGen()
-    val Budget = 2000L
-    val docs = documents(s, dir)
+  /** Stage 1 of the curation composite (rule-based quality filter) as a
+    * reusable frame: length bounds + Gopher-style token-repetition, plus
+    * the columns every later stage needs (token count for packing, text
+    * fingerprint for exact dedup). Pure map-side; stays in-plan in every
+    * factoring — a filter is not worth a stage table. */
+  private def qualityKept(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
-    // 1. quality keep
-    val quality = docs
+    documents(s, dir)
       .filter(col("n_chars") >= 150 && col("n_chars") <= 450 &&
         size(toks).cast("double") / size(array_distinct(toks)) <= 2.5)
       .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tokens"),
         md5(col("text")).as("fp"))
-    // 2. exact-dedup keepers (within the quality-kept set)
+  }
+
+  private[graft] def curationStageRoot(dir: String): String =
+    s"/tmp/graft_curation_stages_${dir.replaceAll("[^0-9.]", "")}"
+
+  /** Stage tables built this JVM session, by root. Memo only — the tables
+    * themselves live on disk; a fresh JVM always rebuilds on first touch
+    * (so stale artifacts from an older code version can never leak in),
+    * and every later consumer in the same session reads the tables. */
+  private val stagesBuilt = scala.collection.mutable.Set.empty[String]
+
+  /** Builds the corpus-level curation stage tables (VERDICT r8 #1/#2 —
+    * the producer half of the staged factoring): exact-dedup keepers,
+    * near-dup cluster drop-list, contamination drop-list, one parquet
+    * table each. This is the expensive corpus pass (LSH + propagation +
+    * decontam); everything downstream ([[curationPipeline]],
+    * [[corpusDedupFunnel]]) reads the tables and never re-derives the
+    * DAG. Always overwrites — the caller decides whether to reuse
+    * ([[ensureCurationStages]]) or force a rebuild
+    * ([[curationPipelineStaged]], whose write IS the product). */
+  private def buildCurationStages(s: SparkSession, dir: String): String = synchronized {
+    // one cache generation for the WHOLE build: dedupClusters' and
+    // decontamNgram's persisted intermediates must all stay alive until
+    // their stage writes complete (DedupOps.freshGen scaladoc)
+    DedupOps.freshGen()
+    val root = curationStageRoot(dir)
+    qualityKept(s, dir).groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+      .write.mode("overwrite").parquet(s"$root/exact_keep")
+    DedupOps.dedupClusters(s, dir)
+      .filter(col("cluster_id") =!= col("doc_id")).select("doc_id")
+      .write.mode("overwrite").parquet(s"$root/cluster_drops")
+    DedupOps.decontamNgram(s, dir)
+      .filter(col("contam_ratio") >= 0.3).select("doc_id")
+      .write.mode("overwrite").parquet(s"$root/contaminated")
+    stagesBuilt += root
+    root
+  }
+
+  /** Build-once-per-session accessor for the stage tables: first caller
+    * pays the corpus pass, everyone after reads parquet. Exactly the
+    * production contract — the curation stages run once per corpus
+    * snapshot and their artifacts serve every downstream job (final
+    * assembly, funnel report, audits). */
+  private[ops] def ensureCurationStages(s: SparkSession, dir: String): String =
+    synchronized {
+      val root = curationStageRoot(dir)
+      if (!stagesBuilt.contains(root)) buildCurationStages(s, dir)
+      root
+    }
+
+  /** Stage-5 assembly shared by every curation factoring: quality-kept
+    * docs (in-plan map-side filter) semi/anti-joined against the three
+    * STORED stage tables, eval holdout dropped, then token-budget shard
+    * packing. The explained plan is three tiny parquet scans feeding
+    * broadcast joins — no LSH / propagation / decontam subtree. */
+  private def assembleCuration(s: SparkSession, dir: String, root: String): DataFrame = {
+    val Budget = 2000L
+    val survivors = withRangeBucket(
+      qualityKept(s, dir)
+        .join(s.read.parquet(s"$root/exact_keep"), Seq("doc_id"), "left_semi")
+        .join(s.read.parquet(s"$root/cluster_drops"), Seq("doc_id"), "left_anti")
+        .join(s.read.parquet(s"$root/contaminated"), Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("lang"), col("n_tokens")),
+      "doc_id", documents(s, dir).select("doc_id"))
+    packShards(survivors, Budget)
+  }
+
+  /** L18: the FLAGSHIP curation job — the full training-data pipeline
+    * (quality filter → exact dedup → near-dup collapse → test-set
+    * decontamination → token-budget shard packing), in its PRODUCTION
+    * factoring (VERDICT r8 #2 — the action-chained in-plan flagship is
+    * retired; [[curationPipelineInPlan]] keeps the single-query twin for
+    * the spec): the corpus-level stage artifacts are parquet stage
+    * tables built once per corpus snapshot ([[ensureCurationStages]]),
+    * and the flagship is the stage-5 assembly over them. Dedup/decontam
+    * verdicts are computed on the FULL corpus during the stage build (a
+    * doc's near-dup is a dup even if the quality filter would drop it),
+    * then applied to the quality-kept set here. Scale shape: the
+    * assembly is one map-side filter + three broadcast semi/anti joins +
+    * the ≤4096-bucket packing spine; the corpus-pass cost lives in the
+    * stage build and amortizes across every consumer. The oracle chains
+    * the same five stages as one DuckDB WITH (including the
+    * recursive-CTE reachability for stage 3). */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame =
+    assembleCuration(s, dir, ensureCurationStages(s, dir))
+
+  /** The retired in-plan factoring of [[curationPipeline]] — the whole
+    * five-stage job as ONE DataFrame composition (stage subtrees
+    * lineage-truncated but still derived per run). Kept as the spec twin
+    * pinning that stage materialization does not change the output
+    * (PipelineSpec), and as the honest record of why the staged form
+    * won: at sf1 this form is 3× slower and its driver-action chain
+    * re-pays the corpus pass on every invocation. */
+  private[graft] def curationPipelineInPlan(s: SparkSession, dir: String): DataFrame = {
+    DedupOps.freshGen()
+    val Budget = 2000L
+    val quality = qualityKept(s, dir)
     val exactKeep = quality.groupBy("fp").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    // 3. near-dup cluster non-representatives (corpus-level artifact).
-    //    TRUNCATED (VERDICT r6 #1/#7): the drop-list is tiny (dup-volume
-    //    rows) but its lineage is the whole LSH+verify+propagation DAG —
-    //    left in place, every AQE re-plan and codegen pass of the final
-    //    pipeline re-traverses it (measured 60+ s of driver-side
-    //    between-job time on the first run). DedupOps.truncate cuts the
-    //    finished stage out of the downstream plan, exactly what a
-    //    production pipeline does by writing stage outputs to a table.
     val clusterDrops = DedupOps.truncate(DedupOps.dedupClusters(s, dir)
       .filter(col("cluster_id") =!= col("doc_id")).select("doc_id"))
-    // 4. contaminated train docs (corpus-level artifact): ≥ 30% of the
-    //    doc's shingles seen in eval; eval slice itself is excluded by
-    //    the % 50 filter below. Same truncation rationale as stage 3.
     val contaminated = DedupOps.truncate(DedupOps.decontamNgram(s, dir)
       .filter(col("contam_ratio") >= 0.3).select("doc_id"))
     val survivors = withRangeBucket(
@@ -340,7 +403,7 @@ object PipelineOps {
         .join(contaminated, Seq("doc_id"), "left_anti")
         .filter(col("doc_id") % 50 =!= 0)
         .select(col("doc_id"), col("lang"), col("n_tokens")),
-      "doc_id", docs.select("doc_id"))
+      "doc_id", documents(s, dir).select("doc_id"))
     packShards(survivors, Budget)
   }
 
@@ -362,48 +425,20 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
-  /** L18b: [[curationPipeline]] in its PRODUCTION factoring (VERDICT r7
-    * #5) — the corpus-level stage artifacts (exact-dedup keepers, near-dup
-    * cluster drop-list, contamination drop-list) each WRITE a parquet stage
-    * table and the final assembly READS the tables back. That is what a
-    * real pipeline does between stages (each one restartable, inspectable,
+  /** L18b: the curation stage PRODUCER job (VERDICT r7 #5 / r8 #2) — the
+    * corpus-level stage artifacts (exact-dedup keepers, near-dup cluster
+    * drop-list, contamination drop-list) each WRITE a parquet stage table
+    * and the final assembly READS the tables back. That is what a real
+    * pipeline does between stages (each one restartable, inspectable,
     * reusable), and it hard-truncates lineage: the final plan sees three
     * tiny parquet scans instead of the whole LSH + propagation + decontam
-    * DAG, so re-plans/codegen passes in a long session never re-traverse
-    * upstream stages. Output is IDENTICAL to [[curationPipeline]] (same
-    * oracle; PipelineSpec pins frame equality). */
-  def curationPipelineStaged(s: SparkSession, dir: String): DataFrame = {
-    DedupOps.freshGen()
-    val Budget = 2000L
-    val root = s"/tmp/graft_curation_stages_${dir.replaceAll("[^0-9.]", "")}"
-    val docs = documents(s, dir)
-    val toks = split(col("text"), " ")
-    // stage 1 (map-side, stays in-plan: a filter is not worth a table)
-    val quality = docs
-      .filter(col("n_chars") >= 150 && col("n_chars") <= 450 &&
-        size(toks).cast("double") / size(array_distinct(toks)) <= 2.5)
-      .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tokens"),
-        md5(col("text")).as("fp"))
-    // stages 2–4: corpus-level artifacts, one parquet table each
-    quality.groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
-      .write.mode("overwrite").parquet(s"$root/exact_keep")
-    DedupOps.dedupClusters(s, dir)
-      .filter(col("cluster_id") =!= col("doc_id")).select("doc_id")
-      .write.mode("overwrite").parquet(s"$root/cluster_drops")
-    DedupOps.decontamNgram(s, dir)
-      .filter(col("contam_ratio") >= 0.3).select("doc_id")
-      .write.mode("overwrite").parquet(s"$root/contaminated")
-    // stage 5 assembles from the STORED artifacts
-    val survivors = withRangeBucket(
-      quality
-        .join(s.read.parquet(s"$root/exact_keep"), Seq("doc_id"), "left_semi")
-        .join(s.read.parquet(s"$root/cluster_drops"), Seq("doc_id"), "left_anti")
-        .join(s.read.parquet(s"$root/contaminated"), Seq("doc_id"), "left_anti")
-        .filter(col("doc_id") % 50 =!= 0)
-        .select(col("doc_id"), col("lang"), col("n_tokens")),
-      "doc_id", docs.select("doc_id"))
-    packShards(survivors, Budget)
-  }
+    * DAG. Unlike [[curationPipeline]] (which reuses a session's existing
+    * stage tables) this key ALWAYS rebuilds them — the write is the
+    * product; benchmarking this key measures the corpus pass. Output is
+    * IDENTICAL to [[curationPipeline]] (same oracle; PipelineSpec pins
+    * frame equality against the in-plan twin). */
+  def curationPipelineStaged(s: SparkSession, dir: String): DataFrame =
+    assembleCuration(s, dir, buildCurationStages(s, dir))
 
   /** L18c: the curation funnel report — per-stage survivor/dropped counts
     * for the [[curationPipeline]] stage chain (corpus → quality → exact
@@ -416,25 +451,30 @@ object PipelineOps {
     * cluster-drop / contamination memberships are left-join markers
     * against the same lineage-truncated drop-list artifacts the pipeline
     * itself uses), the per-stage-reached counts aggregate once, and the
-    * 6-row funnel is reverse-cumulated on a broadcast spine. At 100 TB
-    * with the staged pipeline the same report falls out of stage-table
-    * row counts — this in-plan form is the single-query equivalent, and
-    * its numbers must (and do, by the shared artifacts) match the staged
-    * tables exactly. */
+    * 6-row funnel is reverse-cumulated on a broadcast spine.
+    *
+    * Factoring (VERDICT r8 #1): the stage memberships come from the SAME
+    * stored stage tables the pipeline assembles from
+    * ([[ensureCurationStages]]) — the funnel is a CONSUMER of the
+    * curation artifacts, never a re-derivation of the LSH + propagation
+    * + decontam DAG. At 100 TB this is one pruned corpus pass (doc_id +
+    * the quality scalar columns) joined against three tiny id tables;
+    * the explained plan carries no dedup subtree (PipelineSpec pins
+    * that). By construction its numbers match the staged tables exactly.
+    * Every stage row is always emitted, n_docs = 0 included (left join
+    * from the 6-row spine — a corpus where a stage drops everything
+    * still reports all 6 rows, matching the oracle). */
   def corpusDedupFunnel(s: SparkSession, dir: String): DataFrame = {
-    DedupOps.freshGen()
+    val root = ensureCurationStages(s, dir)
     val docs = documents(s, dir)
     val toks = split(col("text"), " ")
     val qOk = col("n_chars") >= 150 && col("n_chars") <= 450 &&
       size(toks).cast("double") / size(array_distinct(toks)) <= 2.5
-    val exactKeep = docs.filter(qOk)
-      .groupBy(md5(col("text")).as("fp")).agg(min("doc_id").as("doc_id"))
-      .select("doc_id").withColumn("ek", lit(true))
-    val clusterDrops = DedupOps.truncate(DedupOps.dedupClusters(s, dir)
-      .filter(col("cluster_id") =!= col("doc_id")).select("doc_id"))
+    val exactKeep = s.read.parquet(s"$root/exact_keep")
+      .withColumn("ek", lit(true))
+    val clusterDrops = s.read.parquet(s"$root/cluster_drops")
       .withColumn("cd", lit(true))
-    val contaminated = DedupOps.truncate(DedupOps.decontamNgram(s, dir)
-      .filter(col("contam_ratio") >= 0.3).select("doc_id"))
+    val contaminated = s.read.parquet(s"$root/contaminated")
       .withColumn("ct", lit(true))
     val reached = docs.select(col("doc_id"), qOk.as("q_ok"))
       .join(exactKeep, Seq("doc_id"), "left")
@@ -451,8 +491,11 @@ object PipelineOps {
       "decontam", "eval_holdout")
     val spine = s.range(1).select(posexplode(array(names.map(lit): _*)))
       .select(col("pos").cast("int").as("stage"), col("col").as("stage_name"))
-    val funnel = spine.join(reached, col("r") >= col("stage"))
-      .groupBy("stage", "stage_name").agg(sum(col("cnt")).as("n_docs"))
+    // left join from the spine (ADVICE r8): a stage reached by zero docs
+    // must still emit its row with n_docs = 0, as the oracle always does.
+    val funnel = spine.join(reached, col("r") >= col("stage"), "left")
+      .groupBy("stage", "stage_name")
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_docs"))
     val w = Window.orderBy("stage")
     funnel
       .select(col("stage"), col("stage_name"), col("n_docs"),

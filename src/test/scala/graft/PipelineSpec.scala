@@ -22,16 +22,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2.loadedReadBack == r1.loadedReadBack, "re-run must not duplicate rows")
   }
 
-  test("curation_pipeline_staged produces the identical frame to the in-plan form") {
+  test("curation_pipeline_staged produces the identical frame to the in-plan twin") {
     val sf = TestSpark.Sf0001
-    val inPlan = ops.PipelineOps.curationPipeline(spark, sf).collect().toSeq
+    val inPlan = ops.PipelineOps.curationPipelineInPlan(spark, sf).collect().toSeq
     val staged = ops.PipelineOps.curationPipelineStaged(spark, sf).collect().toSeq
     assert(staged == inPlan, "stage materialization must not change the output")
     // the stage tables really exist on disk (the production factoring)
-    val root = s"/tmp/graft_curation_stages_${sf.replaceAll("[^0-9.]", "")}"
+    val root = ops.PipelineOps.curationStageRoot(sf)
     Seq("exact_keep", "cluster_drops", "contaminated").foreach { t =>
       assert(new java.io.File(s"$root/$t/_SUCCESS").isFile, s"stage table $t missing")
     }
+    // the registry FLAGSHIP (stage-table assembly, VERDICT r8 #2) agrees too
+    val flagship = ops.PipelineOps.curationPipeline(spark, sf).collect().toSeq
+    assert(flagship == inPlan, "flagship assembly must match the in-plan twin")
+  }
+
+  test("flagship + funnel consume stage tables: no dedup subtree in either plan") {
+    // VERDICT r8 #1: the funnel (and the flagship assembly) must read the
+    // stored stage tables, not re-derive the LSH/propagation/decontam DAG.
+    // The dedup subtree always carries the band_key postings column; the
+    // stage tables are bare doc_id lists — its presence in the optimized
+    // plan means a re-derivation crept back in.
+    val sf = TestSpark.Sf0001
+    Seq(
+      "corpus_dedup_funnel" -> ops.PipelineOps.corpusDedupFunnel(spark, sf),
+      "curation_pipeline" -> ops.PipelineOps.curationPipeline(spark, sf)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("band_key"), s"$name re-derives the LSH subtree")
+      assert(!plan.contains("contam_ratio"), s"$name re-derives the decontam subtree")
+      assert(plan.contains("exact_keep") || plan.contains("Relation"),
+        s"$name does not scan the stage tables")
+    }
+    // and the funnel's counts agree with the stage tables themselves
+    val root = ops.PipelineOps.curationStageRoot(sf)
+    val funnel = ops.PipelineOps.corpusDedupFunnel(spark, sf).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val nExact = spark.read.parquet(s"$root/exact_keep").count()
+    assert(funnel("exact_dedup") == nExact,
+      s"funnel exact_dedup ${funnel("exact_dedup")} != stage table $nExact")
+    assert(funnel.size == 6 && funnel("corpus") >= funnel("quality"))
   }
 
   test("sink_compact: 64 fragments collapse to <= 4 files, content preserved") {
