@@ -95,7 +95,12 @@ object Explain {
                   // round 8d: filtered ANN probe (predicate inside the
                   // 4-cell candidate scan) + the two stored-index audits
                   "knn_filtered", "ann_index_stats", "minhash_index_stats",
-                  "embed_outliers", "ann_index_delete")) {
+                  "embed_outliers", "ann_index_delete",
+                  // round 9: the MinHash postings delete (batch-pruned
+                  // dynamic partition overwrite) + the stage-table
+                  // flagship/funnel (plans must show parquet stage scans,
+                  // no LSH subtree)
+                  "dedup_index_delete", "curation_pipeline")) {
       println(s"===== $q =====")
       // Cap per-query output: cached-frame-heavy composites nest their
       // InMemoryRelation child plans repeatedly and can print 50k+ lines

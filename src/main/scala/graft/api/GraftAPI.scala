@@ -174,6 +174,12 @@ object GraftAPI {
   def writeMinhashIndex(df: DataFrame, id: String, text: String, path: String,
                         numHashes: Int = 128, bands: Int = 16): DataFrame = {
     val s = df.sparkSession
+    // The marker must genuinely commit LAST on a rebuild too (ADVICE r8):
+    // drop any prior marker before the overwrite starts, or a crash
+    // mid-rewrite would leave a valid-looking _SUCCESS over partial data.
+    val marker = new java.io.File(path, "_SUCCESS")
+    if (marker.isFile) require(marker.delete(),
+      s"could not retire the stale index marker under $path")
     minhashBands(df, id, text, numHashes, bands)
       .withColumnRenamed(id, "_id")
       .withColumn("pband", col("band"))

@@ -502,6 +502,96 @@ object DedupOps {
       .orderBy("band")
   }
 
+  /** Ingest-batch width for the delete-leg live layout: documents land
+    * in id-ranges of 100 per ingest batch, and takedown requests arrive
+    * per source/batch — so the live postings table is hive-partitioned
+    * by (band, ingest batch) and a delete request prunes to the batch
+    * directories that actually contain its documents. (Unlike the ANN
+    * codes, where a vector lives in ONE cell, a document posts to EVERY
+    * band — the batch axis is what makes dedup-index deletes
+    * partition-pruned.) */
+  private[graft] val IngestBatch = 100L
+
+  /** The partition-pruned postings delete core shared by
+    * [[dedupIndexDelete]] and its spec — the dedup mirror of
+    * [[VectorOps.deleteFromCodes]]: anti-join the deletion list out of
+    * ONLY the (band, ingest-batch) partitions that contain deleted
+    * documents, and dynamic-partition-overwrite exactly those
+    * directories; every other partition's files are untouched
+    * (byte-identical — DedupSpec proves it on the live layout). Guards
+    * loudly against a partition emptying out entirely: dynamic
+    * overwrite only replaces partitions PRESENT in the written data, so
+    * a fully-deleted batch would leave stale files behind — at 100 TB
+    * that case is a catalog DROP PARTITION, here it throws with
+    * instructions. */
+  private[graft] def deleteFromBands(s: SparkSession, live: String,
+                                     del: DataFrame): Unit = {
+    val liveT = s.read.parquet(live)
+    val affected = liveT.join(del, "doc_id")
+      .select(col("band").as("aband"), col("pbatch").as("abatch")).distinct()
+    val survivors = liveT.drop("pband")
+      .join(broadcast(affected),
+        col("band") === col("aband") && col("pbatch") === col("abatch"))
+      .join(del, Seq("doc_id"), "left_anti")
+      .drop("aband", "abatch")
+    val emptied = affected.join(
+        survivors.select(col("band").as("sband"), col("pbatch").as("sbatch"))
+          .distinct(),
+        col("aband") === col("sband") && col("abatch") === col("sbatch"),
+        "left_anti")
+      .collect().map(r => s"(band=${r.get(0)}, batch=${r.get(1)})")
+    require(emptied.isEmpty,
+      s"partitions ${emptied.mkString(",")} would be emptied by this delete; " +
+        "drop those partitions via the catalog instead of a data rewrite")
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      survivors.withColumn("pband", col("band"))
+        .repartition(col("pband"), col("pbatch"))
+        .write.mode("overwrite").partitionBy("pband", "pbatch").parquet(live)
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  /** L2n: MinHash index DELETE — the removal leg closing the dedup index
+    * lifecycle (build → probe → append → compact → DELETE), mirroring
+    * `ann_index_delete`: takedown requests / right-to-be-forgotten
+    * remove a document set's postings from the stored band table by
+    * rewriting ONLY the (band, ingest-batch) partitions that contain
+    * them ([[deleteFromBands]]). The registry form first copies the
+    * pristine postings into a scratch "live" layout partitioned by
+    * (band, ingest batch of [[IngestBatch]] ids) — the table a
+    * production delete mutates in place — so the op is idempotent and
+    * bench re-runs measure the same work. Deletion list = a partial
+    * takedown of ingest batch 1 (doc_id in [100, 200) with
+    * doc_id % 3 = 0 — the realistic "one source's slice of one batch"
+    * shape); at 100 TB the rewrite touches NumBands × 1 batch
+    * directories, never the corpus-wide postings. Output is the
+    * post-delete per-band manifest; the oracle recomputes the banding
+    * minus the deleted ids, so a lost or doubled surviving posting
+    * fails the gate. */
+  def dedupIndexDelete(s: SparkSession, dir: String): DataFrame = {
+    val ix = MinhashIndex.ensure(s, dir)
+    val live = s"${ix.root}/bands_live"
+    s.read.parquet(ix.bands).drop("pband")
+      .withColumn("pband", col("band"))
+      .withColumn("pbatch", expr(s"doc_id div $IngestBatch"))
+      .repartition(col("pband"), col("pbatch"))
+      .write.mode("overwrite").partitionBy("pband", "pbatch").parquet(live)
+    val del = documents(s, dir)
+      .filter(col("doc_id") >= 100 && col("doc_id") < 200 &&
+        col("doc_id") % 3 === 0)
+      .select("doc_id")
+    deleteFromBands(s, live, del)
+    s.read.parquet(live)
+      .groupBy("band")
+      .agg(countDistinct(col("band_key")).as("n_keys"),
+        count(lit(1)).as("n_postings"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .select(col("band").cast("int").as("band"), col("n_keys"),
+        col("n_postings"), col("n_docs"))
+      .orderBy("band")
+  }
+
   /** L14: incremental MinHash dedup of a new batch against the STORED
     * corpus index — the steady-state form of [[simjoinLsh]], now actually
     * reading the persisted artifact (r8: previously the "index" was
@@ -778,6 +868,7 @@ object DedupOps {
     "minhash_index_stats" -> minhashIndexStats _,
     "dedup_index_append"  -> dedupIndexAppend _,
     "dedup_index_compact" -> dedupIndexCompact _,
+    "dedup_index_delete"  -> dedupIndexDelete _,
     "dedup_crossdoc_ngrams" -> dedupCrossdocNgrams _,
     "dedup_paragraphs"    -> dedupParagraphs _,
   ).map { case (k, fn) =>
@@ -964,6 +1055,18 @@ object DedupOps {
          |  count(*) AS n_postings,
          |  count(DISTINCT doc_id) AS n_docs
          |FROM bands GROUP BY band ORDER BY band""".stripMargin,
+    // Post-delete manifest: the full banding minus the takedown slice
+    // (ingest batch 1's doc_id % 3 = 0 documents).
+    "dedup_index_delete" ->
+      s"""WITH $shinglesCte,
+         |$bandsCte,
+         |kept AS (SELECT * FROM bands
+         |  WHERE NOT (doc_id >= 100 AND doc_id < 200 AND doc_id % 3 = 0))
+         |SELECT CAST(band AS INT) AS band,
+         |  count(DISTINCT band_key) AS n_keys,
+         |  count(*) AS n_postings,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM kept GROUP BY band ORDER BY band""".stripMargin,
     "dedup_containment" ->
       s"""WITH $shinglesCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

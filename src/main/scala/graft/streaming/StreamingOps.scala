@@ -236,12 +236,17 @@ object StreamingOps {
       col(qVec).cast("array<double>").as("qx"))
     // geometry guard: a query whose dimensionality differs from the
     // trained index would score garbage distances; the stored manifest
-    // makes it a loud failure on the (tiny) batch instead
+    // makes it a loud failure on the (tiny) batch instead. The WHOLE
+    // batch is validated (ADVICE r8 — min==max==dim in one aggregate
+    // over the micro-batch), not just its first row: a batch mixing
+    // correct- and wrong-width vectors must fail, not score silently.
     graft.ops.Artifacts.readMeta(indexRoot).get("dim").foreach { d =>
-      q.select(size(col("qx"))).take(1).foreach { r =>
-        require(r.getInt(0) == d.toInt,
-          s"index at $indexRoot serves dim=$d vectors; batch has dim=${r.getInt(0)}")
-      }
+      q.agg(min(size(col("qx"))).as("lo"), max(size(col("qx"))).as("hi"))
+        .take(1).foreach { r =>
+          if (!r.isNullAt(0)) require(r.getInt(0) == d.toInt && r.getInt(1) == d.toInt,
+            s"index at $indexRoot serves dim=$d vectors; batch has " +
+              s"dims in [${r.getInt(0)}, ${r.getInt(1)}]")
+        }
     }
     val qa = graft.ops.VectorOps.assignCells(
         q.select(col("query_id").as("vec_id"), col("qx").as("x")), coarse)

@@ -485,6 +485,15 @@ class ApiSpec extends AnyFunSuite {
       .select("doc_id", "band", "band_key").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
     assert(stored.nonEmpty && stored.sameElements(want))
+    // ADVICE r8: a REBUILD over an existing index must retire the prior
+    // _SUCCESS before the overwrite starts (marker genuinely commits
+    // last) and still land the identical manifest.
+    val manifest2 = GraftAPI.writeMinhashIndex(docs, "doc_id", "text", root,
+        numHashes = 8, bands = 2)
+      .orderBy("band").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(manifest2.sameElements(manifest), "rebuild changed the manifest")
+    assert(new java.io.File(root, "_SUCCESS").isFile)
   }
 
   test("annIndexStats(facade) == VectorOps.annIndexStats on the stored registry index") {

@@ -209,4 +209,59 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(stats.keySet == postings.map(_._1).toSet)
   }
+
+  test("dedup_index_delete: content == anti-join; untouched batch partitions byte-identical (L2n)") {
+    import org.apache.spark.sql.functions._
+    val ix = ops.MinhashIndex.ensure(spark, sf)
+    val live = s"${ix.root}/bands_live_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(live))
+    spark.read.parquet(ix.bands).drop("pband")
+      .withColumn("pband", col("band"))
+      .withColumn("pbatch", expr(s"doc_id div ${DedupOps.IngestBatch}"))
+      .repartition(col("pband"), col("pbatch"))
+      .write.mode("overwrite").partitionBy("pband", "pbatch").parquet(live)
+    // (pband=i/pbatch=j dir) -> file name -> length, two hive levels deep
+    def listing(): Map[String, Map[String, Long]] =
+      new java.io.File(live).listFiles().filter(_.getName.startsWith("pband="))
+        .flatMap(b => b.listFiles().filter(_.getName.startsWith("pbatch="))
+          .map(d => s"${b.getName}/${d.getName}" -> d.listFiles()
+            .filter(f => f.getName.endsWith(".parquet") && f.length > 0)
+            .map(f => f.getName -> f.length).toMap)).toMap
+    val before = listing()
+    val del = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 100 && col("doc_id") < 200 && col("doc_id") % 3 === 0)
+      .select("doc_id")
+    val delIds = del.collect().map(_.getLong(0)).toSet
+    assert(delIds.nonEmpty)
+    // deleted docs live in ingest batch 1 only -> affected = each band's
+    // pbatch=1 directory; every other batch must stay byte-identical
+    val affected = spark.read.parquet(live)
+      .filter(col("doc_id").isin(delIds.toSeq: _*))
+      .select("band", "pbatch").distinct().collect()
+      .map(r => s"pband=${r.getInt(0)}/pbatch=${r.get(1)}").toSet
+    assert(affected.nonEmpty && affected.size < before.size,
+      "fixture must leave some batch partitions untouched for the pruning claim")
+    DedupOps.deleteFromBands(spark, live, del)
+    val after = listing()
+    (before.keySet -- affected).foreach { p =>
+      assert(after(p) == before(p), s"$p was rewritten but contains no deleted doc")
+    }
+    affected.foreach(p =>
+      assert(after(p).keySet.intersect(before(p).keySet).isEmpty, s"$p kept stale files"))
+    // content: exactly the anti-join survivors, nothing lost or duplicated
+    val got = spark.read.parquet(live).drop("pband", "pbatch")
+    val want = spark.read.parquet(ix.bands).drop("pband")
+      .filter(!col("doc_id").isin(delIds.toSeq: _*))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "post-delete content must be the exact survivor multiset")
+    // and the registry manifest agrees with the survivors' per-band counts
+    val manifest = DedupOps.dedupIndexDelete(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    want.groupBy("band").agg(
+        countDistinct(col("band_key")).as("k"), count(lit(1)).as("p"),
+        countDistinct(col("doc_id")).as("d"))
+      .collect().foreach { r =>
+        assert(manifest(r.getInt(0)) == ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      }
+  }
 }

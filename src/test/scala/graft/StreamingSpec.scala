@@ -555,5 +555,14 @@ class StreamingSpec extends AnyFunSuite {
         "/tmp/graft_geom_ann_out", "vec_id", "embedding")(short, 0L)
     }
     assert(e2.getMessage.contains("dim=64"), e2.getMessage)
+    // ADVICE r8: a batch MIXING correct- and wrong-width query vectors
+    // must fail too — the guard validates the whole batch, not row one.
+    val mixed = emb.limit(1).select($"vec_id", $"embedding".cast("array<double>"))
+      .unionByName(short)
+    val e3 = intercept[IllegalArgumentException] {
+      StreamingOps.annProbeBatch(s"$sf/embeddings.parquet", annRoot,
+        "/tmp/graft_geom_ann_out", "vec_id", "embedding")(mixed, 1L)
+    }
+    assert(e3.getMessage.contains("dims in [32, 64]"), e3.getMessage)
   }
 }
