@@ -83,7 +83,19 @@ object EventOps {
     * deltas in parallel, bucket totals (one row per hour) prefix-sum into
     * offsets, concurrency = offset + within-bucket running sum — no
     * single-task global window. Start sorts before end at equal ts
-    * (delta DESC), so a back-to-back handoff counts both sessions. */
+    * (delta DESC), so a back-to-back handoff counts both sessions.
+    *
+    * Factoring (r9, the r8 in-sweep regression's real cause): the
+    * session frame feeds TWO consumers (the boundary timeline and the
+    * bucket-offset aggregate), and the boundaries used to be a
+    * start/end UNION — the executed plan carried FOUR copies of the
+    * scan + user-shuffle + double-window sessionization subtree. Now
+    * the boundaries are ONE map-side explode of each session row into
+    * its (+1 start, −1 end) pair and the session frame is lazily
+    * persisted, so sessionization runs once per invocation (isolated
+    * sf0.1 min-of-two: 1.28 → 0.73 s). At 100 TB the persisted frame is
+    * one fixed-width row per session — dim-table sized next to the
+    * event log it summarizes. */
   def sessionsConcurrency(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("event_id").asc)
@@ -98,10 +110,13 @@ object EventOps {
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_id")
       .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+      .persist() // lazy, per the DedupOps r6 A/B: the one final action
+                 // materializes it once for both consumers
     val bounds = sess
-      .select(col("user_id"), col("start_ts").as("bts"), lit(1L).as("delta"))
-      .unionAll(sess.select(col("user_id"), col("end_ts").as("bts"),
-        lit(-1L).as("delta")))
+      .select(col("user_id"), explode(array(
+          struct(col("start_ts").as("bts"), lit(1L).as("delta")),
+          struct(col("end_ts").as("bts"), lit(-1L).as("delta")))).as("b"))
+      .select(col("user_id"), col("b.bts").as("bts"), col("b.delta").as("delta"))
       .withColumn("bucket",
         date_format(date_trunc("hour", col("bts")), "yyyy-MM-dd HH"))
     val wIn = Window.partitionBy("bucket")
