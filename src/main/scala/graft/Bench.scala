@@ -24,7 +24,8 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_clusters", "simjoin_lsh",
     "dedup_ngram_jaccard", "decontam_ngram", "dedup_incremental",
     "build_minhash_index", "text_token_entropy", "corpus_dedup_funnel",
-    "dedup_index_append", "dedup_index_compact", "embed_mrl_recall",
+    "dedup_index_append", "dedup_index_compact", "dedup_index_delete",
+    "embed_mrl_recall",
     "knn_cosine", "knn_ivf", "knn_ivf_kmeans", "knn_batch", "embed_neardup",
     "build_ivfpq_index", "ann_index_append", "ann_index_compact",
     "knn_ivf_pq", "semantic_dedup_scaled",
