@@ -264,4 +264,40 @@ class DedupSpec extends AnyFunSuite {
         assert(manifest(r.getInt(0)) == ((r.getLong(1), r.getLong(2), r.getLong(3))))
       }
   }
+
+  test("deleteFromBands edges: empty delete is a byte-level no-op; emptying a batch throws (L2n)") {
+    import org.apache.spark.sql.functions._
+    val sq = spark
+    import sq.implicits._
+    val ix = ops.MinhashIndex.ensure(spark, sf)
+    val live = s"${ix.root}/bands_live_edge"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(live))
+    spark.read.parquet(ix.bands).drop("pband")
+      .withColumn("pband", col("band"))
+      .withColumn("pbatch", expr(s"doc_id div ${DedupOps.IngestBatch}"))
+      .repartition(col("pband"), col("pbatch"))
+      .write.mode("overwrite").partitionBy("pband", "pbatch").parquet(live)
+    def files(): Map[String, Long] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        d.listFiles().toSeq.flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(live)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.length).toMap
+    }
+    val before = files()
+    // an empty takedown list must rewrite NOTHING (no partition appears
+    // in the written data under dynamic overwrite)
+    DedupOps.deleteFromBands(spark, live, Seq.empty[Long].toDF("doc_id"))
+    assert(files() == before, "empty delete rewrote partitions")
+    // deleting EVERY doc of one ingest batch empties its partitions —
+    // must throw toward a catalog DROP PARTITION, never silently leave
+    // stale files under a dynamic overwrite that can't drop them
+    val del = spark.read.parquet(live)
+      .filter(col("pbatch") === 0).select("doc_id").distinct()
+    assert(del.count() > 0)
+    val e = intercept[IllegalArgumentException](
+      DedupOps.deleteFromBands(spark, live, del))
+    assert(e.getMessage.contains("DROP PARTITION") ||
+      e.getMessage.contains("catalog"), e.getMessage)
+    assert(files() == before, "failed delete must not have touched the layout")
+  }
 }

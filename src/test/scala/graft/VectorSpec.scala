@@ -318,6 +318,26 @@ class VectorSpec extends AnyFunSuite {
       "post-delete content must be the exact survivor multiset")
   }
 
+  test("deleteFromCodes: emptying a whole cell throws toward a catalog DROP PARTITION (L3m)") {
+    import org.apache.spark.sql.functions._
+    val ix = ops.IvfPqIndex.ensure(spark, sf)
+    val live = s"${ix.root}/ivfpq_codes_live_guard"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(live))
+    spark.read.parquet(ix.ivfCodes).drop("pcell")
+      .withColumn("pcell", col("cell"))
+      .repartition(col("pcell"))
+      .write.mode("overwrite").partitionBy("pcell").parquet(live)
+    // deletion list = EVERY vector of one cell — dynamic overwrite could
+    // never drop that directory, so the rewrite must refuse loudly
+    val cell0 = spark.read.parquet(live).select("cell").head().getLong(0)
+    val del = spark.read.parquet(live)
+      .filter(col("cell") === cell0).select("vec_id").distinct()
+    assert(del.count() > 0)
+    val e = intercept[IllegalArgumentException](
+      ops.VectorOps.deleteFromCodes(spark, live, del))
+    assert(e.getMessage.contains("catalog"), e.getMessage)
+  }
+
   test("ann_index_stats: summary derives exactly from the stored tables (L3k)") {
     val row = VectorOps.annIndexStats(spark, sf).collect().head
     val ix = ops.IvfPqIndex.ensure(spark, sf)
