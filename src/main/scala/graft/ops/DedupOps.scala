@@ -47,7 +47,28 @@ object DedupOps {
 
   private[ops] def freshGen(): Unit = synchronized {
     cachedGen.foreach(_.unpersist(false)); cachedGen.clear()
+    shingleMemo = None
   }
+
+  /** Generation-scoped shared pin of the shingle table (r9, the
+    * scan-audit finding on the curation stage PRODUCER): dedupClusters'
+    * LSH chain and decontamNgram both start from [[shingleRows]], and
+    * each used to persist its OWN copy — a composite that runs both
+    * (the stage build) tokenized + shingled the corpus twice. One memo
+    * per generation makes the second consumer reuse the first's cached
+    * frame; freshGen clears it with the rest of the generation. */
+  private var shingleMemo: Option[(String, DataFrame)] = None
+
+  private def pinnedShingles(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      shingleMemo match {
+        case Some((d, df)) if d == dir => df
+        case _ =>
+          val df = cache(shingleRows(s, dir))
+          shingleMemo = Some((dir, df))
+          df
+      }
+    }
 
   /** LAZY persist, deliberately (r6 A/B): an eager count() per cache was
     * tried to close the multi-consumer double-compute race and made the
@@ -197,7 +218,7 @@ object DedupOps {
     // verify sides); Spark plans each branch independently, so materialize
     // once. At cluster scale this is a checkpoint/intermediate table, not
     // an executor cache.
-    val shRows = cache(shingleRows(s, dir))
+    val shRows = pinnedShingles(s, dir)
     // Eager count AT THE SHARED ROOT (VERDICT r6 #2): with a lazy persist,
     // the three consumers race into concurrently recomputing the whole
     // window+distinct shingle pipeline inside the first action — the
@@ -359,10 +380,11 @@ object DedupOps {
     * output-scale per-doc overlap count. */
   def decontamNgram(s: SparkSession, dir: String): DataFrame = {
     // three consumers (eval set, totals, hits) — materialize once, with
-    // the same shared-root eager pin as simPairs (one small action; when
-    // a composite already materialized the plan-identical shingle cache,
-    // this count reads cached blocks and costs ~nothing)
-    val sh = cache(shingleRows(s, dir))
+    // the same shared-root eager pin as simPairs; the pin is the
+    // GENERATION-shared shingle frame, so a composite that already ran
+    // the LSH chain (the curation stage build) reuses its cached blocks
+    // here and this count costs ~nothing
+    val sh = pinnedShingles(s, dir)
     sh.count()
     val evalSet = sh.filter(col("doc_id") % 50 === 0).select("x").distinct()
     val train = sh.filter(col("doc_id") % 50 =!= 0)
