@@ -1238,6 +1238,16 @@ object Relational {
     * `ntile(4)` windows are each a single-task sort at scale, this is
     * none. The as-of date is pinned so re-runs are reproducible. */
   def ordersRfm(s: SparkSession, dir: String): DataFrame = {
+    // Deliberately NOT pinned (scan-audit r9, measured): the plan shows
+    // nine orders scans (three global-position folds × main +
+    // bucket-offset branches + the n_cust broadcast), but each is a
+    // 3-column pruned scan feeding a map-side partial agg, and an A/B
+    // with `.persist()` on this frame measured 1.71 s vs 1.14 s
+    // unpinned at sf0.1 — the materialization barrier costs more than
+    // the re-scans (the r6 lesson again: one big action materializes
+    // every branch with full parallelism). At 100 TB the same trade
+    // holds per-branch scan-side; if orders were an expensive VIEW
+    // rather than a table, stage it upstream instead.
     val per = orders(s, dir).groupBy("o_custkey")
       .agg(datediff(lit("1998-12-31").cast("date"), max(col("o_orderdate")))
         .cast("long").as("recency_days"),
