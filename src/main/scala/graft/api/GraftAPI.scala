@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -172,7 +172,8 @@ object GraftAPI {
     * incremental batch probes co-partition against it without shuffling
     * the stored side. */
   def writeMinhashIndex(df: DataFrame, id: String, text: String, path: String,
-                        numHashes: Int = 128, bands: Int = 16): DataFrame = {
+                        numHashes: Int = 128, bands: Int = 16,
+                        batchWidth: Long = 0): DataFrame = {
     val s = df.sparkSession
     // The marker must genuinely commit LAST on a rebuild too (ADVICE r8):
     // drop any prior marker before the overwrite starts, or a crash
@@ -180,11 +181,22 @@ object GraftAPI {
     val marker = new java.io.File(path, "_SUCCESS")
     if (marker.isFile) require(marker.delete(),
       s"could not retire the stale index marker under $path")
-    minhashBands(df, id, text, numHashes, bands)
+    // batchWidth > 0 adds the ingest-batch partition axis (pbatch =
+    // id div batchWidth) that makes [[minhashIndexDelete]]'s takedowns
+    // partition-pruned: a document posts to EVERY band, so band
+    // partitioning alone cannot prune a delete. Readers are unaffected
+    // (pbatch is one more hive partition column they never select).
+    val banded = minhashBands(df, id, text, numHashes, bands)
       .withColumnRenamed(id, "_id")
       .withColumn("pband", col("band"))
-      .repartition(col("pband"))
-      .write.mode("overwrite").partitionBy("pband").parquet(s"$path/bands")
+    val (laid, partCols) =
+      if (batchWidth > 0)
+        (banded.withColumn("pbatch", expr(s"_id div $batchWidth"))
+           .repartition(col("pband"), col("pbatch")),
+         Seq("pband", "pbatch"))
+      else (banded.repartition(col("pband")), Seq("pband"))
+    laid.write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(s"$path/bands")
     graft.ops.Artifacts.writeMeta(path,
       "numHashes" -> numHashes.toString, "bands" -> bands.toString)
     require(new java.io.File(path, "_SUCCESS").createNewFile() ||
@@ -198,6 +210,32 @@ object GraftAPI {
       .select(col("band").cast("int").as("band"), col("n_keys"),
         col("n_postings"), col("n_docs"))
   }
+
+  /** Partition-pruned takedown on a stored MinHash postings table
+    * written by [[writeMinhashIndex]] WITH a `batchWidth` (the facade
+    * form of the registry's `dedup_index_delete`): anti-joins
+    * `deleteIds` (one column, the document id) out of ONLY the
+    * (band, ingest-batch) partitions containing them via dynamic
+    * partition overwrite — untouched batch directories stay
+    * byte-identical, and a fully-emptied partition throws toward a
+    * catalog DROP PARTITION. Mutates `bandsPath` in place (the live
+    * table a production delete rewrites); copy first if the original
+    * must stay pristine. */
+  def minhashIndexDelete(spark: SparkSession, bandsPath: String,
+                         deleteIds: DataFrame, id: String): Unit =
+    graft.ops.DedupOps.deleteFromBands(spark, bandsPath,
+      deleteIds.select(col(id).as("_id")), idCol = "_id")
+
+  /** Partition-pruned takedown on a stored ANN code table
+    * ([[buildAnnIndex]]'s `<path>/ivfpq_codes` layout; the facade form
+    * of the registry's `ann_index_delete`): rewrites only the cell
+    * partitions containing deleted vectors, leaving every other cell
+    * directory byte-identical; a fully-emptied cell throws toward a
+    * catalog DROP PARTITION. Mutates `codesPath` in place. */
+  def annIndexDelete(spark: SparkSession, codesPath: String,
+                     deleteIds: DataFrame, id: String): Unit =
+    graft.ops.VectorOps.deleteFromCodes(spark, codesPath,
+      deleteIds.select(col(id).as("vec_id")))
 
   /** LSH candidate pairs (id_a < id_b, distinct): bucket-local i<j
     * enumeration over each (band, band_key) group — pair fan-out bounded

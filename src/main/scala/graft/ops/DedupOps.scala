@@ -547,14 +547,15 @@ object DedupOps {
     * that case is a catalog DROP PARTITION, here it throws with
     * instructions. */
   private[graft] def deleteFromBands(s: SparkSession, live: String,
-                                     del: DataFrame): Unit = {
+                                     del: DataFrame,
+                                     idCol: String = "doc_id"): Unit = {
     val liveT = s.read.parquet(live)
-    val affected = liveT.join(del, "doc_id")
+    val affected = liveT.join(del, idCol)
       .select(col("band").as("aband"), col("pbatch").as("abatch")).distinct()
     val survivors = liveT.drop("pband")
       .join(broadcast(affected),
         col("band") === col("aband") && col("pbatch") === col("abatch"))
-      .join(del, Seq("doc_id"), "left_anti")
+      .join(del, Seq(idCol), "left_anti")
       .drop("aband", "abatch")
     val emptied = affected.join(
         survivors.select(col("band").as("sband"), col("pbatch").as("sbatch"))

@@ -496,6 +496,59 @@ class ApiSpec extends AnyFunSuite {
     assert(new java.io.File(root, "_SUCCESS").isFile)
   }
 
+  test("minhashIndexDelete(facade): batchWidth layout, pruned takedown == anti-join") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_mhdel_api").toString
+    GraftAPI.writeMinhashIndex(docs, "doc_id", "text", root,
+      numHashes = 8, bands = 2, batchWidth = 100).collect()
+    val bands = s"$root/bands"
+    val before = spark.read.parquet(bands)
+      .select("_id", "band", "band_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // batchWidth must not change the CONTENT vs the default layout
+    val want = ops.DedupOps.dedupMinhash(spark, sf)
+      .select("doc_id", "band", "band_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(before.sorted.sameElements(want.sorted), "batch axis changed content")
+    val sq = spark
+    import sq.implicits._
+    val delIds = before.map(_._1).distinct.filter(i => i >= 100 && i < 200 && i % 3 == 0)
+    assert(delIds.nonEmpty)
+    GraftAPI.minhashIndexDelete(spark, bands, delIds.toSeq.toDF("doc_id"), "doc_id")
+    val after = spark.read.parquet(bands)
+      .select("_id", "band", "band_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(after.sorted.sameElements(
+      before.filterNot(r => delIds.contains(r._1)).sorted),
+      "post-delete content must be the exact survivor set")
+  }
+
+  test("annIndexDelete(facade): in-place pruned takedown on buildAnnIndex's codes") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_anndel_api").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    GraftAPI.buildAnnIndex(emb, "vec_id", "embedding", root,
+      cells = 8, m = 4, k = 8).collect()
+    val codes = s"$root/ivfpq_codes"
+    def rowKey(r: org.apache.spark.sql.Row): String =
+      r.toSeq.map(String.valueOf).mkString("|")
+    val beforeRows = spark.read.parquet(codes).drop("pcell").collect()
+    val before = beforeRows.map(rowKey).sorted
+    val sq = spark
+    import sq.implicits._
+    val delIds = beforeRows.map(_.getAs[Number]("vec_id").longValue)
+      .distinct.filter(_ % 37 == 0)
+    assert(delIds.nonEmpty)
+    GraftAPI.annIndexDelete(spark, codes, delIds.toSeq.toDF("vec_id"), "vec_id")
+    val after = spark.read.parquet(codes).drop("pcell")
+      .collect().map(rowKey).sorted
+    val survivors = beforeRows
+      .filterNot(r => delIds.contains(r.getAs[Number]("vec_id").longValue))
+      .map(rowKey).sorted
+    assert(after.sameElements(survivors),
+      "post-delete codes must be the exact survivor multiset")
+  }
+
   test("annIndexStats(facade) == VectorOps.annIndexStats on the stored registry index") {
     val ix = ops.IvfPqIndex.ensure(spark, sf)
     val got = GraftAPI.annIndexStats(
