@@ -231,7 +231,12 @@ object GraftAPI {
     * of the registry's `ann_index_delete`): rewrites only the cell
     * partitions containing deleted vectors, leaving every other cell
     * directory byte-identical; a fully-emptied cell throws toward a
-    * catalog DROP PARTITION. Mutates `codesPath` in place. */
+    * catalog DROP PARTITION. Mutates `codesPath` in place. The code
+    * table is the SERVING path (every ADC probe scores from it), so
+    * this is the takedown that stops deleted vectors being returned;
+    * the `cells` assignment table only feeds audits/manifests (refresh
+    * it on the next compact), and the corpus float column is the
+    * caller's own table to purge. */
   def annIndexDelete(spark: SparkSession, codesPath: String,
                      deleteIds: DataFrame, id: String): Unit =
     graft.ops.VectorOps.deleteFromCodes(spark, codesPath,
