@@ -410,7 +410,14 @@ object PipelineOps {
   /** Stage 5 of the curation composite: two-pass prefix sum over the
     * FIXED-cardinality range-bucket spine ([[withRangeBucket]]) → shard
     * ids. Shared by the in-plan and stage-materialized forms. */
-  private def packShards(survivors: DataFrame, budget: Long): DataFrame = {
+  private def packShards(survivorsIn: DataFrame, budget: Long): DataFrame = {
+    // Pinned (scan-audit r9): the two prefix-sum consumers (per-bucket
+    // running sums + the bucket-offset aggregate) otherwise re-derive
+    // the survivor frame — and its lineage re-reads the TEXT column
+    // (n_tokens comes from split(text)), the one column that dominates
+    // scan bytes at corpus scale. The pinned frame is survivor-
+    // cardinality × 4 scalar columns; lazy persist per the r6 A/B.
+    val survivors = survivorsIn.persist()
     val wIn = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val withPos = survivors
