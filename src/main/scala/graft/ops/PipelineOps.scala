@@ -199,6 +199,12 @@ object PipelineOps {
     * generated sparse/duplicate-free id spaces and checks it against an
     * independent local cumulative sum. */
   private[graft] def packByBudget(toks0: DataFrame, budget: Long): DataFrame = {
+    // Deliberately NOT pinned, unlike [[packShards]] (scan-audit r9,
+    // measured): here the re-derived lineage is ONE pruned scan +
+    // map-side split, and an A/B with `.persist()` measured 0.41 s vs
+    // 0.28 s unpinned at sf0.1 — the materialization barrier costs more
+    // than the rescan. packShards pins because its survivor lineage
+    // carries three joins over the text-bearing quality frame.
     val toks = withRangeBucket(toks0, "doc_id", toks0.select("doc_id"))
     val wIn = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
