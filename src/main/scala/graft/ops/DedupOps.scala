@@ -59,7 +59,7 @@ object DedupOps {
     * frame; freshGen clears it with the rest of the generation. */
   private var shingleMemo: Option[(String, DataFrame)] = None
 
-  private def pinnedShingles(s: SparkSession, dir: String): DataFrame =
+  private[ops] def pinnedShingles(s: SparkSession, dir: String): DataFrame =
     synchronized {
       shingleMemo match {
         case Some((d, df)) if d == dir => df
@@ -175,7 +175,7 @@ object DedupOps {
 
   /** (doc_id, band, band_key) LSH banding table: band key = md5 over its
     * RowsPerBand signature slots. */
-  private def bandTableFrom(shRows: DataFrame): DataFrame = {
+  private[ops] def bandTableFrom(shRows: DataFrame): DataFrame = {
     val bands = array((1 to NumBands).map { b =>
       val slots = ((b - 1) * RowsPerBand + 1 to b * RowsPerBand)
         .map(i => col(s"mh$i").cast("string"))

@@ -517,6 +517,75 @@ object PipelineOps {
       .orderBy("stage")
   }
 
+  /** L18d (r9): INCREMENTAL curation — the steady-state daily run. A
+    * new batch (docs ≥ [[DedupOps.IncrementalCutoff]]) gets the full
+    * curation verdict against the STORED base-corpus artifacts, without
+    * re-reading the base text:
+    *
+    *   - quality: the same rule-based filter, pure map-side on the batch;
+    *   - exact dup: batch fingerprints probe the base fingerprint set
+    *     (tiny distinct-md5 table, broadcast);
+    *   - near dup: batch band keys semi-join the PERSISTED base MinHash
+    *     postings ([[MinhashIndex.ensureBase]] — the same stored index
+    *     `dedup_incremental` probes; only the batch shingles + signs);
+    *   - decontamination: batch shingles vs the base eval slice's
+    *     shingle set (broadcast), same r6-snapped ≥ 0.3 ratio rule as
+    *     [[DedupOps.decontamNgram]].
+    *
+    * Output is one row per batch doc with the per-stage signals and the
+    * first-failing-stage verdict (quality → exact_dup → near_dup →
+    * contaminated → keep), mirroring the full pipeline's precedence. At
+    * 100 TB this is the whole point of the stored artifacts: a day's
+    * batch costs one map-side pass over the DAY plus probes of
+    * fixed-width index tables — the corpus is never re-read. The batch
+    * shingle table comes from the generation-shared pin
+    * ([[DedupOps.pinnedShingles]]), so banding and decontamination
+    * share one tokenize+shingle pass. */
+  def curationIncremental(s: SparkSession, dir: String): DataFrame = {
+    DedupOps.freshGen()
+    val cut = DedupOps.IncrementalCutoff
+    val docs = documents(s, dir)
+    val toks = split(col("text"), " ")
+    val qOk = col("n_chars") >= 150 && col("n_chars") <= 450 &&
+      size(toks).cast("double") / size(array_distinct(toks)) <= 2.5
+    val baseFps = docs.filter(col("doc_id") < cut)
+      .select(md5(col("text")).as("fp")).distinct()
+      .withColumn("seen", lit(true))
+    val ix = MinhashIndex.ensureBase(s, dir)
+    val index = s.read.parquet(ix.bands).select("band", "band_key").distinct()
+    val sh = DedupOps.pinnedShingles(s, dir)
+    val batchBands = DedupOps.bandTableFrom(sh.filter(col("doc_id") >= cut))
+    val nearHits = batchBands.join(index, Seq("band", "band_key"), "left_semi")
+      .select("doc_id").distinct().withColumn("near", lit(true))
+    val evalSet = sh.filter(col("doc_id") < cut && col("doc_id") % 50 === 0)
+      .select("x").distinct()
+    val batchSh = sh.filter(col("doc_id") >= cut)
+    val tot = batchSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = batchSh.join(broadcast(evalSet), "x")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    val contam = tot.join(hits, "doc_id")
+      .filter(graft.Tables.r6(
+        col("n_overlap").cast("double") / col("n_shingles")) >= 0.3)
+      .select("doc_id").withColumn("cont", lit(true))
+    docs.filter(col("doc_id") >= cut)
+      .select(col("doc_id"), qOk.as("q_ok"), md5(col("text")).as("fp"))
+      .join(broadcast(baseFps), Seq("fp"), "left")
+      .join(nearHits, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("q_ok"),
+        coalesce(col("seen"), lit(false)).as("exact_dup"),
+        coalesce(col("near"), lit(false)).as("near_dup"),
+        coalesce(col("cont"), lit(false)).as("contaminated"))
+      .select(col("doc_id"), col("q_ok"), col("exact_dup"), col("near_dup"),
+        col("contaminated"),
+        when(!col("q_ok"), "quality")
+          .when(col("exact_dup"), "exact_dup")
+          .when(col("near_dup"), "near_dup")
+          .when(col("contaminated"), "contaminated")
+          .otherwise("keep").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** L10b: deterministic fixed-size per-group sample — at most 20 docs per
     * language, chosen by md5-of-id order. The "inspect a stable handful
     * from every slice" primitive (eval panels, annotation batches,
@@ -821,6 +890,7 @@ object PipelineOps {
     "curation_pipeline"    -> curationPipeline _,
     "corpus_dedup_funnel"  -> corpusDedupFunnel _,
     "curation_pipeline_staged" -> curationPipelineStaged _,
+    "curation_incremental" -> curationIncremental _,
     "cdc_apply_changes"    -> cdcApplyChanges _,
     "cdc_diff_snapshots"   -> cdcDiffSnapshots _,
     "agg_incremental_merge" -> aggIncrementalMerge _,
@@ -911,6 +981,41 @@ object PipelineOps {
     "curation_pipeline_staged" -> curationOracle,
     "curation_pipeline" -> curationOracle,
     "corpus_dedup_funnel" -> funnelOracle,
+    // incremental: batch docs judged against the base slice only
+    "curation_incremental" ->
+      s"""WITH ${DedupOps.shinglesCte},
+         |${DedupOps.bandsCte},
+         |basefp AS (SELECT DISTINCT md5(text) AS fp FROM documents
+         |           WHERE doc_id < ${DedupOps.IncrementalCutoff}),
+         |idx AS (SELECT DISTINCT band, band_key FROM bands
+         |        WHERE doc_id < ${DedupOps.IncrementalCutoff}),
+         |bt AS (SELECT * FROM bands WHERE doc_id >= ${DedupOps.IncrementalCutoff}),
+         |near AS (SELECT DISTINCT bt.doc_id FROM bt JOIN idx USING (band, band_key)),
+         |shr AS (SELECT doc_id, unnest(shingles) AS x FROM shf),
+         |ev AS (SELECT DISTINCT x FROM shr
+         |       WHERE doc_id % 50 = 0 AND doc_id < ${DedupOps.IncrementalCutoff}),
+         |tot AS (SELECT doc_id, count(*) AS n FROM shr
+         |        WHERE doc_id >= ${DedupOps.IncrementalCutoff} GROUP BY doc_id),
+         |hit AS (SELECT doc_id, count(*) AS o FROM shr JOIN ev USING (x)
+         |        WHERE doc_id >= ${DedupOps.IncrementalCutoff} GROUP BY doc_id),
+         |cont AS (SELECT t.doc_id FROM tot t JOIN hit h USING (doc_id)
+         |         WHERE floor(o::DOUBLE / n * 1000000 + 0.5) / 1000000 >= 0.3),
+         |b AS (SELECT doc_id,
+         |        n_chars BETWEEN 150 AND 450 AND
+         |        len(string_split(text, ' '))::DOUBLE /
+         |          len(list_distinct(string_split(text, ' '))) <= 2.5 AS q_ok,
+         |        md5(text) AS fp
+         |      FROM documents WHERE doc_id >= ${DedupOps.IncrementalCutoff})
+         |SELECT b.doc_id, q_ok,
+         |  (fp IN (SELECT fp FROM basefp)) AS exact_dup,
+         |  (b.doc_id IN (SELECT doc_id FROM near)) AS near_dup,
+         |  (b.doc_id IN (SELECT doc_id FROM cont)) AS contaminated,
+         |  CASE WHEN NOT q_ok THEN 'quality'
+         |       WHEN fp IN (SELECT fp FROM basefp) THEN 'exact_dup'
+         |       WHEN b.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+         |       WHEN b.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+         |       ELSE 'keep' END AS verdict
+         |FROM b ORDER BY b.doc_id""".stripMargin,
   ) ++ oracleSqlRest
 
   /** Stage-count funnel over the same CTE chain as [[curationOracle]]. */

@@ -159,6 +159,34 @@ class Round8OpsSpec extends AnyFunSuite {
       "eval_holdout stage must count exactly the pipeline's survivors")
   }
 
+  test("curation_incremental agrees with its single-purpose siblings (L18d)") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.PipelineOps.curationIncremental(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+         r.getString(5))).toMap
+    assert(rows.nonEmpty)
+    // near_dup must equal dedup_incremental's is_dup on the SAME batch —
+    // both probe the same stored base postings
+    val isDup = graft.ops.DedupOps.dedupIncremental(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    isDup.foreach { case (id, dup) =>
+      assert(rows(id)._3 == dup, s"doc $id: near_dup ${rows(id)._3} != is_dup $dup")
+    }
+    // docs dedup_incremental skips (no shingles) must be near_dup = false
+    (rows.keySet -- isDup.keySet).foreach(id => assert(!rows(id)._3))
+    // verdict = first failing stage, exactly
+    rows.foreach { case (id, (q, e, n, c, v)) =>
+      val expect = if (!q) "quality" else if (e) "exact_dup"
+        else if (n) "near_dup" else if (c) "contaminated" else "keep"
+      assert(v == expect, s"doc $id: verdict $v != $expect ($q,$e,$n,$c)")
+    }
+    // every verdict class is represented on the fixture (signal check)
+    val verdicts = rows.values.map(_._5).toSet
+    assert(verdicts.contains("keep") && verdicts.contains("quality"),
+      s"fixture lost verdict diversity: $verdicts")
+  }
+
   test("token entropy separates skewed from uniform at equal TTR") {
     // {a:99,b:1} vs {a:50,b:50}: same n_types/n_tokens, different entropy —
     // the signal's whole point. Computed with the op's own snapping rule.
