@@ -100,7 +100,11 @@ object Explain {
                   // dynamic partition overwrite) + the stage-table
                   // flagship/funnel (plans must show parquet stage scans,
                   // no LSH subtree)
-                  "dedup_index_delete", "curation_pipeline")) {
+                  "dedup_index_delete", "curation_pipeline",
+                  // round 9b: the incremental curation verdict (stored
+                  // base-artifact probes: fingerprint broadcast, postings
+                  // semi-join, eval-shingle broadcast)
+                  "curation_incremental")) {
       println(s"===== $q =====")
       // Cap per-query output: cached-frame-heavy composites nest their
       // InMemoryRelation child plans repeatedly and can print 50k+ lines

@@ -117,7 +117,13 @@ object GraftAPI {
 
   /** Distinct word-trigram shingle rows (id, shingle-string) — the
     * MinHash input layout. */
-  private def shingleRows(df: DataFrame, id: String, text: String): DataFrame = {
+  /** Distinct word-3-gram shingles, one row per (id, shingle `x`) — the
+    * shared tokenize+shingle front of the dedup family, public so
+    * downstream verdict jobs (e.g. the streaming incremental-curation
+    * twin) can probe stored shingle-set artifacts without re-deriving
+    * the recipe. Same windowed-lead form as the engine ops: stays in
+    * whole-stage codegen, shuffles on the id only. */
+  def shingleRows(df: DataFrame, id: String, text: String): DataFrame = {
     val w = Window.partitionBy(id).orderBy("pos")
     df.select(col(id), posexplode(split(lower(col(text)), " ")))
       .withColumnRenamed("col", "w")

@@ -15,6 +15,9 @@ final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
   * table's (id, text) core). */
 final case class DocRow(doc_id: Long, text: String)
 
+/** Document row with the length column the curation quality rules read. */
+final case class CurDocRow(doc_id: Long, text: String, n_chars: Long)
+
 /** Structured Streaming surface (SURVEY.md §2.13): the incremental form of
   * the reference's append-only ingest + idempotent upsert
   * (/root/reference/dags/bigbookapi.py:51 daily batch;
@@ -209,6 +212,74 @@ object StreamingOps {
       .join(hits, Seq(id), "left")
       .select(col(id), coalesce(col("is_dup"), lit(false)).as("is_dup"))
     idempotentBatchWriter(outPath)(flags, batchId)
+  }
+
+  /** Streaming incremental-curation verdict against the STORED base
+    * artifacts — the `foreachBatch` twin of the registry's
+    * `curation_incremental` (L18d), for the steady-state ingest where
+    * documents arrive as a stream: each micro-batch gets quality /
+    * exact-dup / near-dup / decontamination signals and the
+    * first-failing-stage verdict, probing
+    *
+    *   - `baseFpsPath`: the base corpus's distinct text fingerprints
+    *     (one `fp` column; tiny, broadcast),
+    *   - `indexBandsPath`: the persisted base MinHash postings (same
+    *     table [[dedupBatchAgainstIndex]] probes; geometry-guarded),
+    *   - `evalShinglesPath`: the eval slice's shingle set (one `x`
+    *     column; broadcast).
+    *
+    * Only the micro-batch tokenizes/shingles/signs; the stored side is
+    * fixed-width scalar tables — per-batch cost O(batch), the corpus
+    * never re-read. Results land through the idempotent
+    * partition-per-batch sink (at-least-once replay ×
+    * [[idempotentBatchWriter]] = exactly-once verdicts). StreamingSpec
+    * pins stream == the one-shot registry op on the same batch. */
+  def curationVerdictBatch(indexBandsPath: String, baseFpsPath: String,
+                           evalShinglesPath: String, outPath: String,
+                           id: String, text: String, nChars: String,
+                           numHashes: Int = 128, bands: Int = 16,
+                           minChars: Long = 150, maxChars: Long = 450,
+                           maxRep: Double = 2.5, contamMin: Double = 0.3)
+                          (batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    Option(new java.io.File(indexBandsPath).getParent).foreach(root =>
+      graft.ops.Artifacts.requireGeometry(root,
+        "numHashes" -> numHashes.toString, "bands" -> bands.toString))
+    val toks = split(col(text), " ")
+    val qOk = col(nChars) >= minChars && col(nChars) <= maxChars &&
+      size(toks).cast("double") / size(array_distinct(toks)) <= maxRep
+    val baseFps = s.read.parquet(baseFpsPath)
+      .select("fp").distinct().withColumn("seen", lit(true))
+    val index = s.read.parquet(indexBandsPath)
+      .select("band", "band_key").distinct()
+    val bt = graft.api.GraftAPI.minhashBands(batch, id, text, numHashes, bands)
+    val nearHits = bt.join(index, Seq("band", "band_key"), "left_semi")
+      .select(id).distinct().withColumn("near", lit(true))
+    val evalSet = s.read.parquet(evalShinglesPath).select("x").distinct()
+    val sh = graft.api.GraftAPI.shingleRows(batch, id, text)
+    val tot = sh.groupBy(id).agg(count(lit(1)).as("n_shingles"))
+    val hits = sh.join(broadcast(evalSet), "x")
+      .groupBy(id).agg(count(lit(1)).as("n_overlap"))
+    val cont = tot.join(hits, id)
+      .filter(graft.Tables.r6(
+        col("n_overlap").cast("double") / col("n_shingles")) >= contamMin)
+      .select(id).withColumn("cont", lit(true))
+    val out = batch.select(col(id), qOk.as("q_ok"), md5(col(text)).as("fp"))
+      .join(broadcast(baseFps), Seq("fp"), "left")
+      .join(nearHits, Seq(id), "left")
+      .join(cont, Seq(id), "left")
+      .select(col(id), col("q_ok"),
+        coalesce(col("seen"), lit(false)).as("exact_dup"),
+        coalesce(col("near"), lit(false)).as("near_dup"),
+        coalesce(col("cont"), lit(false)).as("contaminated"))
+      .select(col(id), col("q_ok"), col("exact_dup"), col("near_dup"),
+        col("contaminated"),
+        when(!col("q_ok"), "quality")
+          .when(col("exact_dup"), "exact_dup")
+          .when(col("near_dup"), "near_dup")
+          .when(col("contaminated"), "contaminated")
+          .otherwise("keep").as("verdict"))
+    idempotentBatchWriter(outPath)(out, batchId)
   }
 
   /** Streaming ANN probe against the STORED IVF index — the serving face

@@ -467,6 +467,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.values.exists(identity) && streamed.values.exists(!_))
   }
 
+  test("streaming curation verdict against stored base artifacts == curation_incremental") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = docs.filter($"doc_id" < 400)
+    val ixRoot = "/tmp/graft_stream_cur_mhix"
+    val fpsPath = "/tmp/graft_stream_cur_fps"
+    val evPath = "/tmp/graft_stream_cur_eval"
+    val out = "/tmp/graft_stream_cur_out"
+    Seq(ixRoot, fpsPath, evPath, out).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    // stage the three base artifacts the production job would own
+    graft.api.GraftAPI.writeMinhashIndex(base, "doc_id", "text", ixRoot,
+      numHashes = 8, bands = 2)
+    base.select(md5($"text").as("fp")).distinct()
+      .write.parquet(fpsPath)
+    graft.api.GraftAPI.shingleRows(base.filter($"doc_id" % 50 === 0),
+        "doc_id", "text")
+      .select("x").distinct().write.parquet(evPath)
+    // stream the batch side (docs >= 400) in 3 micro-batches
+    val batchDocs = docs.filter($"doc_id" >= 400)
+      .select("doc_id", "text", "n_chars").as[streaming.CurDocRow]
+      .collect().sortBy(_.doc_id).toSeq
+    val ms = MemoryStream[streaming.CurDocRow]
+    val q = ms.toDF().writeStream
+      .foreachBatch(StreamingOps.curationVerdictBatch(
+        s"$ixRoot/bands", fpsPath, evPath, out,
+        "doc_id", "text", "n_chars", numHashes = 8, bands = 2) _)
+      .start()
+    try {
+      batchDocs.grouped(math.max(1, batchDocs.size / 3)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getString(5))
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "q_ok", "exact_dup", "near_dup", "contaminated", "verdict")
+      .collect().map(key).toMap
+    val batch = graft.ops.PipelineOps.curationIncremental(spark, sf)
+      .collect().map(key).toMap
+    assert(streamed == batch,
+      "per-micro-batch verdicts must equal the one-shot incremental curation")
+    assert(streamed.values.map(_._5).toSet.size >= 2, "fixture lost verdict diversity")
+  }
+
   test("streaming ANN probe against the stored IVF index == local cell-pruned top-k") {
     val sq = spark; import sq.implicits._
     implicit val ctx = spark.sqlContext
