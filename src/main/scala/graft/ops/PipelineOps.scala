@@ -198,7 +198,8 @@ object PipelineOps {
     * frame — exposed for the property spec, which drives it with
     * generated sparse/duplicate-free id spaces and checks it against an
     * independent local cumulative sum. */
-  private[graft] def packByBudget(toks0: DataFrame, budget: Long): DataFrame = {
+  private[graft] def packByBudget(toks0: DataFrame, budget: Long,
+                                  startTokens: Option[DataFrame] = None): DataFrame = {
     // Deliberately NOT pinned, unlike [[packShards]] (scan-audit r9,
     // measured): here the re-derived lineage is ONE pruned scan +
     // map-side split, and an A/B with `.persist()` measured 0.41 s vs
@@ -214,11 +215,43 @@ object PipelineOps {
     val offsets = toks.groupBy("bucket").agg(sum(col("n_tokens")).as("btot"))
       .withColumn("offset", coalesce(sum(col("btot")).over(wB), lit(0L)))
       .select(col("bucket").as("ob"), col("offset"))
-    withBucketPos
+    // startTokens: optional 1-row frame carrying the token total already
+    // packed upstream — the whole packing STATE of an incremental
+    // continuation ([[shardPackIncremental]]); stays in-plan (broadcast
+    // cross join), no driver-side collect.
+    val joined = withBucketPos
       .join(broadcast(offsets), col("bucket") === col("ob"))
+    val based = startTokens.fold(joined.withColumn("_start", lit(0L)))(st =>
+      joined.crossJoin(broadcast(
+        st.select(col(st.columns.head).cast("long").as("_start")))))
+    based
       .select(col("doc_id"), col("n_tokens"),
-        ((col("offset") + col("within")) / budget).cast("long").as("shard"))
+        ((col("_start") + col("offset") + col("within")) / budget)
+          .cast("long").as("shard"))
       .orderBy("doc_id")
+  }
+
+  /** L11c (r9): INCREMENTAL shard packing — the day's batch continues
+    * the base corpus's shard numbering. The key design point: the
+    * packing STATE of the deterministic greedy packer is a single
+    * number (the base corpus's token total — shard = floor(cum/budget)
+    * of the global running sum), so the daily run aggregates that one
+    * scalar from the base (or reads it from the prior run's manifest)
+    * and packs ONLY the batch with the two-pass bucket prefix sum,
+    * offset in-plan via a broadcast 1-row frame. No re-pack, no
+    * re-read of already-packed shards, and shard ids stay globally
+    * consistent — exactly how a 100 TB corpus absorbs a daily delta.
+    * Batch = docs ≥ [[DedupOps.IncrementalCutoff]], mirroring the other
+    * incremental legs. */
+  def shardPackIncremental(s: SparkSession, dir: String): DataFrame = {
+    val cut = DedupOps.IncrementalCutoff
+    val toks = documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val baseTot = toks.filter(col("doc_id") < cut)
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("base_tokens"))
+    packByBudget(toks.filter(col("doc_id") >= cut), budget = 10000L,
+      startTokens = Some(baseTot))
   }
 
   /** L11b: shard manifest — the per-shard summary written alongside packed
@@ -891,6 +924,7 @@ object PipelineOps {
     "corpus_dedup_funnel"  -> corpusDedupFunnel _,
     "curation_pipeline_staged" -> curationPipelineStaged _,
     "curation_incremental" -> curationIncremental _,
+    "shard_pack_incremental" -> shardPackIncremental _,
     "cdc_apply_changes"    -> cdcApplyChanges _,
     "cdc_diff_snapshots"   -> cdcDiffSnapshots _,
     "agg_incremental_merge" -> aggIncrementalMerge _,
@@ -1174,6 +1208,21 @@ object PipelineOps {
         |ORDER BY doc_id""".stripMargin,
     // The oracle IS the naive single-task global running sum the two-pass
     // range-bucket decomposition replaces — bucket-independent by design.
+    // incremental continuation: base token total is the packing state
+    "shard_pack_incremental" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+         |  FROM documents),
+         |base AS (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tot
+         |         FROM toks WHERE doc_id < ${DedupOps.IncrementalCutoff}),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM toks WHERE doc_id >= ${DedupOps.IncrementalCutoff})
+         |SELECT doc_id, n_tokens,
+         |  CAST(((SELECT tot FROM base) + cum) // 10000 AS BIGINT) AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
     "shard_pack_tokens" ->
       """WITH toks AS (
         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens

@@ -67,6 +67,28 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental shard packing == batch slice of a full re-pack (L11c)") {
+    // the continuation invariant: packing the batch against the base
+    // token total must produce EXACTLY the rows a full corpus re-pack
+    // would assign to those docs — the incremental run is a pure
+    // optimization, never a different packing
+    val full = ops.PipelineOps.shardPackTokens(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 >= 400)
+    val inc = ops.PipelineOps.shardPackIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(inc.nonEmpty && inc.sameElements(full),
+      "incremental packing diverged from the full re-pack")
+    // and it genuinely continues mid-shard: the first batch doc's shard
+    // equals the base total div budget (not shard 0)
+    val baseTot = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 400)
+      .select(org.apache.spark.sql.functions.expr(
+        "cast(sum(size(split(text, ' '))) as long)"))
+      .head().getLong(0)
+    assert(inc.head._3 == baseTot / 10000L, s"${inc.head} vs base $baseTot")
+  }
+
   test("stratified sampling downsamples the dominant stratum") {
     val docs = Tables.documents(spark, sf)
     val kept = ops.PipelineOps.sampleStratified(spark, sf)
