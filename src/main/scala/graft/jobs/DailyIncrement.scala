@@ -1,0 +1,74 @@
+package graft.jobs
+
+import org.apache.spark.sql.functions._
+
+/** spark-submit entry point for the STEADY-STATE DAILY RUN — the job that
+  * absorbs a day's document batch into an already-curated corpus using
+  * only the stored base artifacts (r9: the operable composition of
+  * `curation_incremental`, `shard_pack_incremental`'s continuation
+  * packing, and `dedup_index_append`):
+  *
+  *   1. VERDICTS: every batch doc gets the quality / exact-dup /
+  *      near-dup / decontamination verdict against the base fingerprints,
+  *      persisted MinHash postings, and eval shingles
+  *      ([[graft.ops.PipelineOps.curationIncremental]]) →
+  *      `<outDir>/verdicts`;
+  *   2. SHARDS: the day's KEEPERS pack into training shards continuing
+  *      the global shard numbering — the packer's whole state is one
+  *      scalar (tokens already packed), passed as the optional third
+  *      argument from the previous run's report line, or derived from
+  *      the base slice for the demo corpus → `<outDir>/shards`;
+  *   3. INDEX: the batch's band postings land as a delta next to the
+  *      base MinHash index ([[graft.ops.DedupOps.dedupIndexAppend]]), so
+  *      tomorrow's near-dup probe sees today's documents; the per-band
+  *      manifest → `<outDir>/postings_manifest`.
+  *
+  * Every stage re-runs idempotently (all writes are overwrites keyed by
+  * the batch), and at 100 TB the whole job costs one pass over the DAY:
+  * the base corpus text is never re-read — that is the point of the
+  * stored-artifact architecture.
+  *
+  * Usage:
+  * {{{
+  * spark-submit --class graft.jobs.DailyIncrement graft-engine.jar \
+  *   /data/corpus/sfdir /data/corpus/increments/2026-08-15 [packedTokens]
+  * }}}
+  */
+object DailyIncrement {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2 || args.length == 3,
+      "usage: DailyIncrement <sfDir> <outDir> [packedTokens]")
+    val sfDir = args(0)
+    val outDir = args(1)
+    val spark = JobSession.get("graft-daily-increment")
+    try {
+      graft.ops.PipelineOps.curationIncremental(spark, sfDir)
+        .write.mode("overwrite").parquet(s"$outDir/verdicts")
+      val verdicts = spark.read.parquet(s"$outDir/verdicts")
+      val keep = verdicts.filter(col("verdict") === "keep").select("doc_id")
+      val toks = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val state = args.lift(2).map(_.toLong) match {
+        case Some(t) => spark.range(1).select(lit(t).as("base_tokens"))
+        case None => toks
+          .filter(col("doc_id") < graft.ops.DedupOps.IncrementalCutoff)
+          .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("base_tokens"))
+      }
+      graft.ops.PipelineOps.packByBudget(
+          toks.join(keep, "doc_id"), budget = 10000L, startTokens = Some(state))
+        .write.mode("overwrite").parquet(s"$outDir/shards")
+      graft.ops.DedupOps.dedupIndexAppend(spark, sfDir)
+        .write.mode("overwrite").parquet(s"$outDir/postings_manifest")
+      val shards = spark.read.parquet(s"$outDir/shards")
+      val packedTokens = shards.agg(coalesce(sum("n_tokens"), lit(0L)))
+        .head().getLong(0)
+      val report =
+        s"[daily-increment] batch=${verdicts.count()} keep=${keep.count()} " +
+          s"packed_tokens=$packedTokens " +
+          s"last_shard=${shards.agg(coalesce(max("shard"), lit(-1L))).head().getLong(0)}"
+      println(report)
+    } finally JobSession.release(spark)
+  }
+}

@@ -645,7 +645,7 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  private[ops] val IncrementalCutoff = 400
+  private[graft] val IncrementalCutoff = 400
 
   private val SimBits = 16
 

@@ -38,6 +38,65 @@ class JobsSpec extends AnyFunSuite {
   test("mains reject bad usage instead of half-running") {
     intercept[IllegalArgumentException](jobs.ExtractBooks.main(Array.empty))
     intercept[IllegalArgumentException](jobs.RunBooksPipeline.main(Array("only-one")))
+    intercept[IllegalArgumentException](jobs.DailyIncrement.main(Array("only-one")))
+  }
+
+  test("DailyIncrement main absorbs the batch; outputs consistent and idempotent") {
+    import org.apache.spark.sql.functions._
+    spark // join the shared session
+    val sf = TestSpark.Sf0001
+    val out = "/tmp/graft_jobs_daily"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    jobs.DailyIncrement.main(Array(sf, out))
+    val verdicts = spark.read.parquet(s"$out/verdicts")
+    val shards = spark.read.parquet(s"$out/shards")
+    val manifest = spark.read.parquet(s"$out/postings_manifest")
+    // verdicts = the registry op's rows exactly
+    val want = ops.PipelineOps.curationIncremental(spark, sf).count()
+    assert(verdicts.count() == want && want > 0)
+    // shards cover exactly the keepers, continuing base numbering
+    val nKeep = verdicts.filter(col("verdict") === "keep").count()
+    assert(shards.count() == nKeep && nKeep > 0)
+    assert(shards.agg(min("shard")).head().getLong(0) > 0,
+      "keeper shards must continue base numbering, not restart at 0")
+    // postings delta manifest: every band row carries the batch delta
+    assert(manifest.count() > 0 &&
+      manifest.agg(sum("n_new")).head().getLong(0) > 0)
+    // orchestrator retry: byte-stable outputs on identical re-run
+    val first = verdicts.collect().map(_.toString).sorted
+    jobs.DailyIncrement.main(Array(sf, out))
+    val second = spark.read.parquet(s"$out/verdicts")
+      .collect().map(_.toString).sorted
+    assert(first.sameElements(second), "re-run changed the verdicts")
+    // explicit state arg: passing the derived base total byte-matches
+    val baseTot = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 400)
+      .selectExpr("cast(sum(size(split(text, ' '))) as long)")
+      .head().getLong(0)
+    val out2 = "/tmp/graft_jobs_daily2"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out2))
+    jobs.DailyIncrement.main(Array(sf, out2, baseTot.toString))
+    val a = spark.read.parquet(s"$out/shards").collect().map(_.toString).sorted
+    val b = spark.read.parquet(s"$out2/shards").collect().map(_.toString).sorted
+    assert(a.sameElements(b), "explicit packing state diverged from derived")
+  }
+
+  test("daily-increment DAG example parses and submits exactly the tested main") {
+    val f = new java.io.File("examples/airflow_daily_increment_dag.py")
+    assert(f.exists(), s"DAG example missing at ${f.getAbsolutePath}")
+    val src = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val mains = """main="([\w.]+)"""".r.findAllMatchIn(src).map(_.group(1)).toSet
+    assert(mains == Set("graft.jobs.DailyIncrement"),
+      s"DAG submits unexpected mains: $mains")
+    assert(src.contains("with DAG(") && src.contains("\"retries\""))
+    val py = Seq("/usr/bin/python3", "/usr/local/bin/python3")
+      .find(p => new java.io.File(p).canExecute)
+    assume(py.isDefined, "no python3 on PATH — structural checks above still ran")
+    val proc = new ProcessBuilder(py.get, "-c",
+      s"import ast,sys; ast.parse(open(sys.argv[1]).read())", f.getPath)
+      .redirectErrorStream(true).start()
+    val outS = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+    assert(proc.waitFor() == 0, s"DAG example fails Python parse:\n$outS")
   }
 
   test("jobs joining the shared session must not stop it") {
