@@ -266,6 +266,35 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("packByBudget with a start offset == prefix sum shifted by exactly that many tokens") {
+    // the continuation invariant behind shard_pack_incremental, on
+    // arbitrary id spaces AND arbitrary already-packed token totals
+    val sq = spark; import sq.implicits._
+    val rowGen = for {
+      id <- Gen.oneOf(Gen.choose(0L, 50L), Gen.choose(0L, 1000000000L))
+      n <- Gen.choose(1L, 500L)
+    } yield (id, n)
+    val caseGen = for {
+      raw <- Gen.listOfN(40, rowGen)
+      start <- Gen.oneOf(Gen.const(0L), Gen.choose(1L, 100000L))
+    } yield (raw, start)
+    val prop = Prop.forAll(caseGen) { case (raw, start) =>
+      val rows = raw.groupBy(_._1).map { case (id, vs) => (id, vs.head._2) }.toSeq
+      val budget = 1000L
+      val model = rows.sortBy(_._1)
+        .scanLeft((0L, 0L, start)) { case ((_, _, cum), (id, n)) => (id, n, cum + n) }
+        .drop(1)
+        .map { case (id, n, cumIncl) => (id, n, (cumIncl - n) / budget) }
+      val st = Seq(start).toDF("base_tokens")
+      val got = ops.PipelineOps.packByBudget(
+          rows.toDF("doc_id", "n_tokens"), budget, startTokens = Some(st))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      Prop(got == model) :| s"start=$start got=${got.take(5)}… model=${model.take(5)}…"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("tokenEntropy == local snapped model on generated word-salad docs") {
     val sq = spark; import sq.implicits._
     val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "x")
