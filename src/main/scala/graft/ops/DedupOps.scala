@@ -532,7 +532,7 @@ object DedupOps {
     * codes, where a vector lives in ONE cell, a document posts to EVERY
     * band — the batch axis is what makes dedup-index deletes
     * partition-pruned.) */
-  private[graft] val IngestBatch = 100L
+  private[graft] val IngestBatch = 250L
 
   /** The partition-pruned postings delete core shared by
     * [[dedupIndexDelete]] and its spec — the dedup mirror of
