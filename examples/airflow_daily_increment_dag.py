@@ -40,7 +40,8 @@ with DAG(
 ) as dag:
     # One job = the whole daily absorption: verdicts -> keeper shards
     # (continuing global numbering) -> postings delta manifest. The
-    # optional third argument is the previous run's packed-token total;
+    # optional third argument is the previous run's reported
+    # packed_tokens_total (cumulative - feed it back verbatim);
     # production reads it from yesterday's report, the demo derives it.
     daily = BashOperator(
         task_id="absorb_daily_batch",

@@ -115,8 +115,6 @@ object GraftAPI {
         coalesce(col("text_kept"), lit("")).as("text_kept"))
   }
 
-  /** Distinct word-trigram shingle rows (id, shingle-string) — the
-    * MinHash input layout. */
   /** Distinct word-3-gram shingles, one row per (id, shingle `x`) — the
     * shared tokenize+shingle front of the dedup family, public so
     * downstream verdict jobs (e.g. the streaming incremental-curation
@@ -203,8 +201,12 @@ object GraftAPI {
       else (banded.repartition(col("pband")), Seq("pband"))
     laid.write.mode("overwrite").partitionBy(partCols: _*)
       .parquet(s"$path/bands")
+    // batchWidth is recorded so [[minhashIndexDelete]] can refuse an index
+    // written WITHOUT a batch axis with a geometry message instead of a
+    // late missing-pbatch-column AnalysisException (ADVICE r9).
     graft.ops.Artifacts.writeMeta(path,
-      "numHashes" -> numHashes.toString, "bands" -> bands.toString)
+      "numHashes" -> numHashes.toString, "bands" -> bands.toString,
+      "batchWidth" -> batchWidth.toString)
     require(new java.io.File(path, "_SUCCESS").createNewFile() ||
       new java.io.File(path, "_SUCCESS").isFile,
       s"could not commit index marker under $path")
@@ -228,9 +230,39 @@ object GraftAPI {
     * table a production delete rewrites); copy first if the original
     * must stay pristine. */
   def minhashIndexDelete(spark: SparkSession, bandsPath: String,
-                         deleteIds: DataFrame, id: String): Unit =
-    graft.ops.DedupOps.deleteFromBands(spark, bandsPath,
-      deleteIds.select(col(id).as("_id")), idCol = "_id")
+                         deleteIds: DataFrame, id: String): Unit = {
+    val root = new java.io.File(bandsPath).getParentFile
+    // Loud geometry guard (ADVICE r9): an index written without a batch
+    // axis has no pbatch partition column — fail with instructions here,
+    // not with an opaque missing-column AnalysisException mid-join.
+    graft.ops.Artifacts.readMeta(root.getPath).get("batchWidth")
+      .foreach(bw => require(bw.toLong > 0,
+        s"index at $root was written without a batchWidth (ingest-batch " +
+          "partition axis) — partition-pruned deletes need it; rebuild " +
+          "with writeMinhashIndex(batchWidth = <ids per ingest batch>)"))
+    withRetiredMarker(root) {
+      graft.ops.DedupOps.deleteFromBands(spark, bandsPath,
+        deleteIds.select(col(id).as("_id")), idCol = "_id")
+    }
+  }
+
+  /** The delete legs rewrite live partitions in place, so the index's
+    * root `_SUCCESS` must not stay valid across the rewrite (ADVICE r9 —
+    * the same "marker commits last" rule [[writeMinhashIndex]] enforces
+    * for rebuilds): retire it before the dynamic partition overwrite
+    * starts, recreate it only after the rewrite commits. A crash
+    * mid-delete then reads as an uncommitted index, not a valid-looking
+    * marker over a partially rewritten table. No-op when the table has
+    * no root marker (scratch layouts). */
+  private def withRetiredMarker(root: java.io.File)(body: => Unit): Unit = {
+    val marker = new java.io.File(root, "_SUCCESS")
+    val had = marker.isFile
+    if (had) require(marker.delete(),
+      s"could not retire the index marker under $root before the delete")
+    body
+    if (had) require(marker.createNewFile() || marker.isFile,
+      s"could not recommit the index marker under $root after the delete")
+  }
 
   /** Partition-pruned takedown on a stored ANN code table
     * ([[buildAnnIndex]]'s `<path>/ivfpq_codes` layout; the facade form
@@ -245,8 +277,10 @@ object GraftAPI {
     * caller's own table to purge. */
   def annIndexDelete(spark: SparkSession, codesPath: String,
                      deleteIds: DataFrame, id: String): Unit =
-    graft.ops.VectorOps.deleteFromCodes(spark, codesPath,
-      deleteIds.select(col(id).as("vec_id")))
+    withRetiredMarker(new java.io.File(codesPath).getParentFile) {
+      graft.ops.VectorOps.deleteFromCodes(spark, codesPath,
+        deleteIds.select(col(id).as("vec_id")))
+    }
 
   /** LSH candidate pairs (id_a < id_b, distinct): bucket-local i<j
     * enumeration over each (band, band_key) group — pair fan-out bounded

@@ -16,12 +16,21 @@ import org.apache.spark.sql.functions._
   *   2. SHARDS: the day's KEEPERS pack into training shards continuing
   *      the global shard numbering — the packer's whole state is one
   *      scalar (tokens already packed), passed as the optional third
-  *      argument from the previous run's report line, or derived from
-  *      the base slice for the demo corpus → `<outDir>/shards`;
+  *      argument: the PREVIOUS run's reported `packed_tokens_total`
+  *      (cumulative — the report emits it precisely so it can be fed
+  *      back verbatim), or derived from the base slice for the demo
+  *      corpus → `<outDir>/shards`;
   *   3. INDEX: the batch's band postings land as a delta next to the
   *      base MinHash index ([[graft.ops.DedupOps.dedupIndexAppend]]), so
   *      tomorrow's near-dup probe sees today's documents; the per-band
-  *      manifest → `<outDir>/postings_manifest`.
+  *      manifest → `<outDir>/postings_manifest`;
+  *   4. ANN: the day's embedding batch is encoded against the base
+  *      index's STORED codebooks (coarse-assign + residual-PQ, no
+  *      retraining — [[graft.ops.VectorOps.annIndexAppend]]) and lands
+  *      as a cell-partitioned delta next to the base codes, so
+  *      tomorrow's vector probes see today's vectors too; the merged
+  *      per-cell manifest → `<outDir>/ann_delta_manifest`. One
+  *      spark-submit absorbs a day for BOTH indexes (VERDICT r9 #4).
   *
   * Every stage re-runs idempotently (all writes are overwrites keyed by
   * the batch), and at 100 TB the whole job costs one pass over the DAY:
@@ -50,24 +59,38 @@ object DailyIncrement {
       val toks = graft.Tables.documents(spark, sfDir)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      val state = args.lift(2).map(_.toLong) match {
-        case Some(t) => spark.range(1).select(lit(t).as("base_tokens"))
-        case None => toks
-          .filter(col("doc_id") < graft.ops.DedupOps.IncrementalCutoff)
-          .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("base_tokens"))
-      }
+      // The packer's whole state is one scalar: tokens already packed
+      // BEFORE this batch (args(2) = yesterday's reported
+      // packed_tokens_total; derived from the base slice for the demo
+      // corpus when absent). Resolved to a concrete long here because the
+      // report line must carry the CUMULATIVE total back out — emitting
+      // only the day's sum would make a caller who feeds it back restart
+      // shard numbering near zero (ADVICE r9).
+      val baseTokens = args.lift(2).map(_.toLong).getOrElse(
+        toks.filter(col("doc_id") < graft.ops.DedupOps.IncrementalCutoff)
+          .agg(coalesce(sum(col("n_tokens")), lit(0L)))
+          .head().getLong(0))
+      val state = spark.range(1).select(lit(baseTokens).as("base_tokens"))
       graft.ops.PipelineOps.packByBudget(
           toks.join(keep, "doc_id"), budget = 10000L, startTokens = Some(state))
         .write.mode("overwrite").parquet(s"$outDir/shards")
       graft.ops.DedupOps.dedupIndexAppend(spark, sfDir)
         .write.mode("overwrite").parquet(s"$outDir/postings_manifest")
+      graft.ops.VectorOps.annIndexAppend(spark, sfDir)
+        .write.mode("overwrite").parquet(s"$outDir/ann_delta_manifest")
+      val annNew = spark.read.parquet(s"$outDir/ann_delta_manifest")
+        .agg(coalesce(sum("n_new"), lit(0L))).head().getLong(0)
       val shards = spark.read.parquet(s"$outDir/shards")
-      val packedTokens = shards.agg(coalesce(sum("n_tokens"), lit(0L)))
+      val dayTokens = shards.agg(coalesce(sum("n_tokens"), lit(0L)))
         .head().getLong(0)
+      // packed_tokens_total is THE feedback value: pass it verbatim as the
+      // next run's third argument. packed_tokens_day is informational.
       val report =
         s"[daily-increment] batch=${verdicts.count()} keep=${keep.count()} " +
-          s"packed_tokens=$packedTokens " +
-          s"last_shard=${shards.agg(coalesce(max("shard"), lit(-1L))).head().getLong(0)}"
+          s"packed_tokens_day=$dayTokens " +
+          s"packed_tokens_total=${baseTokens + dayTokens} " +
+          s"last_shard=${shards.agg(coalesce(max("shard"), lit(-1L))).head().getLong(0)} " +
+          s"ann_new=$annNew"
       println(report)
     } finally JobSession.release(spark)
   }

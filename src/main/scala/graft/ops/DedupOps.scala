@@ -62,7 +62,11 @@ object DedupOps {
   private[ops] def pinnedShingles(s: SparkSession, dir: String): DataFrame =
     synchronized {
       shingleMemo match {
-        case Some((d, df)) if d == dir => df
+        // Keyed on (session, dir), not dir alone (ADVICE r9): a caller on
+        // a replacement session with the same dir must not get a cached
+        // frame bound to the old (possibly stopped) session — freshGen is
+        // only guaranteed at registry entry points.
+        case Some((d, df)) if d == dir && (df.sparkSession eq s) => df
         case _ =>
           val df = cache(shingleRows(s, dir))
           shingleMemo = Some((dir, df))
@@ -545,11 +549,19 @@ object DedupOps {
     * overwrite only replaces partitions PRESENT in the written data, so
     * a fully-deleted batch would leave stale files behind — at 100 TB
     * that case is a catalog DROP PARTITION, here it throws with
-    * instructions. */
+    * instructions.
+    *
+    * `source` (bench use only): when given, affected partitions and
+    * their survivors are computed from that frame instead of the live
+    * table — [[dedupIndexDelete]] passes the PRISTINE stored postings so
+    * every bench draw performs the identical pruned rewrite (a
+    * live-sourced rewrite is a no-op from draw 2 on, once the ids are
+    * gone); production deletes leave it unset and mutate in place. */
   private[graft] def deleteFromBands(s: SparkSession, live: String,
                                      del: DataFrame,
-                                     idCol: String = "doc_id"): Unit = {
-    val liveT = s.read.parquet(live)
+                                     idCol: String = "doc_id",
+                                     source: Option[DataFrame] = None): Unit = {
+    val liveT = source.getOrElse(s.read.parquet(live))
     val affected = liveT.join(del, idCol)
       .select(col("band").as("aband"), col("pbatch").as("abatch")).distinct()
     val survivors = liveT.drop("pband")
@@ -575,16 +587,42 @@ object DedupOps {
     finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
 
+  /** Build-once scratch "live" layout for [[dedupIndexDelete]]: the
+    * stored postings re-partitioned by (band, ingest batch), the table a
+    * production delete mutates in place. Guarded by Spark's own root
+    * `_SUCCESS` (commits last, so a crashed build rebuilds); synchronized
+    * against parallel suites. Returns (live path, pristine source frame
+    * with the batch axis derived) — the pristine frame is what each
+    * bench draw's pruned rewrite reads, so untouched partitions are
+    * written exactly once, here. */
+  private def ensureLiveBands(s: SparkSession, dir: String): (String, DataFrame) =
+    synchronized {
+      val ix = MinhashIndex.ensure(s, dir)
+      val live = s"${ix.root}/bands_live"
+      val pristine = s.read.parquet(ix.bands).drop("pband")
+        .withColumn("pbatch", expr(s"doc_id div $IngestBatch"))
+      if (!new java.io.File(live, "_SUCCESS").isFile)
+        pristine.withColumn("pband", col("band"))
+          .repartition(col("pband"), col("pbatch"))
+          .write.mode("overwrite").partitionBy("pband", "pbatch").parquet(live)
+      (live, pristine)
+    }
+
   /** L2n: MinHash index DELETE — the removal leg closing the dedup index
     * lifecycle (build → probe → append → compact → DELETE), mirroring
     * `ann_index_delete`: takedown requests / right-to-be-forgotten
     * remove a document set's postings from the stored band table by
     * rewriting ONLY the (band, ingest-batch) partitions that contain
-    * them ([[deleteFromBands]]). The registry form first copies the
-    * pristine postings into a scratch "live" layout partitioned by
-    * (band, ingest batch of [[IngestBatch]] ids) — the table a
-    * production delete mutates in place — so the op is idempotent and
-    * bench re-runs measure the same work. Deletion list = a partial
+    * them ([[deleteFromBands]]). The registry form targets a scratch
+    * "live" layout partitioned by (band, ingest batch of [[IngestBatch]]
+    * ids) — the table a production delete mutates in place — built ONCE
+    * per stored index ([[ensureLiveBands]]; the `join_bucketed`
+    * precedent: layout setup is setup, not the measured product, and r9's
+    * in-window full copy made the bench read as O(index) when the op is
+    * O(affected partitions)). Each draw then performs the identical
+    * partition-pruned survivor rewrite, sourcing affected partitions
+    * from the PRISTINE postings so re-runs measure the same work and the
+    * live table is byte-stable post-draw. Deletion list = a partial
     * takedown of ingest batch 1 (doc_id in [100, 200) with
     * doc_id % 3 = 0 — the realistic "one source's slice of one batch"
     * shape); at 100 TB the rewrite touches NumBands × 1 batch
@@ -593,18 +631,12 @@ object DedupOps {
     * minus the deleted ids, so a lost or doubled surviving posting
     * fails the gate. */
   def dedupIndexDelete(s: SparkSession, dir: String): DataFrame = {
-    val ix = MinhashIndex.ensure(s, dir)
-    val live = s"${ix.root}/bands_live"
-    s.read.parquet(ix.bands).drop("pband")
-      .withColumn("pband", col("band"))
-      .withColumn("pbatch", expr(s"doc_id div $IngestBatch"))
-      .repartition(col("pband"), col("pbatch"))
-      .write.mode("overwrite").partitionBy("pband", "pbatch").parquet(live)
+    val (live, pristine) = ensureLiveBands(s, dir)
     val del = documents(s, dir)
       .filter(col("doc_id") >= 100 && col("doc_id") < 200 &&
         col("doc_id") % 3 === 0)
       .select("doc_id")
-    deleteFromBands(s, live, del)
+    deleteFromBands(s, live, del, source = Some(pristine))
     s.read.parquet(live)
       .groupBy("band")
       .agg(countDistinct(col("band_key")).as("n_keys"),

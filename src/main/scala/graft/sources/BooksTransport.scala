@@ -62,10 +62,11 @@ object BooksTransport {
     * in Spark. Fault mapping: HTTP 429 (quota) and 5xx are thrown as
     * IOException so the reader's capped backoff handles them — the
     * in-reader analog of extract.py's sleep-and-retry loop; 4xx aborts.
-    * Not exercised in tests (zero-egress harness) — SourceSpec covers the
-    * seam by asserting spec selection + fault-injection behavior on the
-    * deterministic side, and this class keeps all protocol handling in
-    * one swap-in unit. */
+    * Exercised end-to-end over live loopback sockets: HttpTransportSpec
+    * runs this client through the full DSv2 scan against an in-JVM
+    * 127.0.0.1 HttpServer (pagination, 429/5xx backoff, quota header,
+    * API key, malformed-payload abort, wire-level limit pushdown) — the
+    * only untested leg left is a non-loopback network path. */
   final class HttpTransport(baseUrl: String, apiKey: String,
                             timeoutMs: Long) extends Transport {
     require(baseUrl.nonEmpty, "transport=http requires option baseUrl")

@@ -47,7 +47,19 @@ class JobsSpec extends AnyFunSuite {
     val sf = TestSpark.Sf0001
     val out = "/tmp/graft_jobs_daily"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
-    jobs.DailyIncrement.main(Array(sf, out))
+    // capture the report line: its packed_tokens_total must be the
+    // CUMULATIVE feedback value (base + day), not the day's sum alone
+    // (ADVICE r9), and it must carry the ANN delta count (VERDICT r9 #4)
+    val captured = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(captured, true, "UTF-8")) {
+      jobs.DailyIncrement.main(Array(sf, out))
+    }
+    val report = captured.toString("UTF-8").linesIterator
+      .find(_.startsWith("[daily-increment]"))
+      .getOrElse(fail("no report line printed"))
+    def reported(k: String): Long =
+      s"$k=(-?\\d+)".r.findFirstMatchIn(report)
+        .getOrElse(fail(s"report missing $k: $report")).group(1).toLong
     val verdicts = spark.read.parquet(s"$out/verdicts")
     val shards = spark.read.parquet(s"$out/shards")
     val manifest = spark.read.parquet(s"$out/postings_manifest")
@@ -62,6 +74,24 @@ class JobsSpec extends AnyFunSuite {
     // postings delta manifest: every band row carries the batch delta
     assert(manifest.count() > 0 &&
       manifest.agg(sum("n_new")).head().getLong(0) > 0)
+    // ANN delta: the day's embedding batch encoded against the stored
+    // codebooks == the registry op's manifest exactly (VERDICT r9 #4)
+    val annManifest = spark.read.parquet(s"$out/ann_delta_manifest")
+    val annWant = ops.VectorOps.annIndexAppend(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(annManifest.collect().map(_.toString).sorted.sameElements(annWant))
+    val annNew = annManifest.agg(sum("n_new")).head().getLong(0)
+    assert(annNew > 0 && reported("ann_new") == annNew)
+    // report feedback contract: packed_tokens_total = base + day
+    val dayTokens = spark.read.parquet(s"$out/shards")
+      .agg(sum("n_tokens")).head().getLong(0)
+    val baseTokens0 = Tables.documents(spark, sf)
+      .filter(col("doc_id") < ops.DedupOps.IncrementalCutoff)
+      .selectExpr("cast(sum(size(split(text, ' '))) as long)")
+      .head().getLong(0)
+    assert(reported("packed_tokens_day") == dayTokens)
+    assert(reported("packed_tokens_total") == baseTokens0 + dayTokens,
+      "packed_tokens_total must be cumulative (the next run's third arg)")
     // orchestrator retry: byte-stable outputs on identical re-run
     val first = verdicts.collect().map(_.toString).sorted
     jobs.DailyIncrement.main(Array(sf, out))
