@@ -54,7 +54,12 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table (directory of part files) — e.g. the
+            # ScaleFixture sf1 corpus; the driver-generated testdata SFs
+            # are single files.
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
