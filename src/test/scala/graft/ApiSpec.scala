@@ -523,6 +523,47 @@ class ApiSpec extends AnyFunSuite {
       "post-delete content must be the exact survivor set")
   }
 
+  test("delete-leg marker semantics: success recommits _SUCCESS; a failed delete leaves the index uncommitted") {
+    import org.apache.spark.sql.functions._
+    val sq = spark
+    import sq.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mhdel_marker").toString
+    GraftAPI.writeMinhashIndex(docs, "doc_id", "text", root,
+      numHashes = 8, bands = 2, batchWidth = 100).collect()
+    val bands = s"$root/bands"
+    val marker = new java.io.File(root, "_SUCCESS")
+    // successful delete: the marker is retired during the rewrite and
+    // recommitted after it (ADVICE r9 — 'marker commits last' holds for
+    // in-place deletes too)
+    val ids = spark.read.parquet(bands).select("_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    GraftAPI.minhashIndexDelete(spark, bands,
+      Seq(ids.find(i => i >= 100 && i < 200).get).toDF("doc_id"), "doc_id")
+    assert(marker.isFile, "successful delete must recommit the root marker")
+    // failed delete (emptying a whole ingest batch trips the guard BEFORE
+    // any write): the marker stays retired — pessimistic crash semantics,
+    // a reader/rebuilder sees an uncommitted index rather than trusting a
+    // table a failed mutation may have touched
+    val batch0 = spark.read.parquet(bands)
+      .filter(col("pbatch") === 0).select(col("_id")).distinct()
+      .collect().map(_.getLong(0))
+    assert(batch0.nonEmpty)
+    intercept[IllegalArgumentException](
+      GraftAPI.minhashIndexDelete(spark, bands,
+        batch0.toSeq.toDF("doc_id"), "doc_id"))
+    assert(!marker.isFile,
+      "failed delete must leave the index marked uncommitted")
+    // an index written WITHOUT a batch axis refuses the delete with the
+    // geometry message (batchWidth recorded as 0 in the meta)
+    val root2 = java.nio.file.Files.createTempDirectory("graft_mhdel_nobatch").toString
+    GraftAPI.writeMinhashIndex(docs, "doc_id", "text", root2,
+      numHashes = 8, bands = 2).collect()
+    val e = intercept[IllegalArgumentException](
+      GraftAPI.minhashIndexDelete(spark, s"$root2/bands",
+        Seq(0L).toDF("doc_id"), "doc_id"))
+    assert(e.getMessage.contains("batchWidth"), e.getMessage)
+  }
+
   test("annIndexDelete(facade): in-place pruned takedown on buildAnnIndex's codes") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft_anndel_api").toString
