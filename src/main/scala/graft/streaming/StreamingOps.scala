@@ -336,6 +336,59 @@ object StreamingOps {
     idempotentBatchWriter(outPath)(topk, batchId)
   }
 
+  /** Streaming ANN index APPEND against the STORED codebooks — the
+    * `foreachBatch` twin of the registry's `ann_index_append` (L3j) and
+    * the streaming face of [[graft.jobs.DailyIncrement]]'s ANN leg, for
+    * the steady-state ingest where vectors arrive as a stream: each
+    * micro-batch of (id, vector) rows is coarse-assigned via the
+    * persisted centroid table and residual-encoded via the persisted
+    * residual codebooks — NO retraining, the deterministic-codebook
+    * append contract — and its (vec_id, m, code, cell) rows land through
+    * the idempotent partition-per-batch sink (at-least-once source
+    * replay × [[idempotentBatchWriter]] = exactly-once index rows).
+    * The delta arrives partitioned by batch_id (retention/backfill
+    * granular); a compaction job folds it into the cell-partitioned base
+    * exactly like `ann_index_compact`. Per-batch cost: two broadcast
+    * joins over the micro-batch + one write — the corpus floats and the
+    * stored base codes are never read. Codebook tables are bound per
+    * batch (read inside foreachBatch), so a re-trained index is picked
+    * up at the next batch boundary, not mid-query. Dim geometry is
+    * whole-batch-guarded like [[annProbeBatch]] (ADVICE r8: a batch
+    * mixing correct- and wrong-width vectors must fail, not encode
+    * silently). */
+  def annAppendBatch(indexRoot: String, outPath: String,
+                     id: String, vec: String)
+                    (batch: DataFrame, batchId: Long): Unit = {
+    import graft.ops.VectorOps.{PqM, PqSub}
+    val s = batch.sparkSession
+    val e = batch.select(col(id).as("vec_id"),
+      col(vec).cast("array<double>").as("x"))
+    graft.ops.Artifacts.readMeta(indexRoot).get("dim").foreach { d =>
+      e.agg(min(size(col("x"))).as("lo"), max(size(col("x"))).as("hi"))
+        .take(1).foreach { r =>
+          if (!r.isNullAt(0)) require(r.getInt(0) == d.toInt && r.getInt(1) == d.toInt,
+            s"index at $indexRoot encodes dim=$d vectors; batch has " +
+              s"dims in [${r.getInt(0)}, ${r.getInt(1)}]")
+        }
+    }
+    val coarse = s.read.parquet(s"$indexRoot/coarse")
+    val books = s.read.parquet(s"$indexRoot/ivfpq_codebooks")
+    val bCells = graft.ops.VectorOps.assignCells(e, coarse)
+    val remLong = e.join(bCells, "vec_id")
+      .join(broadcast(coarse), col("cell") === col("cid"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("x"), col("cv"), (a, b) => graft.Tables.r6(a - b)).as("rx"))
+      .select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
+        slice(col("rx"), m * PqSub + 1, PqSub)): _*)))
+      .select(col("vec_id"), col("pos").cast("int").as("m"), col("col").as("x"))
+    val codes = graft.ops.VectorOps
+      .assignCellsLong(remLong.select("m", "vec_id", "x"), books)
+      .select(col("vec_id"), col("m"), col("cell").as("code"))
+      .join(bCells, "vec_id")
+      .select(col("vec_id"), col("m"), col("code"), col("cell"))
+    idempotentBatchWriter(outPath)(codes, batchId)
+  }
+
   /** Query-vector row for the streaming ANN probe spec. */
   final case class VecRow(vec_id: Long, embedding: Seq[Double])
 

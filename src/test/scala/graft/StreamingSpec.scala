@@ -570,6 +570,49 @@ class StreamingSpec extends AnyFunSuite {
       "streamed per-query top-k must equal the local cell-pruned model")
   }
 
+  test("streaming ANN append against stored codebooks == ann_index_append delta codes") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // land the batch delta with the registry op (also ensures the base
+    // index artifact exists); its code rows are the oracle-checked truth
+    graft.ops.VectorOps.annIndexAppend(spark, sf).count()
+    val ix = graft.ops.IvfPqIndex.ensureBase(spark, sf)
+    def codeKey(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number]("vec_id").longValue, r.getAs[Number]("m").intValue,
+        r.getAs[Number]("code").longValue, r.getAs[Number]("cell").longValue)
+    val want = spark.read.parquet(s"${ix.root}/ivfpq_codes_delta")
+      .select("vec_id", "m", "code", "cell").collect().map(codeKey).toSet
+    assert(want.nonEmpty)
+    // stream the SAME held-out batch (vec_id % 10 == 7) in 3 micro-batches
+    val out = "/tmp/graft_stream_annapp_out"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val batchVecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" % 10 === 7)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      .as[StreamingOps.VecRow].collect().sortBy(_.vec_id).toSeq
+    val ms = MemoryStream[StreamingOps.VecRow]
+    val q = ms.toDF().writeStream
+      .foreachBatch(StreamingOps.annAppendBatch(
+        ix.root, out, "vec_id", "embedding") _)
+      .start()
+    try {
+      batchVecs.grouped(math.max(1, batchVecs.size / 3)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("vec_id", "m", "code", "cell").collect().map(codeKey).toSet
+    assert(streamed == want,
+      "per-micro-batch encodes must equal the one-shot append's delta codes")
+    // replay idempotency: re-running a batch id replaces, never duplicates
+    StreamingOps.annAppendBatch(ix.root, out, "vec_id", "embedding")(
+      batchVecs.take(math.max(1, batchVecs.size / 3)).toDF(), 0L)
+    val afterReplay = spark.read.parquet(out)
+      .select("vec_id", "m", "code", "cell").collect().map(codeKey).toSet
+    assert(afterReplay == want, "batch replay must be idempotent")
+  }
+
   test("index geometry guards: mismatched banding or dim fails loudly, matched passes") {
     val sq = spark; import sq.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(20)
