@@ -601,10 +601,23 @@ object DedupOps {
       val live = s"${ix.root}/bands_live"
       val pristine = s.read.parquet(ix.bands).drop("pband")
         .withColumn("pbatch", expr(s"doc_id div $IngestBatch"))
-      if (!new java.io.File(live, "_SUCCESS").isFile)
+      // The layout is keyed by the ingest-batch width: a live table built
+      // by older code with a different width would otherwise survive in
+      // /tmp, and per-draw pruned rewrites (derived at the CURRENT width)
+      // would land mixed-width partitions — a silently wrong manifest.
+      // Rebuild whenever the recorded width is absent or differs. The
+      // width marker is underscore-prefixed so Spark's file listing
+      // ignores it (a bare root file would be read as parquet data).
+      val widthFile = new java.io.File(live, "_ingest_batch")
+      val widthOk = widthFile.isFile &&
+        java.nio.file.Files.readString(widthFile.toPath).trim ==
+          IngestBatch.toString
+      if (!new java.io.File(live, "_SUCCESS").isFile || !widthOk) {
         pristine.withColumn("pband", col("band"))
           .repartition(col("pband"), col("pbatch"))
           .write.mode("overwrite").partitionBy("pband", "pbatch").parquet(live)
+        java.nio.file.Files.writeString(widthFile.toPath, IngestBatch.toString)
+      }
       (live, pristine)
     }
 
