@@ -89,6 +89,12 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
         records[name] = {"rows_match": rows, "schema_match": schema,
                          "hash_match": hsh, "spark_rows": sr,
                          "oracle_rows": orr, "err": err}
+        # Incremental flush: a long pass killed mid-run (e.g. a DuckDB
+        # oracle spilling the disk full at sf1) keeps every completed
+        # query's record instead of losing the whole run.
+        if json_out:
+            with open(json_out, "w") as f:
+                json.dump(records, f, indent=1, sort_keys=True)
 
     for name in expected:
         qdir = os.path.join(out_dir, name)
