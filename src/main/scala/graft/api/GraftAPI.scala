@@ -232,14 +232,23 @@ object GraftAPI {
   def minhashIndexDelete(spark: SparkSession, bandsPath: String,
                          deleteIds: DataFrame, id: String): Unit = {
     val root = new java.io.File(bandsPath).getParentFile
-    // Loud geometry guard (ADVICE r9): an index written without a batch
-    // axis has no pbatch partition column — fail with instructions here,
-    // not with an opaque missing-column AnalysisException mid-join.
+    // Loud geometry guard (ADVICE r9, hardened r10): an index written
+    // without a batch axis has no pbatch partition column — fail with
+    // instructions here, not with an opaque missing-column
+    // AnalysisException mid-join. Ground truth is the STORED SCHEMA
+    // (covers registry-built and pre-meta indexes, where the batchWidth
+    // meta key is simply absent); the meta check stays as the recorded-
+    // geometry cross-check. Both run BEFORE the marker retirement: a
+    // rejected mis-call must leave a valid index valid.
+    require(spark.read.parquet(bandsPath).columns.contains("pbatch"),
+      s"index at $root was written without a batchWidth (ingest-batch " +
+        "partition axis) — partition-pruned deletes need it; rebuild " +
+        "with writeMinhashIndex(batchWidth = <ids per ingest batch>)")
     graft.ops.Artifacts.readMeta(root.getPath).get("batchWidth")
       .foreach(bw => require(bw.toLong > 0,
-        s"index at $root was written without a batchWidth (ingest-batch " +
-          "partition axis) — partition-pruned deletes need it; rebuild " +
-          "with writeMinhashIndex(batchWidth = <ids per ingest batch>)"))
+        s"index at $root records batchWidth=$bw — partition-pruned " +
+          "deletes need a positive ingest-batch width; rebuild with " +
+          "writeMinhashIndex(batchWidth = <ids per ingest batch>)"))
     withRetiredMarker(root) {
       graft.ops.DedupOps.deleteFromBands(spark, bandsPath,
         deleteIds.select(col(id).as("_id")), idCol = "_id")

@@ -46,7 +46,7 @@ object DedupOps {
   private val cachedGen = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   private[ops] def freshGen(): Unit = synchronized {
-    cachedGen.foreach(_.unpersist(false)); cachedGen.clear()
+    CacheLifecycle.retire(cachedGen)
     shingleMemo = None
   }
 

@@ -31,7 +31,7 @@ object EventOps {
   private val cachedGen = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   private def cacheLazy(df: DataFrame): DataFrame = synchronized {
-    cachedGen.foreach(_.unpersist(false)); cachedGen.clear()
+    CacheLifecycle.retire(cachedGen)
     cachedGen += df; df.persist()
   }
 

@@ -36,7 +36,7 @@ object VectorOps {
   private val cachedGen = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   private def freshGen(): Unit = synchronized {
-    cachedGen.foreach(_.unpersist(false)); cachedGen.clear()
+    CacheLifecycle.retire(cachedGen)
   }
 
   private def cacheEager(df: DataFrame): DataFrame = {

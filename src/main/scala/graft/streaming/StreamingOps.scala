@@ -312,8 +312,15 @@ object StreamingOps {
     // over the micro-batch), not just its first row: a batch mixing
     // correct- and wrong-width vectors must fail, not score silently.
     graft.ops.Artifacts.readMeta(indexRoot).get("dim").foreach { d =>
-      q.agg(min(size(col("qx"))).as("lo"), max(size(col("qx"))).as("hi"))
+      // min/max over size() SKIP null rows (review r10), so null vectors
+      // are counted explicitly — a null query must fail loudly here, not
+      // argmin to an arbitrary lowest-cid cell and return garbage.
+      q.agg(min(size(col("qx"))).as("lo"), max(size(col("qx"))).as("hi"),
+          sum(when(col("qx").isNull, 1L).otherwise(0L)).as("nnull"))
         .take(1).foreach { r =>
+          require(r.getLong(2) == 0L,
+            s"batch contains ${r.getLong(2)} null query vector(s); " +
+              s"index at $indexRoot serves dim=$d vectors")
           if (!r.isNullAt(0)) require(r.getInt(0) == d.toInt && r.getInt(1) == d.toInt,
             s"index at $indexRoot serves dim=$d vectors; batch has " +
               s"dims in [${r.getInt(0)}, ${r.getInt(1)}]")
@@ -364,8 +371,16 @@ object StreamingOps {
     val e = batch.select(col(id).as("vec_id"),
       col(vec).cast("array<double>").as("x"))
     graft.ops.Artifacts.readMeta(indexRoot).get("dim").foreach { d =>
-      e.agg(min(size(col("x"))).as("lo"), max(size(col("x"))).as("hi"))
+      // Null vectors are counted explicitly (review r10): min/max over
+      // size() skip null rows, and a null vector would otherwise encode
+      // silently — null residuals argmin to an arbitrary lowest-cid
+      // codebook entry and a fabricated code row lands in the delta.
+      e.agg(min(size(col("x"))).as("lo"), max(size(col("x"))).as("hi"),
+          sum(when(col("x").isNull, 1L).otherwise(0L)).as("nnull"))
         .take(1).foreach { r =>
+          require(r.getLong(2) == 0L,
+            s"batch contains ${r.getLong(2)} null vector(s); " +
+              s"index at $indexRoot encodes dim=$d vectors")
           if (!r.isNullAt(0)) require(r.getInt(0) == d.toInt && r.getInt(1) == d.toInt,
             s"index at $indexRoot encodes dim=$d vectors; batch has " +
               s"dims in [${r.getInt(0)}, ${r.getInt(1)}]")
@@ -373,7 +388,12 @@ object StreamingOps {
     }
     val coarse = s.read.parquet(s"$indexRoot/coarse")
     val books = s.read.parquet(s"$indexRoot/ivfpq_codebooks")
-    val bCells = graft.ops.VectorOps.assignCells(e, coarse)
+    // Lazy persist (review r10): the assignment feeds TWO consumers (the
+    // residual join and the final code join) on a per-trigger hot path —
+    // without the pin every micro-batch pays the broadcast-argmin twice.
+    // The single sink write materializes both branches in one job;
+    // unpersisted after the write (foreachBatch owns the lifecycle).
+    val bCells = graft.ops.VectorOps.assignCells(e, coarse).persist()
     val remLong = e.join(bCells, "vec_id")
       .join(broadcast(coarse), col("cell") === col("cid"))
       .select(col("vec_id"), col("cell"),
@@ -386,7 +406,8 @@ object StreamingOps {
       .select(col("vec_id"), col("m"), col("cell").as("code"))
       .join(bCells, "vec_id")
       .select(col("vec_id"), col("m"), col("code"), col("cell"))
-    idempotentBatchWriter(outPath)(codes, batchId)
+    try idempotentBatchWriter(outPath)(codes, batchId)
+    finally bCells.unpersist(false)
   }
 
   /** Query-vector row for the streaming ANN probe spec. */

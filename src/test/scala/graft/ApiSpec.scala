@@ -554,7 +554,10 @@ class ApiSpec extends AnyFunSuite {
     assert(!marker.isFile,
       "failed delete must leave the index marked uncommitted")
     // an index written WITHOUT a batch axis refuses the delete with the
-    // geometry message (batchWidth recorded as 0 in the meta)
+    // geometry message (batchWidth recorded as 0 in the meta) — and the
+    // rejection must NOT touch the root marker (review r10: a rejected
+    // mis-call leaves a valid index valid; only the rewrite window
+    // retires the marker)
     val root2 = java.nio.file.Files.createTempDirectory("graft_mhdel_nobatch").toString
     GraftAPI.writeMinhashIndex(docs, "doc_id", "text", root2,
       numHashes = 8, bands = 2).collect()
@@ -562,6 +565,19 @@ class ApiSpec extends AnyFunSuite {
       GraftAPI.minhashIndexDelete(spark, s"$root2/bands",
         Seq(0L).toDF("doc_id"), "doc_id"))
     assert(e.getMessage.contains("batchWidth"), e.getMessage)
+    assert(new java.io.File(root2, "_SUCCESS").isFile,
+      "a rejected delete must leave the index committed")
+    // same refusal for a REGISTRY-built index, where the batchWidth meta
+    // key is simply ABSENT (review r10: the guard must not silently
+    // no-op into the opaque missing-pbatch AnalysisException — the
+    // stored schema is the ground truth)
+    val ix = ops.MinhashIndex.ensure(spark, sf)
+    val e2 = intercept[IllegalArgumentException](
+      GraftAPI.minhashIndexDelete(spark, ix.bands,
+        Seq(0L).toDF("doc_id"), "doc_id"))
+    assert(e2.getMessage.contains("batchWidth"), e2.getMessage)
+    assert(new java.io.File(ix.root, "_SUCCESS").isFile,
+      "a rejected delete on a registry index must leave its marker intact")
   }
 
   test("annIndexDelete(facade): in-place pruned takedown on buildAnnIndex's codes") {

@@ -655,5 +655,25 @@ class StreamingSpec extends AnyFunSuite {
         "/tmp/graft_geom_ann_out", "vec_id", "embedding")(mixed, 1L)
     }
     assert(e3.getMessage.contains("dims in [32, 64]"), e3.getMessage)
+    // review r10: a NULL vector must fail the guard too — min/max over
+    // size() skip null rows, so without the explicit null count a null
+    // query/append row would argmin to an arbitrary cell and encode or
+    // score garbage silently.
+    val withNull = emb.limit(1)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      .unionByName(emb.limit(2).filter($"vec_id" =!= emb.limit(1).head.getLong(0))
+        .select($"vec_id",
+          org.apache.spark.sql.functions.lit(null)
+            .cast("array<double>").as("embedding")))
+    val e4 = intercept[IllegalArgumentException] {
+      StreamingOps.annProbeBatch(s"$sf/embeddings.parquet", annRoot,
+        "/tmp/graft_geom_ann_out", "vec_id", "embedding")(withNull, 2L)
+    }
+    assert(e4.getMessage.contains("null"), e4.getMessage)
+    val e5 = intercept[IllegalArgumentException] {
+      StreamingOps.annAppendBatch(annRoot,
+        "/tmp/graft_geom_annapp_out", "vec_id", "embedding")(withNull, 0L)
+    }
+    assert(e5.getMessage.contains("null"), e5.getMessage)
   }
 }
