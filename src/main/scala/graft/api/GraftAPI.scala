@@ -37,7 +37,15 @@ object GraftAPI {
     * One map-side-combined hash aggregate; `keep` must be a stable id so
     * replays pick identical winners. */
   def exactDedupGroups(df: DataFrame, cols: Seq[String], keep: String): DataFrame =
-    df.groupBy(md5(concat_ws("\u0000", cols.map(col): _*)).as("fp"))
+    // Rows serialize through to_json(struct(cols)) (review r10): the
+    // earlier NUL-separated concat_ws SKIPPED null columns, so
+    // (null, "x") and ("x", null) collided -- a genuinely different
+    // record was silently deleted -- and a value containing the
+    // separator could alias a column boundary. JSON keeps field names
+    // (null fields omit BY NAME, so distinct null patterns stay
+    // distinct strings) and escapes everything, at the same
+    // one-hash-aggregate plan shape.
+    df.groupBy(md5(to_json(struct(cols.map(col): _*))).as("fp"))
       .agg(min(col(keep)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Survivors of exact dedup: the input rows whose `keep` id won their
@@ -94,8 +102,13 @@ object GraftAPI {
     * in-expression failure otherwise). */
   def paragraphDedup(df: DataFrame, id: String, text: String,
                      separator: String = "\n\n"): DataFrame = {
+    // `split` takes a REGEX but the reassembly below uses the separator
+    // as a LITERAL — quote it (review r10), or a separator with regex
+    // metacharacters ("||", ".", "++") mis-splits (per-character
+    // explosion for "||") and text_kept reassembles garbage silently.
+    val sepRe = java.util.regex.Pattern.quote(separator)
     val chunks = df
-      .select(col(id).as("_id"), posexplode(split(col(text), separator)))
+      .select(col(id).as("_id"), posexplode(split(col(text), sepRe)))
       .select(col("_id"), col("pos").cast("long").as("cidx"), col("col").as("chunk"))
     val enc = when(col("cidx") >= (1L << 20),
         expr("raise_error('paragraphDedup: >=2^20 units in one row — key would alias')")
@@ -411,20 +424,28 @@ object GraftAPI {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(
-      union.withColumn("_m_ts", last(when(col("_side") === 0, col("_ts")),
-        ignoreNulls = true).over(w))) { (d, p) =>
-      d.withColumn(s"_c_$p", last(when(col("_side") === 0, col(s"_r_$p")),
-        ignoreNulls = true).over(w))
-    }
-    val fresh = if (toleranceUs < 0) col("_m_ts").isNotNull
-    else col("_m_ts").isNotNull &&
-      unix_micros(col("_ts")) - unix_micros(col("_m_ts")) <= toleranceUs
+    // The matched right ROW carries as ONE struct through a single
+    // last(ignoreNulls) (review r10): carrying _m_ts and each payload in
+    // SEPARATE ignoreNulls windows let a matched row's null payload fall
+    // back to an OLDER right row's value — pairing r2's timestamp with
+    // r1's price, a row that never existed (and, under a tolerance,
+    // judging freshness on r2 while serving r1). The struct is null for
+    // left rows, so last picks the latest right row as a unit and null
+    // payloads stay null.
+    val rRow = when(col("_side") === 0,
+      struct(col("_ts").as("_asof_ts") +:
+        payload.map(p => col(s"_r_$p").as(p)): _*))
+    val carried = union.withColumn("_m", last(rRow, ignoreNulls = true).over(w))
+    val mTs = col("_m").getField("_asof_ts")
+    val fresh = if (toleranceUs < 0) mTs.isNotNull
+    else mTs.isNotNull &&
+      unix_micros(col("_ts")) - unix_micros(mTs) <= toleranceUs
     carried.filter(col("_side") === 1)
       .select(keys.map(col) ++
         lCols.filterNot(keys.contains).map(c => col(s"_l_$c").as(c)) ++
-        Seq(when(fresh, col("_m_ts")).as(s"asof_$rightTs")) ++
-        payload.map(p => when(fresh, col(s"_c_$p")).as(s"asof_$p")): _*)
+        Seq(when(fresh, mTs).as(s"asof_$rightTs")) ++
+        payload.map(p =>
+          when(fresh, col("_m").getField(p)).as(s"asof_$p")): _*)
   }
 
   /** Gaps-and-islands sessionization: session id per (key) with a new

@@ -30,7 +30,11 @@ object WeightedAvg extends Aggregator[(Double, Double), (JBD, JBD), Double] {
     val scaled = x * 1e6
     require(math.abs(scaled) < Long.MaxValue.toDouble,
       s"weighted_avg: |$x| exceeds the 6-dp scaled-long range (~9.2e12)")
-    JBD.valueOf(math.round(scaled), 6)
+    // HALF_UP = half away from zero, honoring the documented "like SQL
+    // round" contract for NEGATIVE inputs too (review r10): math.round
+    // is half-toward-+inf, so -0.5e-6 scaled would snap to 0 where
+    // SQL/DuckDB round gives -1e-6.
+    JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP)
   }
 
   override def zero: (JBD, JBD) = (JBD.ZERO, JBD.ZERO)

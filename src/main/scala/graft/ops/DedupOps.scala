@@ -151,7 +151,11 @@ object DedupOps {
   /** Per-doc shingle SET as an array (for the exact-Jaccard verify step
     * only — candidate-pair-scale inputs, never the whole corpus). */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    shingleRows(s, dir).groupBy("doc_id")
+    // built over the generation-pinned shingle rows (review r10): every
+    // consumer self-joins this frame or pairs it with a signature frame
+    // from the same source, so the tokenize+shingle pass runs once per
+    // generation instead of once per reference
+    pinnedShingles(s, dir).groupBy("doc_id")
       .agg(collect_list(col("x")).as("shingles"))
 
   private[ops] val NumHashes = 8
@@ -756,8 +760,13 @@ object DedupOps {
     * so the audit joins 16-byte rows and never re-reads text — exact
     * Jaccard is computed here only for the audited pair sample. */
   def dedupMinhashEst(s: SparkSession, dir: String): DataFrame = {
-    val sig = signaturesFrom(shingleRows(s, dir))
-    val sh = shingled(s, dir)
+    // Both self-joined frames pin via the generation cache (review r10):
+    // sig and sh are each consumed TWICE (the a/b sides), and sig's
+    // shingle source is additionally shared with the rest of the dedup
+    // family — unpinned, one invocation re-derived the corpus
+    // tokenize+shingle pipeline up to four times.
+    val sig = cache(signaturesFrom(pinnedShingles(s, dir)))
+    val sh = cache(shingled(s, dir))
     val agree = (1 to NumHashes)
       .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
       .reduce(_ + _)

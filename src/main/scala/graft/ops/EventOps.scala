@@ -69,24 +69,32 @@ object EventOps {
     * Single shuffle on `user_id`; each user's timeline is processed inside
     * one partition — the same state-locality a streaming
     * `session_window`/`flatMapGroupsWithState` run would have. */
-  def eventsSession(s: SparkSession, dir: String): DataFrame = {
+  /** The canonical 30-min gaps-and-islands sessionization: per-event
+    * rows with a `session_id` column. ONE definition (review r10) —
+    * [[eventsSession]] and [[sessionsConcurrency]] previously carried
+    * verbatim copies, so a change to the gap constant or the
+    * (ts, event_id) tie-break could silently desynchronize them. */
+  private def sessionized(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("event_id").asc)
-    val sess = events(s, dir)
+    events(s, dir)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
           col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
           .otherwise(0L))
       .withColumn("session_id",
-        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    sess.groupBy("user_id", "session_id")
+        sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def eventsSession(s: SparkSession, dir: String): DataFrame =
+    sessionized(s, dir).groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
         tsFmt(min(col("ts"))).as("sess_start"),
         tsFmt(max(col("ts"))).as("sess_end"),
         (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("span_s"))
       .orderBy("user_id", "session_id")
-  }
 
   /** §2.13: session concurrency — how many user sessions are open at each
     * session boundary (capacity planning / load-curve analytics). Sessions
@@ -111,17 +119,7 @@ object EventOps {
     * one fixed-width row per session — dim-table sized next to the
     * event log it summarizes. */
   def sessionsConcurrency(s: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id")
-      .orderBy(col("ts").asc, col("event_id").asc)
-    val sess = events(s, dir)
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      .withColumn("new_sess",
-        when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
-          .otherwise(0L))
-      .withColumn("session_id",
-        sum(col("new_sess")).over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sess = sessionized(s, dir)
       .groupBy("user_id", "session_id")
       .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
     // Lazy persist, per the DedupOps r6 A/B: the one final action

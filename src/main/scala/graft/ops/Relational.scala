@@ -679,14 +679,25 @@ object Relational {
     * every subsequent query — the same contract as [[joinBucketed]]'s
     * bucketed tables. Guarded by an in-JVM set AND the `_SUCCESS` marker
     * (a previous process may have written it); bump the version suffix in
-    * the path when the layout recipe changes, or a stale /tmp table would
-    * serve old data. */
+    * the path when the layout recipe changes. Hardened r10 (review):
+    * (a) paths come from [[Artifacts.root]], so they carry the SOURCE
+    * table's (mtime, length) fingerprint — a regenerated corpus gets a
+    * fresh path instead of a stale `_SUCCESS` silently serving old rows
+    * while the oracle reads the new table (the same scheme the
+    * ANN/MinHash index artifacts already use); (b) the in-JVM mark lands
+    * only AFTER the write completes — a crashed write used to leave the
+    * path in the set, so later calls in the same JVM skipped the rewrite
+    * and read the partial directory. */
   private val layoutWritten =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def writeOnce(path: String)(write: => Unit): Unit =
-    if (layoutWritten.add(path) &&
-        !new java.io.File(path, "_SUCCESS").isFile) write
+    layoutWritten.synchronized {
+      if (!layoutWritten.contains(path)) {
+        if (!new java.io.File(path, "_SUCCESS").isFile) write
+        layoutWritten.add(path) // reached only after a committed write
+      }
+    }
 
   /** K8: sorted-layout sink — `repartitionByRange` + `sortWithinPartitions`
     * before the parquet write, so every file covers a disjoint key range
@@ -697,7 +708,7 @@ object Relational {
     * filter+agg over the raw table — the layout must be semantically
     * invisible. */
   def sinkSortedLayout(s: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_sorted_v2_${dir.replaceAll("[^0-9.]", "")}"
+    val path = Artifacts.root("sorted_v2", dir, "lineitem.parquet")
     writeOnce(path) {
       lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_quantity")
@@ -724,7 +735,7 @@ object Relational {
     * partition value. Oracle = same filter+agg on the raw table (layout
     * must be semantically invisible). */
   def sinkPartitionedLayout(s: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_hivepart_v1_${dir.replaceAll("[^0-9.]", "")}"
+    val path = Artifacts.root("hivepart_v1", dir, "orders.parquet")
     writeOnce(path) {
       orders(s, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
@@ -748,7 +759,7 @@ object Relational {
     * read-back filters a rectangle; oracle = same filter+agg on the raw
     * table (layout must be semantically invisible). */
   def sinkZorderLayout(s: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_zorder_v2_${dir.replaceAll("[^0-9.]", "")}"
+    val path = Artifacts.root("zorder_v2", dir, "lineitem.parquet")
     // 16-bit × 16-bit Morton interleave: bit i of x lands at 2i, of y at 2i+1
     def morton(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       (0 until 16).map { i =>
@@ -831,7 +842,7 @@ object Relational {
     * join with the month derived on the fly — partitioning must be
     * semantically invisible. */
   def joinDpp(s: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_dpp_v2_${dir.replaceAll("[^0-9.]", "")}"
+    val path = Artifacts.root("dpp_v2", dir, "orders.parquet")
     writeOnce(path) {
       orders(s, dir)
         .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))

@@ -1217,8 +1217,13 @@ object VectorOps {
     val fresh = s.read.parquet(s"${ix.root}/ivfpq_codes_delta")
       .filter(col("m") === 0)
       .groupBy("cell").agg(count(lit(1)).as("n_new"))
-    base.join(fresh, Seq("cell"), "left")
-      .select(col("cell"), col("n_base"),
+    // FULL outer (review r10): a coarse cell empty in the base but
+    // receiving appended vectors has no base row — a left join dropped
+    // it from the manifest entirely and the daily job's ann_new
+    // undercounted the batch. (Empty base cells demonstrably occur:
+    // annIndexStats reports an empty_cells metric.)
+    base.join(fresh, Seq("cell"), "full_outer")
+      .select(col("cell"), coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
       .orderBy("cell")
   }
@@ -1479,11 +1484,12 @@ object VectorOps {
          |  SELECT b.vec_id, c.cid, row_number() OVER (PARTITION BY b.vec_id
          |    ORDER BY ${sqlDist("b.x", "c.cv")} ASC, c.cid ASC) AS rn
          |  FROM b CROSS JOIN c2 c) t WHERE rn = 1)
-         |SELECT a.cell, a.n_base, COALESCE(nb.n_new, 0) AS n_new
+         |SELECT cell, COALESCE(a.n_base, 0) AS n_base,
+         |  COALESCE(nb.n_new, 0) AS n_new
          |FROM (SELECT cell, count(*) AS n_base FROM cells GROUP BY cell) a
-         |LEFT JOIN (SELECT cell, count(*) AS n_new FROM bcells GROUP BY cell) nb
+         |FULL JOIN (SELECT cell, count(*) AS n_new FROM bcells GROUP BY cell) nb
          |  USING (cell)
-         |ORDER BY a.cell""".stripMargin,
+         |ORDER BY cell""".stripMargin,
     "knn_pq" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
          |$pqSubsCte,

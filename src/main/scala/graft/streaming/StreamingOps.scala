@@ -479,7 +479,13 @@ object StreamingOps {
         tv: TimerValues): Iterator[RunningTotal] = {
       var acc = if (total.exists()) total.get() else 0L
       val out = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
-        acc += math.round(e.value * 100)
+        // HALF_UP like the batch twin's decimal(12,2) cast (review r10):
+        // math.round is half-toward-+inf, so a negative half-cent amount
+        // (a -0.125 refund) rounded -12.5 -> -12 while the batch gives
+        // -13 — the pinned stream==batch invariant drifted by a cent.
+        acc += java.math.BigDecimal.valueOf(e.value)
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
         RunningTotal(e.event_id, uid, acc)
       }
       total.update(acc)

@@ -85,6 +85,48 @@ class ApiSpec extends AnyFunSuite {
     want.foreach { case (id, ts) => assert(got(id) == ts, s"purchase $id") }
   }
 
+  test("asofJoinBackward: matched row's NULL payload stays null (no stale fallback); null-pattern fingerprints distinct") {
+    import spark.implicits._
+    // review r10: the payloads used to carry through SEPARATE
+    // last(ignoreNulls) windows, so a matched right row's null price fell
+    // back to an OLDER right row's value — pairing r2's timestamp with
+    // r1's payload, a row that never existed.
+    val right = Seq(
+      (10L, java.sql.Timestamp.valueOf("2026-01-01 00:00:01"), Some(9.0)),
+      (11L, java.sql.Timestamp.valueOf("2026-01-01 00:00:02"), None))
+      .toDF("event_id", "ts", "price")
+      .select(lit(1L).as("user_id"), col("event_id"), col("ts"),
+        col("price").cast("double").as("price"))
+    val left = Seq((20L, java.sql.Timestamp.valueOf("2026-01-01 00:00:03")))
+      .toDF("event_id", "ts").select(lit(1L).as("user_id"), col("*"))
+    val row = GraftAPI.asofJoinBackward(left, right, Seq("user_id"),
+        "ts", "ts", "event_id", payload = Seq("price"))
+      .select("asof_ts", "asof_price").collect().head
+    assert(row.getTimestamp(0).toString.contains("00:00:02"),
+      s"must match the LATEST right row: $row")
+    assert(row.isNullAt(1),
+      s"matched row's null payload must stay null, got $row")
+    // exactDedupGroups (review r10): (null, x) and (x, null) are
+    // DIFFERENT records — the old null-skipping concat collided them and
+    // exactDedup silently deleted one.
+    val nd = Seq((1L, Option.empty[String], Option("x")),
+                 (2L, Option("x"), Option.empty[String]))
+      .toDF("id", "a", "b")
+    assert(GraftAPI.exactDedupGroups(nd, Seq("a", "b"), "id").count() == 2,
+      "distinct null patterns must land in distinct groups")
+    assert(GraftAPI.exactDedup(nd, Seq("a", "b"), "id").count() == 2)
+    // paragraphDedup (review r10): a separator made of regex
+    // metacharacters is treated as a LITERAL — no per-character explosion
+    val pd = Seq((1L, "aa||bb||aa"), (2L, "bb||cc"))
+      .toDF("doc_id", "text")
+    val rows = GraftAPI.paragraphDedup(pd, "doc_id", "text", separator = "||")
+      .orderBy("doc_id").collect()
+    assert(rows(0).getLong(1) == 3 && rows(0).getLong(2) == 2 &&
+      rows(0).getString(3) == "aa||bb", rows.mkString(";"))
+    assert(rows(1).getLong(1) == 2 && rows(1).getLong(2) == 1 &&
+      rows(1).getString(3) == "cc", rows.mkString(";"))
+  }
+
   test("sessionize: ids contiguous from 1, gaps respected") {
     val s = GraftAPI.sessionize(events, "user_id", "ts", 1800L)
     val byUser = s.groupBy("user_id")

@@ -372,6 +372,26 @@ class StreamingSpec extends AnyFunSuite {
       val batch = ops.EventOps.eventsRunningTotal(spark, sf)
       assert(rows(spark.table("s_tws")
         .select("event_id", "user_id", "total_cents")) == rows(batch))
+      // review r10: negative half-cent amounts must round HALF_UP like
+      // the batch twin's decimal(12,2) cast — math.round would give
+      // -12.5 -> -12 where the batch gives -13, drifting totals by a
+      // cent per refund at a half-cent boundary.
+      val ms2 = MemoryStream[Ev]
+      val q2 = StreamingOps.runningTotalTws(ms2.toDS()).toDF()
+        .writeStream.format("memory").queryName("s_tws_neg")
+        .outputMode("append").start()
+      try {
+        ms2.addData(Seq(
+          Ev(1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:01"), 9L,
+            "purchase", -0.125, "{}"),
+          Ev(2L, java.sql.Timestamp.valueOf("2026-01-01 00:00:02"), 9L,
+            "purchase", 0.125, "{}")))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val cents = spark.table("s_tws_neg")
+        .orderBy("event_id").collect().map(_.getAs[Long]("total_cents")).toSeq
+      assert(cents == Seq(-13L, 0L),
+        s"HALF_UP cents contract (batch decimal(12,2) twin): got $cents")
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
