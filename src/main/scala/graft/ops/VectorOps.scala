@@ -1377,6 +1377,28 @@ object VectorOps {
   /** Shared by the knn_pq and knn_recall_pq oracles. */
   private lazy val pqSubsCte: String = pqSubsCteFrom("e")
 
+  /** Rewrite every CTE of a DuckDB oracle to `AS MATERIALIZED`.
+    *
+    * DuckDB 1.0 INLINES each CTE reference (no automatic materialization
+    * of multiply-referenced CTEs), so in the IVF+PQ oracles the residual
+    * table `re` — referenced by all $PqM per-subspace k-means chains, each
+    * of which reads its source ~6 times across the Lloyd rounds — gets its
+    * whole derivation (coarse k-means included) re-evaluated ~50×, and the
+    * expansion compounds through the nested rounds. Measured on the
+    * sf0.01 fixture (500 vectors): `knn_ivf_pq` 252 s inlined → 2.8 s
+    * materialized, identical result rows; at the sf1 fixture (20k
+    * vectors) the inlined form spilled >80 GB of temp and never finished
+    * (the one gap in the r10 sf1 oracle pass) while the materialized form
+    * completes in seconds. Pure execution hint — the relational semantics
+    * are unchanged, as is every other oracle string (scoped to the two
+    * IVF+PQ keys so the 249 driver-verified oracles stay byte-identical).
+    * The regex only matches CTE heads: derived-table aliases sit AFTER
+    * the closing paren (`(...) t`) and never look like `name AS (SELECT`.
+    */
+  private def matCtes(sql: String): String =
+    sql.replaceAll("\\b([A-Za-z_][A-Za-z0-9_]*\\s+AS)\\s+\\(SELECT",
+      "$1 MATERIALIZED (SELECT")
+
   /** Coarse k-means chain + long-form residual rebuild (`re` =
     * (vec_id, cell, x=residual)) shared by the IVF+PQ oracles. */
   private lazy val sqlResidCte: String =
@@ -1542,7 +1564,7 @@ object VectorOps {
     // ordered re-list — the same idiom the Lloyd rounds use), then the
     // standard per-subspace PQ chain trains on the residual table and
     // scores ONLY the query's coarse cell.
-    "knn_ivf_pq" ->
+    "knn_ivf_pq" -> matCtes(
       s"""WITH $sqlResidCte,
          |${pqSubsCteFrom("re")},
          |qc AS (SELECT cell AS qcell FROM re WHERE vec_id = 0),
@@ -1558,7 +1580,7 @@ object VectorOps {
          |q AS (SELECT x AS qv FROM e WHERE vec_id = 0)
          |SELECT vec_id, label, adc, ${sqlDist("short.x", "q.qv")} AS sd
          |FROM short CROSS JOIN q
-         |ORDER BY sd ASC, vec_id ASC LIMIT $K""".stripMargin,
+         |ORDER BY sd ASC, vec_id ASC LIMIT $K""".stripMargin),
     // Multiprobe IVF+PQ recall sweep: per-probe distance tables (the ADC
     // base is the query residual AGAINST THAT PROBE'S centroid), each
     // candidate scored against its own cell's table, shortlist+rerank at
@@ -1588,7 +1610,7 @@ object VectorOps {
            |  floor((n_hit::DOUBLE / $K) * 1000000 + 0.5) / 1000000 AS recall
            |FROM h$np""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH $sqlResidCte,
+      matCtes(s"""WITH $sqlResidCte,
          |${pqSubsCteFrom("re")},
          |q AS (SELECT x AS qv FROM e WHERE vec_id = 0),
          |pr AS (SELECT cid, cv, np FROM (
@@ -1619,7 +1641,7 @@ object VectorOps {
          |  ORDER BY sd ASC, e.vec_id ASC LIMIT $K)),
          |$sweeps
          |$rows
-         |ORDER BY nprobe""".stripMargin
+         |ORDER BY nprobe""".stripMargin)
     },
     "knn_ivf_kmeans" ->
       s"""WITH $sqlKmeansCte,

@@ -49,9 +49,12 @@ class Round4BatchDSpec extends AnyFunSuite {
     got.zip(want).foreach { case (g, w) =>
       assert(g.getString(0) == w.getString(0) && g.getLong(1) == w.getLong(1))
     }
-    // layout on disk: one directory per partition value, none spurious
+    // layout on disk: one directory per partition value, none spurious.
+    // Derive the path exactly as the op does (fingerprint-keyed since the
+    // stale-layout fix) — a hardcoded path would hold only while an old
+    // layout dir happened to survive in /tmp.
     val base = new java.io.File(
-      s"/tmp/graft_hivepart_v1_${sf.replaceAll("[^0-9.]", "")}")
+      ops.Artifacts.root("hivepart_v1", sf, "orders.parquet"))
     val dirs = base.listFiles().filter(_.isDirectory).map(_.getName).sorted
     assert(dirs.length == 5 && dirs.forall(_.startsWith("o_orderpriority=")))
   }
