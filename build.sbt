@@ -1,5 +1,8 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// Surface deprecations at every compile (they hid behind the bare
+// "3 deprecations" summary until round 10; zero-warning policy since).
+ThisBuild / scalacOptions += "-deprecation"
 name := "bigbookapietlwithairflowandsnowflakespark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

@@ -110,8 +110,16 @@ object GraftAPI {
     val chunks = df
       .select(col(id).as("_id"), posexplode(split(col(text), sepRe)))
       .select(col("_id"), col("pos").cast("long").as("cidx"), col("col").as("chunk"))
+    // Both factors are guarded: cidx ≥ 2^20 would collide with the next
+    // id's block, and an id outside [0, 2^43) overflows id·2^20 + cidx —
+    // silently, to a key that can alias ANOTHER document's chunk (a
+    // snowflake-style 10^18 id is far past 2^43 ≈ 8.8e12). Loud
+    // in-expression failure on both, not a wrong keeper.
     val enc = when(col("cidx") >= (1L << 20),
         expr("raise_error('paragraphDedup: >=2^20 units in one row — key would alias')")
+          .cast("long"))
+      .when(col("_id") < 0 || col("_id") >= (1L << 43),
+        expr("raise_error('paragraphDedup: id outside [0, 2^43) — keeper key would overflow')")
           .cast("long"))
       .otherwise(col("_id") * (1L << 20) + col("cidx"))
     val keep = chunks.groupBy("chunk").agg(min(enc).as("kkey"))
@@ -542,15 +550,6 @@ object GraftAPI {
       .withColumn("is_outlier", col("z") > zThreshold)
   }
 
-  /** Token-budget selection: keep the rows with the highest integer
-    * `quality` until the global sum of `weight` reaches
-    * `budgetFrac × total`, truncating the boundary-quality group at its
-    * `id`-ordered prefix. Scale shape (see `PipelineOps.corpusBudgetSelect`):
-    * the quality spine cumulates on a broadcast-sized table and the doc
-    * side only needs a per-quality-bucket prefix window — no global sort,
-    * no partition-less window over the data. `quality` MUST be integral
-    * (bucket your score first): that keeps the keep-decision arithmetic
-    * exact and the spine small. */
   /** Per-source quota rebalancing: cap any single `source`'s share at
     * `quota` rows (C4/Pile-style domain balancing). Selection within a
     * source is by md5-hash rank of the stable `id` — re-runs and
@@ -567,6 +566,15 @@ object GraftAPI {
       .withColumn("kept", col("src_rank") <= quota)
   }
 
+  /** Token-budget selection: keep the rows with the highest integer
+    * `quality` until the global sum of `weight` reaches
+    * `budgetFrac × total`, truncating the boundary-quality group at its
+    * `id`-ordered prefix. Scale shape (see `PipelineOps.corpusBudgetSelect`):
+    * the quality spine cumulates on a broadcast-sized table and the doc
+    * side only needs a per-quality-bucket prefix window — no global sort,
+    * no partition-less window over the data. `quality` MUST be integral
+    * (bucket your score first): that keeps the keep-decision arithmetic
+    * exact and the spine small. */
   def budgetSelect(df: DataFrame, id: String, quality: String, weight: String,
                    budgetFrac: Double = 0.5): DataFrame = {
     val wSpine = Window.orderBy(col(quality).desc)
@@ -783,11 +791,6 @@ object GraftAPI {
       .agg(count(lit(1)).as("n"), countDistinct(col(key)).as("n_keys"))
   }
 
-  /** Brute-force cosine top-k: for each query row, the k nearest corpus
-    * rows by the codegen'd `graft_dot` product over L2-normalized
-    * vectors. Corpus-side scoring is map-side (queries broadcast); the
-    * per-query top-k is the row_number idiom → native TopKPerGroup under
-    * GraftExtensions. At IVF scale, pre-bucket the corpus instead. */
   /** Temperature-scaled source mixing (the multilingual-corpus
     * rebalancing rule): per-source token share p, smoothed share
     * q ∝ p^alpha, and rep_factor = q/p — the expected per-source
@@ -1093,6 +1096,11 @@ object GraftAPI {
   def sqrtNSignCells(df: DataFrame, vec: String): DataFrame =
     graft.ops.VectorOps.scaledCells(df, j => 1L << (2 * (j - 1)), vec)
 
+  /** Brute-force cosine top-k: for each query row, the k nearest corpus
+    * rows by the codegen'd `graft_dot` product over L2-normalized
+    * vectors. Corpus-side scoring is map-side (queries broadcast); the
+    * per-query top-k is the row_number idiom → native TopKPerGroup under
+    * GraftExtensions. At IVF scale, pre-bucket the corpus instead. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame,
                  qId: String, cId: String, vec: String, k: Int): DataFrame = {
     val q = l2Normalize(queries.select(col(qId).as("query_id"), col(vec)), vec)

@@ -43,7 +43,7 @@ object ScaleFixture {
     try {
       val docs = spark.read.parquet(s"$src/documents.parquet")
       val docStride = {
-        val m = docs.agg(max("doc_id")).head.getLong(0) + 1
+        val m = docs.agg(max("doc_id")).head().getLong(0) + 1
         // round the stride up to a multiple of 50 to preserve the
         // doc_id % 50 eval-slice fraction in every copy
         ((m + 49) / 50) * 50
@@ -65,7 +65,7 @@ object ScaleFixture {
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
       val emb = spark.read.parquet(s"$src/embeddings.parquet")
-      val vecStride = emb.agg(max("vec_id")).head.getLong(0) + 1
+      val vecStride = emb.agg(max("vec_id")).head().getLong(0) + 1
       emb.select(col("*"), copyIdx)
         .select(
           (col("vec_id") + col("copy") * vecStride).as("vec_id"),

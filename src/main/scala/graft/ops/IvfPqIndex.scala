@@ -97,7 +97,7 @@ object IvfPqIndex {
                              cells: Int, m: Int, k: Int, iters: Int): Unit = {
     val e = raw.persist()
     try {
-      val dim = e.select(size(col("x"))).head.getInt(0)
+      val dim = e.select(size(col("x"))).head().getInt(0)
       require(dim % m == 0, s"vector length $dim not divisible by m=$m subspaces")
       val sub = dim / m
       def sliceL(v: org.apache.spark.sql.Column) =

@@ -638,7 +638,7 @@ object StreamingOps {
       if (!last.exists()) Iterator.empty
       else {
         val (lastUs, n) = last.get()
-        if (info.getExpiryTimeInMs >= lastUs / 1000 + GapMs) {
+        if (info.getExpiryTimeInMs() >= lastUs / 1000 + GapMs) {
           last.clear()
           Iterator.single(SessionAlert(uid, lastUs, n))
         } else Iterator.empty // stale timer from a pre-update arm

@@ -125,6 +125,17 @@ class ApiSpec extends AnyFunSuite {
       rows(0).getString(3) == "aa||bb", rows.mkString(";"))
     assert(rows(1).getLong(1) == 2 && rows(1).getLong(2) == 1 &&
       rows(1).getString(3) == "cc", rows.mkString(";"))
+    // paragraphDedup id-range guard: an id ≥ 2^43 (snowflake-scale)
+    // would overflow the keeper key id·2^20 + cidx and could alias
+    // another document's chunk — must fail loudly, not pick a wrong
+    // keeper.
+    val big = Seq((1L << 43, "aa bb"), (7L, "aa bb")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      GraftAPI.paragraphDedup(big, "doc_id", "text", separator = " ").collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("2^43"), s"expected the id-range guard, got: $msgs")
   }
 
   test("sessionize: ids contiguous from 1, gaps respected") {
@@ -679,7 +690,7 @@ class ApiSpec extends AnyFunSuite {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val ix = ops.IvfPqIndex.ensure(spark, sf)
     val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
     val got = GraftAPI.annFilteredTopK(emb, "vec_id", "embedding",
         spark.read.parquet(ix.coarse), spark.read.parquet(ix.cells),
         q, col("label") % 2 === 1 && col("vec_id") =!= 0)

@@ -75,7 +75,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(streamed).subsetOf(rows(batch)),
       "streamed rows disagree with the batch twin")
     import org.apache.spark.sql.functions._
-    val maxTs = Tables.events(spark, sf).agg(max(col("ts"))).head.getTimestamp(0)
+    val maxTs = Tables.events(spark, sf).agg(max(col("ts"))).head().getTimestamp(0)
     // hour window [h, h+1h) is closed once watermark = maxTs − 2 h ≥ h+1h.
     val cut = new java.sql.Timestamp(maxTs.getTime - (2L + 1L) * 3600 * 1000)
     val mustEmit = batch.filter(col("hour") <= lit(cut))
@@ -681,7 +681,7 @@ class StreamingSpec extends AnyFunSuite {
     // score garbage silently.
     val withNull = emb.limit(1)
       .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
-      .unionByName(emb.limit(2).filter($"vec_id" =!= emb.limit(1).head.getLong(0))
+      .unionByName(emb.limit(2).filter($"vec_id" =!= emb.limit(1).head().getLong(0))
         .select($"vec_id",
           org.apache.spark.sql.functions.lit(null)
             .cast("array<double>").as("embedding")))
