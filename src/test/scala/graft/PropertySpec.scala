@@ -359,6 +359,120 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("asofJoinBackward == brute-force model on generated series (null payloads, ties, tolerance)") {
+    import org.apache.spark.sql.functions._
+    val sq = spark; import sq.implicits._
+    // Generalizes the hand-built r10 null-payload case: for EVERY left row
+    // the matched right row must be the max by (ts, tie) among rts <= lts,
+    // carried AS A UNIT — a matched row's null payload stays null (never an
+    // older row's value), and a tolerance-stale match nulls ts and payload
+    // together. The model is an independent per-row scan.
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val leftGen = for {
+      u <- Gen.choose(0, 2); t <- Gen.choose(0L, 50L)
+    } yield (u.toLong, t * 1000L) // ms grid so ties across rows are common
+    val rightGen = for {
+      u <- Gen.choose(0, 2); t <- Gen.choose(0L, 50L)
+      p <- Gen.option(Gen.choose(1, 999).map(_.toDouble))
+    } yield (u.toLong, t * 1000L, p)
+    val caseGen = for {
+      ls <- Gen.listOfN(25, leftGen)
+      rs <- Gen.listOfN(25, rightGen)
+      tol <- Gen.oneOf(-1L, 5000L * 1000L) // none | 5 s in µs
+    } yield (ls, rs, tol)
+    val prop = Prop.forAll(caseGen) { case (ls, rs, tol) =>
+      // unique tie ids; rights ride 1000+i so ties vs lefts never collide
+      val left = ls.zipWithIndex.map { case ((u, t), i) => (u, i.toLong, ts(t)) }
+      val right = rs.zipWithIndex.map { case ((u, t, p), i) =>
+        (u, 1000L + i, ts(t), p) }
+      val model = left.map { case (u, lid, lts) =>
+        val cand = right.filter(r => r._1 == u && !r._3.after(lts))
+        val m = cand.sortBy(r => (r._3.getTime, r._2)).lastOption
+        val fresh = m.exists(r =>
+          tol < 0 || (lts.getTime - r._3.getTime) * 1000L <= tol)
+        lid -> (if (fresh) (m.map(_._3), m.get._4) else (None, None))
+      }.toMap
+      val got = graft.api.GraftAPI.asofJoinBackward(
+          left.toDF("user_id", "eid", "ts"),
+          right.toDF("user_id", "eid", "ts", "price"),
+          Seq("user_id"), "ts", "ts", "eid", payload = Seq("price"),
+          toleranceUs = tol)
+        .select(col("eid"), col("asof_ts"), col("asof_price"))
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.getTimestamp(1)),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+      Prop(got == model) :| s"tol=$tol got=${got.toSeq.sortBy(_._1).take(6)} model=${model.toSeq.sortBy(_._1).take(6)}"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("exactDedup on generated nullable tuples == distinct-tuple model (null patterns, JSON specials)") {
+    val sq = spark; import sq.implicits._
+    // Generalizes the r10 (null,x)/(x,null) case: survivors of the
+    // to_json-fingerprinted dedup are exactly the min-id representative of
+    // every DISTINCT (a, b) tuple — null patterns distinct, JSON-special
+    // values ("quotes", separators, braces) never alias a field boundary.
+    val valGen: Gen[Option[String]] = Gen.oneOf(
+      Gen.const(None), Gen.const(Some("x")), Gen.const(Some("\"x\"")),
+      Gen.const(Some("a,b")), Gen.const(Some("{\"a\":1}")),
+      Gen.const(Some("x y")), Gen.alphaStr.map(s => Some(s.take(4))))
+    val rowGen = for { a <- valGen; b <- valGen } yield (a, b)
+    val prop = Prop.forAll(Gen.listOfN(30, rowGen)) { pairs =>
+      val rows = pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      val model = rows.groupBy(r => (r._2, r._3))
+        .map { case (_, vs) => (vs.map(_._1).min, vs.size.toLong) }.toSet
+      val df = rows.toDF("id", "a", "b")
+      val groups = graft.api.GraftAPI.exactDedupGroups(df, Seq("a", "b"), "id")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      val survivors = graft.api.GraftAPI.exactDedup(df, Seq("a", "b"), "id")
+        .collect().map(_.getLong(0)).toSet
+      Prop(groups == model && survivors == model.map(_._1)) :|
+        s"groups=$groups model=$model survivors=$survivors"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("paragraphDedup == first-occurrence model on generated docs and regex-metachar separators") {
+    val sq = spark; import sq.implicits._
+    // Generalizes the r10 "||" case: for ANY separator (regex metachars
+    // included) the survivors are the global first occurrence of each
+    // chunk by (id, position), reassembled in position order; wholly-dup
+    // docs report n_kept=0 with empty text_kept.
+    val chunkGen = Gen.oneOf("aa", "bb", "cc", "dd", "")
+    val docGen = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, chunkGen))
+    val caseGen = for {
+      docs <- Gen.listOfN(8, docGen)
+      sep <- Gen.oneOf("\n\n", "||", ".", "++", " ", "|.|")
+    } yield (docs, sep)
+    val prop = Prop.forAll(caseGen) { case (docs, sep) =>
+      val rows = docs.zipWithIndex.map { case (cs, i) =>
+        (i.toLong, cs.mkString(sep)) }
+      // model: literal split with trailing empties kept (Spark split
+      // semantics), keeper key = global min of id*2^20 + cidx per chunk
+      val chunks = rows.flatMap { case (id, text) =>
+        text.split(java.util.regex.Pattern.quote(sep), -1)
+          .zipWithIndex.map { case (c, p) => (id, p.toLong, c) } }
+      val keeper = chunks.groupBy(_._3)
+        .map { case (c, vs) => c -> vs.map(v => (v._1 << 20) + v._2).min }
+      val model = rows.map { case (id, text) =>
+        val mine = chunks.filter(_._1 == id)
+        val kept = mine.filter(v => keeper(v._3) == ((v._1 << 20) + v._2))
+          .sortBy(_._2)
+        id -> ((mine.size.toLong, kept.size.toLong,
+          kept.map(_._3).mkString(sep)))
+      }.toMap
+      val got = graft.api.GraftAPI
+        .paragraphDedup(rows.toDF("doc_id", "text"), "doc_id", "text", sep)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      Prop(got == model) :| s"sep='$sep' got=$got model=$model"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("embeddingOutliers == local snapped model on generated vectors (incl. degenerate groups)") {
     val sq = spark; import sq.implicits._
     def snap(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
