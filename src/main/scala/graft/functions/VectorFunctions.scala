@@ -152,17 +152,36 @@ object CollapseIdempotentStringFns
   * `.withExtensions(new GraftExtensions)`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("graft_quantize_i8"),
-      new ExpressionInfo(classOf[QuantizeI8].getName, "graft_quantize_i8"),
-      (children: Seq[Expression]) => QuantizeI8(children.head, children(1))))
+    GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => CollapseIdempotentStringFns)
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
     ext.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)
+  }
+}
+
+object GraftExtensions {
+  /** The function surface, defined once for both injection paths. */
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))),
+    (new FunctionIdentifier("graft_quantize_i8"),
+      new ExpressionInfo(classOf[QuantizeI8].getName, "graft_quantize_i8"),
+      (children: Seq[Expression]) => QuantizeI8(children.head, children(1))))
+
+  /** Idempotently registers the graft FUNCTIONS into an already-built
+    * session (review r10): a jobs main that JOINS a host session created
+    * without `.withExtensions(GraftExtensions)` would otherwise fail with
+    * UNRESOLVED_ROUTINE on `graft_dot` midway through a multi-stage job.
+    * Only the functions are recoverable post-hoc — the optimizer rules
+    * and the TopK strategy hang off session construction and are
+    * perf-only, so a joined session runs correct-but-unrewritten plans. */
+  def ensureFunctions(s: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = s.sessionState.functionRegistry
+    functions.foreach { case (ident, info, builder) =>
+      if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
+    }
   }
 }
 

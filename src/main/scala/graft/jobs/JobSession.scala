@@ -25,6 +25,11 @@ object JobSession {
     existing match {
       case Some(s) =>
         if (created.contains(s)) refs += 1
+        // A joined host session may have been built WITHOUT
+        // GraftExtensions; register the graft function surface post-hoc
+        // (idempotent) so a jobs main never fails UNRESOLVED_ROUTINE on
+        // graft_dot midway through a multi-stage run (review r10).
+        graft.functions.GraftExtensions.ensureFunctions(s)
         s
       case None =>
         val b = SparkSession.builder()

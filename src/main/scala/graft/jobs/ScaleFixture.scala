@@ -38,6 +38,13 @@ object ScaleFixture {
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
+      // session parity with Bench/Verify (review r10): events.parquet has
+      // shipped ts as TIMESTAMP(NANOS) in past harness revisions, which
+      // Spark 4 refuses without the legacy flag (Tables.events scaladoc),
+      // and the pass-through copy below reads it directly; UTC pins the
+      // fixture bytes against host-timezone drift.
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .appName("graft-scale-fixture")
       .getOrCreate()
     try {

@@ -427,7 +427,12 @@ object StreamingOps {
     * per user = the open session; a ≥30-min gap closes it and emits. In
     * batch mode each group arrives complete (unordered — hence the sort)
     * and every session closes at group end; in streaming the same function
-    * runs incrementally with the state store holding the open session. */
+    * runs incrementally with the state store holding the open session.
+    * Cross-batch late arrivals (an event OLDER than the open session's
+    * end) merge with MONOTONE bounds — min/max, never assignment — so a
+    * late event can widen the open session backwards but can never drag
+    * `end_us` back and corrupt the next event's gap decision (review r10).
+    * In batch the per-group sort makes the min/max no-ops. */
   def sessionizeCustom(ev: Dataset[Ev]): Dataset[Session] = {
     val sq = ev.sparkSession; import sq.implicits._
     val streaming = ev.isStreaming // plan property — resolve driver-side, not in the closure
@@ -441,7 +446,8 @@ object StreamingOps {
             val t = micros(e.ts)
             open = open match {
               case Some(s) if t - s.end_us < GapUs =>
-                Some(s.copy(end_us = t, n_events = s.n_events + 1))
+                Some(s.copy(start_us = math.min(s.start_us, t),
+                  end_us = math.max(s.end_us, t), n_events = s.n_events + 1))
               case Some(s) =>
                 closed += s
                 Some(Session(uid, t, t, 1))
@@ -511,22 +517,104 @@ object StreamingOps {
     * probability aggregation as the batch matrix
     * ([[graft.ops.EventOps.eventsTransitions]] — StreamingSpec asserts
     * the aggregated equality). O(1) state per user, same discipline as
-    * [[latestByUser]]. */
+    * [[latestByUser]].
+    *
+    * Late-arrival contract (review r10): with one event of state, a
+    * cross-batch late arrival (event-time OLDER than the stored prev)
+    * cannot recover the pairs an exact replay would produce — that needs
+    * the watermark-buffered [[transitionsTwsOrdered]]. What this op
+    * guarantees instead: every emitted pair is ordered by EVENT time
+    * (never a fabricated reversed transition), and the state is always
+    * the user's latest-by-event-time event (a late straggler never
+    * displaces a newer prev). In-order feeds are exact. */
   def transitionsStream(ev: Dataset[Ev]): Dataset[Transition] = {
     val sq = ev.sparkSession; import sq.implicits._
     ev.groupByKey(_.user_id)
       .flatMapGroupsWithState[Option[Ev], Transition](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Ev], state: GroupState[Option[Ev]]) =>
+          def key(e: Ev): (Long, Long) = (micros(e.ts), e.event_id)
           var prev: Option[Ev] = state.getOption.flatten
           val out = Seq.newBuilder[Transition]
-          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
-            prev.foreach(p => out += Transition(uid, p.event_type, e.event_type))
-            prev = Some(e)
+          it.toSeq.sortBy(key).foreach { e =>
+            prev.foreach { p =>
+              val (a, b) =
+                if (Ordering[(Long, Long)].lteq(key(p), key(e))) (p, e) else (e, p)
+              out += Transition(uid, a.event_type, b.event_type)
+            }
+            if (prev.forall(p => Ordering[(Long, Long)].lteq(key(p), key(e))))
+              prev = Some(e)
           }
           state.update(prev)
           out.result().iterator
       }
+  }
+
+  /** EXACT out-of-order transitions — the watermark-buffered form of
+    * [[transitionsStream]]: per-user events are buffered in LIST state
+    * until the event-time watermark passes them, then flushed in (ts,
+    * event_id) order with the last-flushed event carried in VALUE state,
+    * so the emitted pair sequence equals the batch matrix's full-ordered
+    * adjacent pairs for ANY arrival order the watermark admits. This is
+    * the standard reorder-buffer construction: state per user is O(events
+    * inside the watermark delay), not O(history), because every flush
+    * drains the ≤-watermark prefix. Input-driven flushes handle active
+    * keys; an event-time TIMER (re-armed at the oldest still-buffered
+    * event) drains the tail of keys that stop receiving input — the same
+    * watermark-driven-output discipline as [[AbandonedSessionProcessor]].
+    * StreamingSpec feeds deliberately shuffled micro-batches and asserts
+    * exact pair-multiset equality with the in-order model. */
+  class OrderedTransitionsProcessor extends StatefulProcessor[Long, Ev, Transition] {
+    private type BufEv = (Long, Long, String) // (event µs, event_id, event_type)
+    @transient private var buf: ListState[BufEv] = _
+    @transient private var last: ValueState[BufEv] = _
+    private def tupleEnc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.STRING)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[BufEv]("buf", tupleEnc, TTLConfig.NONE)
+      last = getHandle.getValueState[BufEv]("last", tupleEnc, TTLConfig.NONE)
+    }
+    /** Drains buffered events whose event time is ≤ the watermark, in
+      * event-time order; re-arms the flush timer if anything remains. */
+    private def flush(uid: Long, wmMs: Long): Iterator[Transition] = {
+      val all = buf.get().toSeq.sortBy(e => (e._1, e._2))
+      val (ripe, rest) = all.partition(_._1 / 1000 <= wmMs)
+      if (ripe.isEmpty) {
+        if (rest.nonEmpty) getHandle.registerTimer(rest.head._1 / 1000)
+        return Iterator.empty
+      }
+      val out = Seq.newBuilder[Transition]
+      var p: Option[BufEv] = if (last.exists()) Some(last.get()) else None
+      ripe.foreach { e =>
+        p.foreach(pp => out += Transition(uid, pp._3, e._3))
+        p = Some(e)
+      }
+      p.foreach(last.update)
+      if (rest.isEmpty) buf.clear()
+      else { buf.put(rest.toArray); getHandle.registerTimer(rest.head._1 / 1000) }
+      out.result().iterator
+    }
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[Transition] = {
+      rows.foreach(e => buf.appendValue((micros(e.ts), e.event_id, e.event_type)))
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      flush(uid, tv.getCurrentWatermarkInMs())
+    }
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Transition] =
+      flush(uid, tv.getCurrentWatermarkInMs())
+  }
+
+  /** [[transitionsStream]] with exact event-time ordering under
+    * out-of-order arrival (10-min watermark reorder buffer). */
+  def transitionsTwsOrdered(ev: Dataset[Ev]): Dataset[Transition] = {
+    val sq = ev.sparkSession; import sq.implicits._
+    ev.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new OrderedTransitionsProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   private val byRecency: Ordering[Ev] =

@@ -696,4 +696,102 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(e5.getMessage.contains("null"), e5.getMessage)
   }
+
+  private def evAt(id: Long, iso: String, uid: Long, tpe: String): Ev =
+    Ev(id, java.sql.Timestamp.from(java.time.Instant.parse(iso)), uid, tpe, 1.0, "{}")
+  private def usOf(iso: String): Long =
+    java.time.Instant.parse(iso).toEpochMilli * 1000
+
+  test("sessionizeCustom streaming: a late in-gap event widens the open session monotonically") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.sessionizeCustom(ms.toDS())
+      .writeStream.format("memory").queryName("s_late_session")
+      .outputMode("append").start()
+    try {
+      ms.addData(evAt(1, "2025-06-01T10:00:00Z", 1, "view"),
+                 evAt(2, "2025-06-01T10:10:00Z", 1, "view"))
+      q.processAllAvailable()
+      // LATE event inside the open session's span: must merge without
+      // dragging end_us back to 10:05 (the pre-fix bug — the next gap
+      // decision would then read 31 min and split a real session).
+      ms.addData(evAt(3, "2025-06-01T10:05:00Z", 1, "view"))
+      q.processAllAvailable()
+      // 26 min after the TRUE last event (10:10) — must merge
+      ms.addData(evAt(4, "2025-06-01T10:36:00Z", 1, "view"))
+      q.processAllAvailable()
+      // 54 min gap — closes and emits the session
+      ms.addData(evAt(5, "2025-06-01T11:30:00Z", 1, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s_late_session").as[StreamingOps.Session]
+      .collect().map(s => (s.user_id, s.start_us, s.end_us, s.n_events)).toSet
+    assert(got == Set((1L, usOf("2025-06-01T10:00:00Z"),
+      usOf("2025-06-01T10:36:00Z"), 4L)), got.toString)
+  }
+
+  test("transitionsStream: a cross-batch late event never emits a reversed pair") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.transitionsStream(ms.toDS())
+      .writeStream.format("memory").queryName("s_late_transitions")
+      .outputMode("append").start()
+    try {
+      ms.addData(evAt(1, "2025-06-01T10:00:00Z", 1, "a"),
+                 evAt(3, "2025-06-01T10:20:00Z", 1, "c"))
+      q.processAllAvailable()
+      // late b@10:10 arrives after c@10:20 is already the stored prev:
+      // the emitted pair must be event-time-ordered (b -> c), never the
+      // fabricated reversal (c -> b), and prev must STAY c so the next
+      // event pairs against the true latest.
+      ms.addData(evAt(2, "2025-06-01T10:10:00Z", 1, "b"))
+      q.processAllAvailable()
+      ms.addData(evAt(4, "2025-06-01T10:30:00Z", 1, "d"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s_late_transitions")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("a", "c"), ("b", "c"), ("c", "d")), got.toString)
+  }
+
+  test("transitionsTwsOrdered: shuffled micro-batches emit the exact in-order pair sequence") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.transitionsTwsOrdered(ms.toDS())
+      .writeStream.format("memory").queryName("s_ordered_transitions")
+      .outputMode("append").start()
+    try {
+      // two users, every batch deliberately out of per-user order, all
+      // events inside the 10-min watermark tolerance of their batch
+      ms.addData(evAt(13, "2025-06-01T10:04:00Z", 1, "c"),
+                 evAt(22, "2025-06-01T10:03:00Z", 2, "q"),
+                 evAt(11, "2025-06-01T10:00:00Z", 1, "a"))
+      q.processAllAvailable()
+      ms.addData(evAt(12, "2025-06-01T10:02:00Z", 1, "b"),
+                 evAt(23, "2025-06-01T10:05:00Z", 2, "r"),
+                 evAt(21, "2025-06-01T10:01:00Z", 2, "p"))
+      q.processAllAvailable()
+      ms.addData(evAt(14, "2025-06-01T10:06:00Z", 1, "d"))
+      q.processAllAvailable()
+      // watermark-advancing sentinels (single events — no pairs of their
+      // own) so the reorder buffers drain through the event-time timers
+      ms.addData(evAt(91, "2025-06-01T10:20:00Z", 91, "z")); q.processAllAvailable()
+      ms.addData(evAt(92, "2025-06-01T10:30:00Z", 92, "z")); q.processAllAvailable()
+      ms.addData(evAt(93, "2025-06-01T10:40:00Z", 93, "z")); q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val got = spark.table("s_ordered_transitions")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // EXACT multiset: each true adjacent pair exactly once, nothing else
+    assert(got.sorted == Seq(
+      (1L, "a", "b"), (1L, "b", "c"), (1L, "c", "d"),
+      (2L, "p", "q"), (2L, "q", "r")).sorted, got.toString)
+  }
 }
