@@ -432,7 +432,14 @@ object StreamingOps {
     * end) merge with MONOTONE bounds — min/max, never assignment — so a
     * late event can widen the open session backwards but can never drag
     * `end_us` back and corrupt the next event's gap decision (review r10).
-    * In batch the per-group sort makes the min/max no-ops. */
+    * A straggler a FULL gap older than the open session's start belongs
+    * to an earlier, implicitly-closed session — it emits as its own
+    * closed single-event session instead of gluing across a ≥30-min gap
+    * (the one approximation O(1) state allows: two such stragglers
+    * within a gap of EACH OTHER emit as two sessions where a full replay
+    * would merge them; exactness under arbitrary reordering needs a
+    * watermark reorder buffer, see [[OrderedTransitionsProcessor]]).
+    * In batch the per-group sort makes all three rules no-ops. */
   def sessionizeCustom(ev: Dataset[Ev]): Dataset[Session] = {
     val sq = ev.sparkSession; import sq.implicits._
     val streaming = ev.isStreaming // plan property — resolve driver-side, not in the closure
@@ -445,6 +452,13 @@ object StreamingOps {
           it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
             val t = micros(e.ts)
             open = open match {
+              // beyond-reorder straggler: ≥ a full gap OLDER than the open
+              // session's start — its own session, never a merge (the
+              // signed gap check below would otherwise glue it across
+              // hours). Unreachable in batch (per-group ascending sort).
+              case Some(s) if t < s.start_us - GapUs =>
+                closed += Session(uid, t, t, 1)
+                Some(s)
               case Some(s) if t - s.end_us < GapUs =>
                 Some(s.copy(start_us = math.min(s.start_us, t),
                   end_us = math.max(s.end_us, t), n_events = s.n_events + 1))
@@ -576,15 +590,21 @@ object StreamingOps {
       buf = getHandle.getListState[BufEv]("buf", tupleEnc, TTLConfig.NONE)
       last = getHandle.getValueState[BufEv]("last", tupleEnc, TTLConfig.NONE)
     }
-    /** Drains buffered events whose event time is ≤ the watermark, in
-      * event-time order; re-arms the flush timer if anything remains. */
+    /** Drains buffered events whose event time is STRICTLY below the
+      * watermark millisecond, in event-time order; re-arms the flush
+      * timer if anything remains. Strict, not ≤ (review r10): Spark's
+      * late-row admission is evaluated at millisecond granularity, so an
+      * event AT the watermark ms may still gain an admissible same-ms
+      * sibling with a smaller (ts, event_id) key in a later batch —
+      * flushing it early would emit that sibling as a reversed pair. An
+      * event drains only once the watermark strictly passes its ms (the
+      * re-arm at head+1 guarantees the timer lands there). */
     private def flush(uid: Long, wmMs: Long): Iterator[Transition] = {
       val all = buf.get().toSeq.sortBy(e => (e._1, e._2))
-      val (ripe, rest) = all.partition(_._1 / 1000 <= wmMs)
-      if (ripe.isEmpty) {
-        if (rest.nonEmpty) getHandle.registerTimer(rest.head._1 / 1000)
-        return Iterator.empty
-      }
+      val (ripe, rest) = all.partition(_._1 / 1000 < wmMs)
+      def rearm(): Unit =
+        if (rest.nonEmpty) getHandle.registerTimer(rest.head._1 / 1000 + 1)
+      if (ripe.isEmpty) { rearm(); return Iterator.empty }
       val out = Seq.newBuilder[Transition]
       var p: Option[BufEv] = if (last.exists()) Some(last.get()) else None
       ripe.foreach { e =>
@@ -593,7 +613,7 @@ object StreamingOps {
       }
       p.foreach(last.update)
       if (rest.isEmpty) buf.clear()
-      else { buf.put(rest.toArray); getHandle.registerTimer(rest.head._1 / 1000) }
+      else { buf.put(rest.toArray); rearm() }
       out.result().iterator
     }
     override def handleInputRows(uid: Long, rows: Iterator[Ev],

@@ -306,8 +306,7 @@ class StreamingSpec extends AnyFunSuite {
   test("transformWithState event-time timers: abandoned-session alerts fire on watermark, state clears") {
     val sq = spark; import sq.implicits._
     implicit val ctx = spark.sqlContext
-    def ev(id: Long, iso: String, uid: Long): Ev =
-      Ev(id, java.sql.Timestamp.from(java.time.Instant.parse(iso)), uid, "view", 1.0, "{}")
+    def ev(id: Long, iso: String, uid: Long): Ev = evAt(id, iso, uid, "view")
     // transformWithState (and its timer column family) requires the
     // RocksDB state store; scope the provider to this query.
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -334,7 +333,7 @@ class StreamingSpec extends AnyFunSuite {
     }
     val got = spark.table("s_abandoned").as[StreamingOps.SessionAlert]
       .collect().map(a => (a.user_id, a.last_seen_us, a.n_events)).toSet
-    def us(iso: String): Long = java.time.Instant.parse(iso).toEpochMilli * 1000
+    def us(iso: String): Long = usOf(iso)
     val required = Set(
       (1L, us("2025-06-01T10:10:00Z"), 2L),  // quiet after 10:10, 2 events
       (2L, us("2025-06-01T12:00:00Z"), 2L),  // SECOND quiet period only
@@ -721,14 +720,25 @@ class StreamingSpec extends AnyFunSuite {
       // 26 min after the TRUE last event (10:10) — must merge
       ms.addData(evAt(4, "2025-06-01T10:36:00Z", 1, "view"))
       q.processAllAvailable()
+      // beyond-reorder straggler: a FULL gap older than the open
+      // session's start — must emit as its own closed session, never
+      // glue the open session back across a 3-hour gap (the signed
+      // t - end_us check alone would merge it)
+      ms.addData(evAt(6, "2025-06-01T07:00:00Z", 1, "view"))
+      q.processAllAvailable()
       // 54 min gap — closes and emits the session
       ms.addData(evAt(5, "2025-06-01T11:30:00Z", 1, "view"))
       q.processAllAvailable()
     } finally q.stop()
+    // exact multiset, not a set: a duplicate emission of a closed
+    // session must fail, not dedupe away
     val got = spark.table("s_late_session").as[StreamingOps.Session]
-      .collect().map(s => (s.user_id, s.start_us, s.end_us, s.n_events)).toSet
-    assert(got == Set((1L, usOf("2025-06-01T10:00:00Z"),
-      usOf("2025-06-01T10:36:00Z"), 4L)), got.toString)
+      .collect().map(s => (s.user_id, s.start_us, s.end_us, s.n_events))
+      .toSeq.sorted
+    assert(got == Seq(
+      (1L, usOf("2025-06-01T07:00:00Z"), usOf("2025-06-01T07:00:00Z"), 1L),
+      (1L, usOf("2025-06-01T10:00:00Z"), usOf("2025-06-01T10:36:00Z"), 4L)),
+      got.toString)
   }
 
   test("transitionsStream: a cross-batch late event never emits a reversed pair") {
@@ -751,9 +761,10 @@ class StreamingSpec extends AnyFunSuite {
       ms.addData(evAt(4, "2025-06-01T10:30:00Z", 1, "d"))
       q.processAllAvailable()
     } finally q.stop()
+    // exact multiset: a duplicated pair emission must fail, not dedupe
     val got = spark.table("s_late_transitions")
-      .collect().map(r => (r.getString(1), r.getString(2))).toSet
-    assert(got == Set(("a", "c"), ("b", "c"), ("c", "d")), got.toString)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq.sorted
+    assert(got == Seq(("a", "c"), ("b", "c"), ("c", "d")), got.toString)
   }
 
   test("transitionsTwsOrdered: shuffled micro-batches emit the exact in-order pair sequence") {
@@ -761,37 +772,77 @@ class StreamingSpec extends AnyFunSuite {
     implicit val ctx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val ms = MemoryStream[Ev]
-    val q = StreamingOps.transitionsTwsOrdered(ms.toDS())
-      .writeStream.format("memory").queryName("s_ordered_transitions")
-      .outputMode("append").start()
     try {
-      // two users, every batch deliberately out of per-user order, all
-      // events inside the 10-min watermark tolerance of their batch
-      ms.addData(evAt(13, "2025-06-01T10:04:00Z", 1, "c"),
-                 evAt(22, "2025-06-01T10:03:00Z", 2, "q"),
-                 evAt(11, "2025-06-01T10:00:00Z", 1, "a"))
-      q.processAllAvailable()
-      ms.addData(evAt(12, "2025-06-01T10:02:00Z", 1, "b"),
-                 evAt(23, "2025-06-01T10:05:00Z", 2, "r"),
-                 evAt(21, "2025-06-01T10:01:00Z", 2, "p"))
-      q.processAllAvailable()
-      ms.addData(evAt(14, "2025-06-01T10:06:00Z", 1, "d"))
-      q.processAllAvailable()
-      // watermark-advancing sentinels (single events — no pairs of their
-      // own) so the reorder buffers drain through the event-time timers
-      ms.addData(evAt(91, "2025-06-01T10:20:00Z", 91, "z")); q.processAllAvailable()
-      ms.addData(evAt(92, "2025-06-01T10:30:00Z", 92, "z")); q.processAllAvailable()
-      ms.addData(evAt(93, "2025-06-01T10:40:00Z", 93, "z")); q.processAllAvailable()
-    } finally {
-      q.stop()
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
+      val ms = MemoryStream[Ev]
+      val q = StreamingOps.transitionsTwsOrdered(ms.toDS())
+        .writeStream.format("memory").queryName("s_ordered_transitions")
+        .outputMode("append").start()
+      try {
+        // two users, every batch deliberately out of per-user order, all
+        // events inside the 10-min watermark tolerance of their batch
+        ms.addData(evAt(13, "2025-06-01T10:04:00Z", 1, "c"),
+                   evAt(22, "2025-06-01T10:03:00Z", 2, "q"),
+                   evAt(11, "2025-06-01T10:00:00Z", 1, "a"))
+        q.processAllAvailable()
+        ms.addData(evAt(12, "2025-06-01T10:02:00Z", 1, "b"),
+                   evAt(23, "2025-06-01T10:05:00Z", 2, "r"),
+                   evAt(21, "2025-06-01T10:01:00Z", 2, "p"))
+        q.processAllAvailable()
+        ms.addData(evAt(14, "2025-06-01T10:06:00Z", 1, "d"))
+        q.processAllAvailable()
+        // watermark-advancing sentinels (single events — no pairs of their
+        // own) so the reorder buffers drain through the event-time timers
+        ms.addData(evAt(91, "2025-06-01T10:20:00Z", 91, "z")); q.processAllAvailable()
+        ms.addData(evAt(92, "2025-06-01T10:30:00Z", 92, "z")); q.processAllAvailable()
+        ms.addData(evAt(93, "2025-06-01T10:40:00Z", 93, "z")); q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     val got = spark.table("s_ordered_transitions")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
     // EXACT multiset: each true adjacent pair exactly once, nothing else
     assert(got.sorted == Seq(
       (1L, "a", "b"), (1L, "b", "c"), (1L, "c", "d"),
       (2L, "p", "q"), (2L, "q", "r")).sorted, got.toString)
+  }
+
+  test("transitionsTwsOrdered: an event in the watermark's ms waits for admissible sub-ms siblings") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamingOps.transitionsTwsOrdered(ms.toDS())
+        .writeStream.format("memory").queryName("s_boundary_transitions")
+        .outputMode("append").start()
+      try {
+        // Batch 1 lands "b" at T+900µs (T = the ms the watermark will
+        // land on: 10:20 − 10 min) plus the sentinel that pins the
+        // watermark to exactly T. Spark's admission rule drops rows with
+        // ts ≤ watermark, so events ABOVE T but inside T's millisecond
+        // stay admissible — a ≤-ms flush would drain "b" when the timer
+        // fires at wm == T, and the sub-ms-OLDER sibling "a" (T+100µs,
+        // smaller id) arriving later would pair REVERSED. The strict-<
+        // flush holds everything in T's ms until the watermark passes it.
+        ms.addData(evAt(5, "2025-06-01T10:10:00.000900Z", 1, "b"),
+                   evAt(81, "2025-06-01T10:20:00Z", 81, "z"))
+        q.processAllAvailable()
+        // sentinel-only batch: user 1 gets NO input here, so only its
+        // TIMER can flush — this is where the ≤-flush drained "b"
+        ms.addData(evAt(84, "2025-06-01T10:20:00Z", 84, "z"))
+        q.processAllAvailable()
+        // sub-ms sibling: same ms T, 100µs, id 3 — (ts, id)-OLDER than
+        // "b", still above the watermark, so it is admitted
+        ms.addData(evAt(3, "2025-06-01T10:10:00.000100Z", 1, "a"))
+        q.processAllAvailable()
+        // advance the watermark past T's ms so the buffer drains
+        ms.addData(evAt(82, "2025-06-01T10:30:00Z", 82, "z")); q.processAllAvailable()
+        ms.addData(evAt(83, "2025-06-01T10:45:00Z", 83, "z")); q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    val got = spark.table("s_boundary_transitions")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    // exact pair in (ts, id) order — the reversed ("b", "a") is the bug
+    assert(got == Seq((1L, "a", "b")), got.toString)
   }
 }
