@@ -637,6 +637,90 @@ object StreamingOps {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** EXACT out-of-order sessionization — the reorder-buffer construction
+    * of [[OrderedTransitionsProcessor]] applied to the 30-min-gap session
+    * machine, replacing [[sessionizeCustom]]'s O(1)-state approximations
+    * with watermark-exact semantics: buffered events drain strictly below
+    * the watermark ms in (ts, event_id) order into the gap machine (VALUE
+    * state = the open session), and the open session CLOSES only once the
+    * watermark proves no admissible event can merge (wm − end ≥ gap) —
+    * so the emitted closed-session stream equals the batch machine run
+    * over the fully ordered feed, for any arrival order the watermark
+    * admits. Timers re-arm at the earliest future decision point: the
+    * oldest still-buffered event's ms (more to drain) or the open
+    * session's close boundary (end + gap), whichever comes first — a
+    * quiet key still closes its last session, and state per key is
+    * O(events inside the watermark delay) + one open session. */
+  class OrderedSessionProcessor extends StatefulProcessor[Long, Ev, Session] {
+    private type OpenS = (Long, Long, Long) // (start_us, end_us, n_events)
+    @transient private var buf: ListState[(Long, Long)] = _ // (event µs, event_id)
+    @transient private var open: ValueState[OpenS] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[(Long, Long)]("buf",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+      open = getHandle.getValueState[OpenS]("open",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    }
+    private def flush(uid: Long, wmMs: Long): Iterator[Session] = {
+      val all = buf.get().toSeq.sorted
+      val (ripe, rest) = all.partition(_._1 / 1000 < wmMs)
+      val out = Seq.newBuilder[Session]
+      var cur: Option[OpenS] = if (open.exists()) Some(open.get()) else None
+      ripe.foreach { case (t, _) =>
+        cur = cur match {
+          // ripe is sorted and the open session's end is always the max
+          // seen, so t ≥ end here — plain forward gap logic, no min/max
+          case Some((s0, e0, n)) if t - e0 < GapUs => Some((s0, math.max(e0, t), n + 1))
+          case Some(s) => out += Session(uid, s._1, s._2, s._3); Some((t, t, 1L))
+          case None => Some((t, t, 1L))
+        }
+      }
+      // Close once UNREACHABLE: every admissible event has ts above the
+      // watermark, so gap-from-end is at least wm − end; ≥ gap means no
+      // admissible event can ever merge. (Conservative by < 1 ms — the
+      // watermark's sub-ms remainder — which only delays the close to
+      // the next watermark advance, never changes the session.) A still-
+      // buffered rest event can never merge either: its ts ≥ wm ms.
+      cur.foreach { case (s0, e0, n) =>
+        if (wmMs * 1000 - e0 >= GapUs) {
+          out += Session(uid, s0, e0, n)
+          cur = None
+        }
+      }
+      cur match { case Some(c) => open.update(c); case None => open.clear() }
+      if (rest.isEmpty) buf.clear() else buf.put(rest.toArray)
+      val nextDecision =
+        rest.headOption.map(_._1 / 1000 + 1).toSeq ++
+          cur.map { case (_, e0, _) => (e0 + GapUs) / 1000 + 1 }.toSeq
+      if (nextDecision.nonEmpty) getHandle.registerTimer(nextDecision.min)
+      out.result().iterator
+    }
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[Session] = {
+      rows.foreach(e => buf.appendValue((micros(e.ts), e.event_id)))
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      flush(uid, tv.getCurrentWatermarkInMs())
+    }
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Session] =
+      flush(uid, tv.getCurrentWatermarkInMs())
+  }
+
+  /** [[sessionizeCustom]] with watermark-exact out-of-order semantics
+    * (10-min reorder buffer; emits CLOSED sessions only). */
+  def sessionizeTwsOrdered(ev: Dataset[Ev]): Dataset[Session] = {
+    val sq = ev.sparkSession; import sq.implicits._
+    ev.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new OrderedSessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   private val byRecency: Ordering[Ev] =
     Ordering.by(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
 

@@ -845,4 +845,44 @@ class StreamingSpec extends AnyFunSuite {
     // exact pair in (ts, id) order — the reversed ("b", "a") is the bug
     assert(got == Seq((1L, "a", "b")), got.toString)
   }
+
+  test("sessionizeTwsOrdered: out-of-order feed yields the exact batch session machine output") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamingOps.sessionizeTwsOrdered(ms.toDS())
+        .writeStream.format("memory").queryName("s_ordered_sessions")
+        .outputMode("append").start()
+      try {
+        // u1's true ordered feed is 10:00, 10:08 (one session), 11:00
+        // (a second session) — delivered with the first two REVERSED
+        // across batches, each inside the 10-min watermark tolerance
+        ms.addData(evAt(2, "2025-06-01T10:08:00Z", 1, "view"))
+        q.processAllAvailable()
+        ms.addData(evAt(1, "2025-06-01T10:00:00Z", 1, "view")) // late
+        q.processAllAvailable()
+        ms.addData(evAt(3, "2025-06-01T11:00:00Z", 1, "view"))
+        q.processAllAvailable()
+        // sentinels advance the watermark: past 10:38 (= 10:08 + gap) the
+        // first session is unreachable and must close with BOTH events;
+        // past 11:30 the second closes too
+        ms.addData(evAt(91, "2025-06-01T11:45:00Z", 91, "z")); q.processAllAvailable()
+        ms.addData(evAt(92, "2025-06-01T12:30:00Z", 92, "z")); q.processAllAvailable()
+        ms.addData(evAt(93, "2025-06-01T13:30:00Z", 93, "z")); q.processAllAvailable()
+        ms.addData(evAt(94, "2025-06-01T14:30:00Z", 94, "z")); q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    val got = spark.table("s_ordered_sessions").as[StreamingOps.Session]
+      .collect().map(s => (s.user_id, s.start_us, s.end_us, s.n_events))
+      .filter(_._1 == 1L).toSeq.sorted
+    // exact multiset: the late 10:00 event lands INSIDE the first closed
+    // session (the O(1)-state sessionizeCustom cannot reorder like this)
+    assert(got == Seq(
+      (1L, usOf("2025-06-01T10:00:00Z"), usOf("2025-06-01T10:08:00Z"), 2L),
+      (1L, usOf("2025-06-01T11:00:00Z"), usOf("2025-06-01T11:00:00Z"), 1L)),
+      got.toString)
+  }
 }
