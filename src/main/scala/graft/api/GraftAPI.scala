@@ -59,6 +59,10 @@ object GraftAPI {
     * for every similarity op: posexplode + window `lead`s, fully codegen,
     * fixed-width output, one shuffle on `id`. */
   def ngramRows(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    // n = 1 would reference a lead column that never exists and n ≤ 0 is
+    // meaningless — fail with the parameter, not an unresolved-column
+    // AnalysisException from deep inside the plan (review r10)
+    require(n >= 2, s"ngramRows needs n >= 2 (unigrams have no span), got $n")
     val w = Window.partitionBy(id).orderBy("pos")
     val leads = (1 until n).map(i => lead(col("w"), i).over(w).as(s"w$i"))
     df.select(col(id), posexplode(split(lower(col(text)), " ")))
@@ -203,8 +207,10 @@ object GraftAPI {
     // The marker must genuinely commit LAST on a rebuild too (ADVICE r8):
     // drop any prior marker before the overwrite starts, or a crash
     // mid-rewrite would leave a valid-looking _SUCCESS over partial data.
-    val marker = new java.io.File(path, "_SUCCESS")
-    if (marker.isFile) require(marker.delete(),
+    // Marker I/O goes through IndexFs (review r10): `path` is a caller
+    // table path, which may be an object-store URI java.io.File cannot see.
+    val marker = graft.ops.IndexFs.child(path, "_SUCCESS")
+    if (graft.ops.IndexFs.isFile(marker)) require(graft.ops.IndexFs.delete(marker),
       s"could not retire the stale index marker under $path")
     // batchWidth > 0 adds the ingest-batch partition axis (pbatch =
     // id div batchWidth) that makes [[minhashIndexDelete]]'s takedowns
@@ -228,8 +234,7 @@ object GraftAPI {
     graft.ops.Artifacts.writeMeta(path,
       "numHashes" -> numHashes.toString, "bands" -> bands.toString,
       "batchWidth" -> batchWidth.toString)
-    require(new java.io.File(path, "_SUCCESS").createNewFile() ||
-      new java.io.File(path, "_SUCCESS").isFile,
+    require(graft.ops.IndexFs.touch(marker),
       s"could not commit index marker under $path")
     s.read.parquet(s"$path/bands")
       .groupBy("band")
@@ -252,7 +257,7 @@ object GraftAPI {
     * must stay pristine. */
   def minhashIndexDelete(spark: SparkSession, bandsPath: String,
                          deleteIds: DataFrame, id: String): Unit = {
-    val root = new java.io.File(bandsPath).getParentFile
+    val root = graft.ops.IndexFs.parent(bandsPath)
     // Loud geometry guard (ADVICE r9, hardened r10): an index written
     // without a batch axis has no pbatch partition column — fail with
     // instructions here, not with an opaque missing-column
@@ -265,7 +270,7 @@ object GraftAPI {
       s"index at $root was written without a batchWidth (ingest-batch " +
         "partition axis) — partition-pruned deletes need it; rebuild " +
         "with writeMinhashIndex(batchWidth = <ids per ingest batch>)")
-    graft.ops.Artifacts.readMeta(root.getPath).get("batchWidth")
+    graft.ops.Artifacts.readMeta(root).get("batchWidth")
       .foreach(bw => require(bw.toLong > 0,
         s"index at $root records batchWidth=$bw — partition-pruned " +
           "deletes need a positive ingest-batch width; rebuild with " +
@@ -283,14 +288,15 @@ object GraftAPI {
     * starts, recreate it only after the rewrite commits. A crash
     * mid-delete then reads as an uncommitted index, not a valid-looking
     * marker over a partially rewritten table. No-op when the table has
-    * no root marker (scratch layouts). */
-  private def withRetiredMarker(root: java.io.File)(body: => Unit): Unit = {
-    val marker = new java.io.File(root, "_SUCCESS")
-    val had = marker.isFile
-    if (had) require(marker.delete(),
+    * no root marker (scratch layouts). IndexFs-routed (review r10) so
+    * the contract holds on object-store index roots too. */
+  private def withRetiredMarker(root: String)(body: => Unit): Unit = {
+    val marker = graft.ops.IndexFs.child(root, "_SUCCESS")
+    val had = graft.ops.IndexFs.isFile(marker)
+    if (had) require(graft.ops.IndexFs.delete(marker),
       s"could not retire the index marker under $root before the delete")
     body
-    if (had) require(marker.createNewFile() || marker.isFile,
+    if (had) require(graft.ops.IndexFs.touch(marker),
       s"could not recommit the index marker under $root after the delete")
   }
 
@@ -306,11 +312,20 @@ object GraftAPI {
     * it on the next compact), and the corpus float column is the
     * caller's own table to purge. */
   def annIndexDelete(spark: SparkSession, codesPath: String,
-                     deleteIds: DataFrame, id: String): Unit =
-    withRetiredMarker(new java.io.File(codesPath).getParentFile) {
+                     deleteIds: DataFrame, id: String): Unit = {
+    // Schema validation BEFORE the marker retirement (review r10, the
+    // minhashIndexDelete discipline): a rejected mis-call — wrong path,
+    // a table that is not a cell-partitioned code layout — must leave a
+    // valid index valid, not retired-and-never-recommitted.
+    val liveCols = spark.read.parquet(codesPath).columns.toSet
+    Seq("vec_id", "cell").foreach(c => require(liveCols.contains(c),
+      s"table at $codesPath has no '$c' column — not a cell-partitioned " +
+        "ANN code table (buildAnnIndex's ivfpq_codes layout)"))
+    withRetiredMarker(graft.ops.IndexFs.parent(codesPath)) {
       graft.ops.VectorOps.deleteFromCodes(spark, codesPath,
         deleteIds.select(col(id).as("vec_id")))
     }
+  }
 
   /** LSH candidate pairs (id_a < id_b, distinct): bucket-local i<j
     * enumeration over each (band, band_key) group — pair fan-out bounded
@@ -392,6 +407,11 @@ object GraftAPI {
     * steps (v·2^t range) — re-normalize per segment beyond. */
   def ewma(df: DataFrame, keys: Seq[String], order: String, value: String,
            alpha: Double = 0.5): DataFrame = {
+    // alpha = 1 makes decay = 0 and the v/decay^t rescaling 0·∞ = NaN
+    // from the second row on (alpha = 0 divides out to a constant) —
+    // reject the degenerate smoothing factors loudly (review r10)
+    require(alpha > 0.0 && alpha < 1.0,
+      s"ewma alpha must be in (0, 1) exclusive, got $alpha")
     val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(order)
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val decay = 1.0 - alpha
@@ -481,9 +501,10 @@ object GraftAPI {
         size(regexp_extract_all(lower(col(text)),
           lit("[a-z]+|[0-9]|[^a-z0-9 ]"), lit(0))).cast("long"))
 
-  /** Quality heuristics: length, mean word length, stopword ratio,
-    * punctuation ratio — the cheap pre-filter every curation pipeline
-    * runs first. Zero-shuffle. */
+  /** Quality heuristics: length, token count, mean word length, stopword
+    * ratio — the cheap pre-filter every curation pipeline runs first.
+    * Zero-shuffle. (Punctuation-class token counts live in the tokenizer
+    * surface — see `re_tokens` above — not here.) */
   def qualityScore(df: DataFrame, text: String,
                    stopwords: Seq[String] = graft.ops.TextOps.Stopwords): DataFrame = {
     val toks = split(lower(col(text)), " ")
@@ -694,14 +715,19 @@ object GraftAPI {
       .crossJoin(broadcast(q))
       .filter(col(id) =!= col("_qid"))
       .select(col(id), col("_qid"),
-        explode(array(dims.map(d => struct(lit(d).as("dim"),
-          r6(graft.functions.VectorFunctions.graftDot(
-              slice(col("_x"), 1, d), slice(col("_qv"), 1, d)) /
-            (sqrt(graft.functions.VectorFunctions.graftDot(
-                slice(col("_x"), 1, d), slice(col("_x"), 1, d))) *
-             sqrt(graft.functions.VectorFunctions.graftDot(
-                slice(col("_qv"), 1, d), slice(col("_qv"), 1, d)))))
-            .as("cos"))): _*)).as("_s"))
+        explode(array(dims.map { d =>
+          val dnum = graft.functions.VectorFunctions.graftDot(
+            slice(col("_x"), 1, d), slice(col("_qv"), 1, d))
+          val den = sqrt(graft.functions.VectorFunctions.graftDot(
+              slice(col("_x"), 1, d), slice(col("_x"), 1, d))) *
+            sqrt(graft.functions.VectorFunctions.graftDot(
+              slice(col("_qv"), 1, d), slice(col("_qv"), 1, d)))
+          // zero-norm prefix → null cosine, which the desc ordering puts
+          // LAST — 0/0 = NaN would sort above every real score and rank
+          // a corrupt all-zero vector first (review r10)
+          struct(lit(d).as("dim"),
+            r6(when(den =!= 0.0, dnum / den)).as("cos"))
+        }: _*)).as("_s"))
       .select(col(id), col("_qid"),
         col("_s.dim").as("_dim"), col("_s.cos").as("_cos"))
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
@@ -752,17 +778,24 @@ object GraftAPI {
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
     val payload = oldDf.columns.filterNot(keys.contains)
       .intersect(newDf.columns.filterNot(keys.contains)).toSeq
+    // explicit presence markers, NOT key-column nullability (review r10):
+    // an old-side row with a null first key column matches nothing in the
+    // join, and testing `_ok_<key> isNull` would misread that vanished
+    // old row as an Insert — the markers are non-null by construction, so
+    // side detection survives null keys
     val o = oldDf.select(keys.map(k => col(k).as(s"_ok_$k")) ++
       payload.map(c => col(c).as(s"old_$c")): _*)
+      .withColumn("_o_present", lit(true))
     val n = newDf.select(keys.map(k => col(k).as(s"_nk_$k")) ++
       payload.map(c => col(c).as(s"new_$c")): _*)
+      .withColumn("_n_present", lit(true))
     val cond = keys.map(k => col(s"_ok_$k") === col(s"_nk_$k")).reduce(_ && _)
     val same = payload.map(c => col(s"old_$c") <=> col(s"new_$c"))
       .foldLeft(lit(true))(_ && _)
     o.join(n, cond, "full_outer")
       .withColumn("op",
-        when(col(s"_ok_${keys.head}").isNull, "I")
-          .when(col(s"_nk_${keys.head}").isNull, "D")
+        when(col("_o_present").isNull, "I")
+          .when(col("_n_present").isNull, "D")
           .when(same, "N").otherwise("U"))
       .filter(col("op") =!= "N")
       .select(keys.map(k => coalesce(col(s"_ok_$k"), col(s"_nk_$k")).as(k)) ++
@@ -838,6 +871,10 @@ object GraftAPI {
                    k: Int = 16, iters: Int = 2): DataFrame = {
     require(k > 0 && iters > 0, s"k and iters must be positive: k=$k iters=$iters")
     val e = df.select(col(id).as("vec_id"), col(vec).cast("array<double>").as("x"))
+    // same loud null/ragged validation as the PQ encoders (review r10):
+    // a null vector would otherwise argmin to the lowest cell id and a
+    // ragged one would silently poison the centroid means
+    validatedDim(e, vec, 1)
     graft.ops.VectorOps.assignCells(e,
       graft.ops.VectorOps.kmeansCentroids(e, iters, k))
       .select(col("vec_id").as(id), col("cell"))
@@ -887,14 +924,20 @@ object GraftAPI {
     * accumulation. */
   private val pinnedGen = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
+  // CacheLifecycle.retire, not raw unpersist (review r10): a generation
+  // pinned by a now-stopped SparkSession must not fail the replacement
+  // session's first encode with the dead context's block-manager RPC.
   private def freshPins(): Unit = synchronized {
-    pinnedGen.foreach(_.unpersist(blocking = false))
-    pinnedGen.clear()
+    graft.ops.CacheLifecycle.retire(pinnedGen)
   }
 
-  private def pinned(df: DataFrame): DataFrame = synchronized {
-    pinnedGen += df
-    df.persist(); df.count(); df
+  // register under the lock, MATERIALIZE outside it (review r10, the
+  // cacheEager discipline): the eager count is a full Spark job, and
+  // holding the object monitor through it would serialize concurrent
+  // encoders for minutes doing no work.
+  private def pinned(df: DataFrame): DataFrame = {
+    synchronized { pinnedGen += df; df.persist() }
+    df.count(); df
   }
 
   /** Frame-level vector validation shared by the PQ encoders (ADVICE
@@ -1068,8 +1111,12 @@ object GraftAPI {
       .withColumnRenamed(id, "_gid")
       .join(cells, col("_gid") === col("vec_id"))
       .join(broadcast(probeCells), col("cell") === col("cid"))
-      .select(col("_gid").as(id),
-        r6(dot2(x, qv) / (sqrt(dot2(x, x)) * sqrt(dot2(qv, qv)))).as("cosine"))
+      .select(col("_gid").as(id), {
+        // zero-norm guard as in truncatedDimRecall: NaN sorts above
+        // every real cosine under desc, null sorts last (review r10)
+        val den = sqrt(dot2(x, x)) * sqrt(dot2(qv, qv))
+        r6(when(den =!= 0.0, dot2(x, qv) / den)).as("cosine")
+      })
       .orderBy(col("cosine").desc, col(id).asc)
       .limit(k)
   }

@@ -23,23 +23,22 @@ private[graft] object Artifacts {
   private[graft] def writeMeta(root: String, kv: (String, String)*): Unit = {
     val p = new java.util.Properties()
     kv.foreach { case (k, v) => p.setProperty(k, v) }
-    val w = new java.io.FileWriter(new java.io.File(root, "index.properties"))
-    try p.store(w, "graft index geometry") finally w.close()
+    // IndexFs, not FileWriter (review r10): the facades pass user table
+    // paths, which may be object-store URIs — the manifest must land
+    // next to the tables on whatever filesystem holds them.
+    IndexFs.write(IndexFs.child(root, "index.properties"))(out =>
+      p.store(out, "graft index geometry"))
   }
 
   /** Read the manifest; empty when absent (pre-manifest artifacts stay
     * readable — the guard only fires on a RECORDED mismatch). */
-  private[graft] def readMeta(root: String): Map[String, String] = {
-    val f = new java.io.File(root, "index.properties")
-    if (!f.isFile) Map.empty
-    else {
+  private[graft] def readMeta(root: String): Map[String, String] =
+    IndexFs.readIfExists(IndexFs.child(root, "index.properties")) { in =>
       val p = new java.util.Properties()
-      val r = new java.io.FileReader(f)
-      try p.load(r) finally r.close()
+      p.load(in)
       import scala.jdk.CollectionConverters._
       p.stringPropertyNames().asScala.map(k => k -> p.getProperty(k)).toMap
-    }
-  }
+    }.getOrElse(Map.empty)
 
   /** Loud geometry check: every expected key that IS recorded in the
     * manifest must match exactly. */

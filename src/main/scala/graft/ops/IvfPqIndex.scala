@@ -95,6 +95,16 @@ object IvfPqIndex {
     * rectangularity upstream. */
   private[graft] def buildAt(s: SparkSession, raw: DataFrame, ix: Ix,
                              cells: Int, m: Int, k: Int, iters: Int): Unit = {
+    // The marker must genuinely commit LAST on a REBUILD too (the
+    // writeMinhashIndex rule, ADVICE r8 / review r10): retire any prior
+    // root _SUCCESS before the six-table overwrite starts, or a crash
+    // mid-rebuild leaves a valid-looking marker over a mixed-generation
+    // index (new centroids, old codes) that probes would silently serve.
+    // IndexFs, not java.io.File (review r10): buildAt also serves
+    // GraftAPI.buildAnnIndex, whose `path` may be an object-store URI.
+    val marker = IndexFs.child(ix.root, "_SUCCESS")
+    if (IndexFs.isFile(marker)) require(IndexFs.delete(marker),
+      s"could not retire the stale index marker under ${ix.root}")
     val e = raw.persist()
     try {
       val dim = e.select(size(col("x"))).head().getInt(0)
@@ -147,8 +157,7 @@ object IvfPqIndex {
       Artifacts.writeMeta(ix.root,
         "cells" -> cells.toString, "m" -> m.toString, "k" -> k.toString,
         "iters" -> iters.toString, "dim" -> dim.toString)
-      require(new java.io.File(ix.root, "_SUCCESS").createNewFile() ||
-        new java.io.File(ix.root, "_SUCCESS").isFile,
+      require(IndexFs.touch(marker),
         s"could not commit index marker under ${ix.root}")
     } finally e.unpersist(false)
   }

@@ -93,18 +93,28 @@ object BooksTransport {
         case 200 =>
           val root = mapper.readTree(resp.body())
           require(root.isArray, s"expected JSON array page, got ${root.getNodeType}")
-          // Missing fields abort with the FIELD AND RECORD named (review
-          // r6: a bare NPE is opaque) and deliberately NOT as IOException
-          // — a malformed payload is not transient, retrying it would
-          // just re-fetch the same bad page.
-          def req(n: com.fasterxml.jackson.databind.JsonNode,
-                  i: Int, f: String): com.fasterxml.jackson.databind.JsonNode =
-            Option(n.get(f)).getOrElse(throw new IllegalStateException(
+          // Missing OR wrong-typed fields abort with the FIELD AND RECORD
+          // named (review r6; typed in review r10 — Jackson's asLong()/
+          // asDouble() silently coerce a non-numeric node to 0, which
+          // would ingest id=0 duplicate rows instead of aborting) and
+          // deliberately NOT as IOException — a malformed payload is not
+          // transient, retrying it would just re-fetch the same bad page.
+          def req(n: com.fasterxml.jackson.databind.JsonNode, i: Int, f: String,
+                  ok: com.fasterxml.jackson.databind.JsonNode => Boolean,
+                  want: String): com.fasterxml.jackson.databind.JsonNode = {
+            val v = Option(n.get(f)).getOrElse(throw new IllegalStateException(
               s"malformed feed record at offset $offset index $i: missing field '$f'"))
+            if (!ok(v)) throw new IllegalStateException(
+              s"malformed feed record at offset $offset index $i: field '$f' " +
+                s"is ${v.getNodeType}, expected $want")
+            v
+          }
           (0 until root.size()).map { i =>
             val n = root.get(i)
-            BookRecord(req(n, i, "id").asLong(), req(n, i, "title").asText(),
-              req(n, i, "rating").asDouble())
+            BookRecord(
+              req(n, i, "id", _.canConvertToLong, "integral number").asLong(),
+              req(n, i, "title", _.isTextual, "string").asText(),
+              req(n, i, "rating", _.isNumber, "number").asDouble())
           }
         case 429 => throw new java.io.IOException(
           s"quota exhausted at offset $offset (remaining=${quotaRemaining.get})")

@@ -166,7 +166,11 @@ object JdbcSink {
              numPartitions: Int = 4, driver: String = DerbyDriver): Unit =
     df.write.format("jdbc")
       .option("url", url)
-      .option("dbtable", table)
+      // ident() like every other entry point (review r10): Spark's JDBC
+      // writer interpolates dbtable raw into its probe/CREATE/INSERT
+      // statements — the same statement-smuggling surface the ADVICE-r5
+      // invariant closes for ensureTable/dropIfExists.
+      .option("dbtable", ident(table))
       .option("driver", driver)
       .option("numPartitions", numPartitions)
       .option("batchsize", 1000)

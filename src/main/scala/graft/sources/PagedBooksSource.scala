@@ -72,6 +72,12 @@ class PagedBooksTable extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val totalRows = options.getLong("rows", 1000L)
     val pageSize = options.getLong("pageSize", 100L)
+    // loud option validation (review r10): a negative pageSize would make
+    // the page range empty and the scan silently return ZERO rows — an
+    // empty-feed lie, not an error; pageSize=0 only dies later with an
+    // opaque "step cannot be 0"
+    require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+    require(totalRows >= 0, s"rows must be non-negative, got $totalRows")
     // Fault-injection knobs for the E4 retry path (0 = healthy endpoint):
     // every flakyEvery-th page fails its first fetch attempt.
     val flakyEvery = options.getLong("flakyEvery", 0L)
@@ -147,11 +153,16 @@ class PageReaderFactory extends PartitionReaderFactory {
       // fault-injection wrapper sits above it so the retry path is
       // exercised identically for every transport kind.
       private val transport = p.spec.build()
+      // Truncate to the REQUESTED count (review r10): pushLimit reports
+      // full pushdown, so Catalyst drops the Limit operator — a server
+      // that ignores/clamps the limit param and over-returns would
+      // otherwise silently break LIMIT semantics. Short pages are fine
+      // (fewer rows); long pages must be clamped client-side.
       private val page: IndexedSeq[BooksTransport.BookRecord] = fetchWithRetry(p) { attempt =>
         if (p.flakyFirstAttempt && attempt == 1)
           throw new java.io.IOException(s"transient failure at offset ${p.offset}")
         transport.fetchPage(p.offset, p.count)
-      }
+      }.take(math.min(p.count, Int.MaxValue.toLong).toInt)
       private var i = -1
       override def next(): Boolean = { i += 1; i < page.length }
       override def get(): InternalRow = InternalRow.fromSeq(

@@ -699,4 +699,84 @@ class ApiSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
     assert(got.toSeq == want.toSeq)
   }
+
+  test("parameter guards fail loudly: ngramRows n<2, ewma alpha out of (0,1), kmeansAssign null vector") {
+    import spark.implicits._
+    val e1 = intercept[IllegalArgumentException](
+      GraftAPI.ngramRows(docs, "doc_id", "text", 1))
+    assert(e1.getMessage.contains("n >= 2"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      GraftAPI.ewma(docs, Seq("lang"), "doc_id", "n_chars", alpha = 1.0))
+    assert(e2.getMessage.contains("alpha"), e2.getMessage)
+    val withNull = Seq((1L, Some(Seq(1.0, 2.0))), (2L, None))
+      .toDF("id", "v")
+    val e3 = intercept[IllegalArgumentException](
+      GraftAPI.kmeansAssign(withNull, "id", "v", k = 1, iters = 1))
+    assert(e3.getMessage.contains("null"), e3.getMessage)
+  }
+
+  test("snapshotDiff classifies null-keyed rows by SIDE, not key nullability") {
+    import spark.implicits._
+    // a null-keyed old row vanishes in `new` -> must be a DELETE; the
+    // old key-nullability test misread it as an Insert (review r10)
+    val o = Seq((Option(1L), 10.0), (Option.empty[Long], 99.0)).toDF("k", "v")
+    val n = Seq((Option(1L), 10.0)).toDF("k", "v")
+    val diff = GraftAPI.snapshotDiff(o, n, Seq("k")).collect()
+    assert(diff.length == 1, diff.mkString(","))
+    val r = diff.head
+    assert(r.getAs[String]("op") == "D", r.toString)
+    assert(r.isNullAt(r.fieldIndex("k")), r.toString)
+    assert(r.getAs[Double]("old_v") == 99.0, r.toString)
+  }
+
+  test("annFilteredTopK: a zero-norm vector scores null cosine and ranks LAST, never first") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.9, 0.1)), (2L, Seq(0.0, 0.0)), (3L, Seq(-1.0, 0.05)))
+      .toDF("vec_id", "embedding")
+    val coarse = Seq((0L, Seq(0.0, 0.0))).toDF("cid", "cv")
+    val cells = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("vec_id", "cell")
+    val top = GraftAPI.annFilteredTopK(df, "vec_id", "embedding", coarse, cells,
+      query = Seq(1.0, 0.0), pred = lit(true), probes = 1, k = 3).collect()
+    // 0/0 = NaN would sort ABOVE every real cosine and put the corrupt
+    // vector first; the null-cosine guard puts it last (review r10)
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 3L, 2L),
+      top.map(r => (r.getLong(0), r.get(1))).mkString(","))
+    assert(top.last.isNullAt(1), "zero-norm cosine must be null, not NaN")
+  }
+
+  test("a failed ANN REBUILD leaves the index uncommitted (stale marker retired first)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annix_rebuild").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+    GraftAPI.buildAnnIndex(emb, "vec_id", "embedding", root,
+      cells = 2, m = 8, k = 2, iters = 1)
+    assert(new java.io.File(root, "_SUCCESS").isFile, "initial build must commit")
+    // a rebuild whose evaluation throws AFTER the marker retirement: the
+    // index must read as UNCOMMITTED, not valid-marker-over-mixed-tables
+    val boom = udf { () =>
+      if (System.nanoTime() > 0) throw new RuntimeException("boom"); Seq(0.0)
+    }
+    val bad = spark.range(2).select(col("id").as("vec_id"), boom().as("x"))
+    intercept[Exception] {
+      ops.IvfPqIndex.buildAt(spark, bad, ops.IvfPqIndex.Ix(root), 2, 8, 2, 1)
+    }
+    assert(!new java.io.File(root, "_SUCCESS").isFile,
+      "failed rebuild must leave the index uncommitted")
+  }
+
+  test("annIndexDelete rejects a non-code-table path BEFORE retiring the marker") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_annix_reject").toString
+    val tablePath = s"$root/ivfpq_codes"
+    // a parquet table that is NOT a cell-partitioned code layout
+    Seq((1L, "x")).toDF("some_id", "payload")
+      .write.mode("overwrite").parquet(tablePath)
+    assert(new java.io.File(root, "_SUCCESS").createNewFile())
+    val e = intercept[IllegalArgumentException] {
+      GraftAPI.annIndexDelete(spark, tablePath,
+        Seq(1L).toDF("vec_id"), "vec_id")
+    }
+    assert(e.getMessage.contains("vec_id"), e.getMessage)
+    assert(new java.io.File(root, "_SUCCESS").isFile,
+      "a rejected mis-call must leave a valid index VALID (marker intact)")
+  }
 }

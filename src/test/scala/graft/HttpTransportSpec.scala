@@ -113,6 +113,19 @@ class HttpTransportSpec extends AnyFunSuite {
     }
   }
 
+  test("over-long pages are clamped to the requested count (server ignores the limit param)") {
+    // each page returns TWICE the requested rows; pushLimit reports full
+    // pushdown (Catalyst drops the Limit), so without the reader-side
+    // clamp the scan would over-emit and break LIMIT semantics (review r10)
+    withServer((off, lim, _) => (200, pageJson(off, lim * 2, Long.MaxValue), None)) {
+      (url, _) =>
+        val df = httpFeed(url, rows = 250, pageSize = 100)
+        assert(df.count() == 250L)
+        val stats = df.agg(min("id"), max("id"), countDistinct("id")).head()
+        assert((stats.getLong(0), stats.getLong(1), stats.getLong(2)) == ((0L, 249L, 250L)))
+    }
+  }
+
   test("429 quota + 5xx: first attempts fail, in-reader backoff recovers every page") {
     PagedBooksTable.retriesObserved.set(0L)
     withServer { (off, lim, attempt) =>
@@ -151,6 +164,23 @@ class HttpTransportSpec extends AnyFunSuite {
       assert(e.getMessage.contains("rating") || e.getMessage.contains("malformed"))
       assert(log.attempts.get(0L).get == 1,
         "malformed page must abort on the FIRST attempt, not burn retries")
+    }
+  }
+
+  test("wrong-TYPED fields abort with the field named (no silent asLong coercion to 0)") {
+    // Jackson's asLong()/asDouble() coerce a non-numeric node to 0 —
+    // pre-guard, {"id":"abc"} ingested as id=0 silently (review r10)
+    withServer { (off, lim, _) =>
+      if (off == 0L)
+        (200, """[{"id":"abc","title":"x","rating":"N/A"}]""", None)
+      else (200, pageJson(off, lim, 200L), None)
+    } { (url, log) =>
+      val e = intercept[org.apache.spark.SparkException](
+        httpFeed(url, rows = 200).count())
+      assert(e.getMessage.contains("'id'") && e.getMessage.contains("expected"),
+        e.getMessage)
+      assert(log.attempts.get(0L).get == 1,
+        "wrong-typed page must abort on the FIRST attempt")
     }
   }
 

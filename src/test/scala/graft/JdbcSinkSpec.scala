@@ -34,6 +34,11 @@ class JdbcSinkSpec extends AnyFunSuite {
       }
     // schema-qualified plain identifiers stay legal
     sources.JdbcSink.ensureTable(url, "APP.t_ok", "\"k\" INT")
+    // append goes through the same gate (review r10): Spark's JDBC writer
+    // interpolates dbtable raw into its probe/CREATE/INSERT statements
+    val df = Tables.nation(spark, sf).select(col("n_nationkey"))
+    intercept[IllegalArgumentException](
+      sources.JdbcSink.append(df, url, "t; DROP TABLE x"))
   }
 
   test("ensureTable is idempotent (second CREATE is swallowed)") {

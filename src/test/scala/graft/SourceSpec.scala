@@ -36,6 +36,17 @@ class SourceSpec extends AnyFunSuite {
     assertThrows[org.apache.spark.SparkException](unknown.count())
   }
 
+  test("negative pageSize aborts loudly instead of silently returning an empty feed") {
+    // (0 until rows by -100) is EMPTY — pre-guard, the scan planned zero
+    // partitions and a bad option read as an empty feed (review r10)
+    val bad = spark.read.format("graft.sources.PagedBooksSource")
+      .option("rows", 1000).option("pageSize", -100).load()
+    val e = intercept[Exception](bad.count())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("pageSize must be positive"), msgs)
+  }
+
   test("column pruning reaches the source (pruned ReadSchema)") {
     val plan = feed.select("rating").queryExecution.executedPlan.toString
     val scanLine = plan.linesIterator.find(_.contains("BatchScan")).getOrElse("")
