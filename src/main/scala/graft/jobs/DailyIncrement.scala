@@ -56,9 +56,16 @@ object DailyIncrement {
         .write.mode("overwrite").parquet(s"$outDir/verdicts")
       val verdicts = spark.read.parquet(s"$outDir/verdicts")
       val keep = verdicts.filter(col("verdict") === "keep").select("doc_id")
-      val toks = graft.Tables.documents(spark, sfDir)
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val cut = graft.ops.DedupOps.IncrementalCutoff
+      // shared tokenization (review r10): one definition with the
+      // registry packer, so the base/batch token formula cannot drift
+      val toks = graft.ops.PipelineOps.tokenCounts(spark, sfDir)
+      // BATCH rows only feed the packer — keep ⊆ batch, so the result is
+      // identical, but the doc_id filter pushes to the parquet scan: the
+      // steady-state day never re-tokenizes the base corpus text (review
+      // r10 — pre-filter, the join evaluated split(text) for every base
+      // document and discarded it).
+      val batchToks = toks.filter(col("doc_id") >= cut)
       // The packer's whole state is one scalar: tokens already packed
       // BEFORE this batch (args(2) = yesterday's reported
       // packed_tokens_total; derived from the base slice for the demo
@@ -67,12 +74,14 @@ object DailyIncrement {
       // only the day's sum would make a caller who feeds it back restart
       // shard numbering near zero (ADVICE r9).
       val baseTokens = args.lift(2).map(_.toLong).getOrElse(
-        toks.filter(col("doc_id") < graft.ops.DedupOps.IncrementalCutoff)
+        toks.filter(col("doc_id") < cut)
           .agg(coalesce(sum(col("n_tokens")), lit(0L)))
           .head().getLong(0))
       val state = spark.range(1).select(lit(baseTokens).as("base_tokens"))
       graft.ops.PipelineOps.packByBudget(
-          toks.join(keep, "doc_id"), budget = 10000L, startTokens = Some(state))
+          batchToks.join(keep, "doc_id"),
+          budget = graft.ops.PipelineOps.IncrementalShardBudget,
+          startTokens = Some(state))
         .write.mode("overwrite").parquet(s"$outDir/shards")
       graft.ops.DedupOps.dedupIndexAppend(spark, sfDir)
         .write.mode("overwrite").parquet(s"$outDir/postings_manifest")

@@ -136,7 +136,14 @@ object BooksOps {
     * omission in JSON. Same oracle as the direct flatten — the round-trip
     * must be lossless. */
   def scanJsonRaw(s: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_books_raw_${dir.replaceAll("[^0-9.]", "")}"
+    // path-hash discriminator (review r10): digits alone collide two
+    // corpora whose dirs share a digit signature (/data/a/sf0.1 vs
+    // /backup/sf0.1) onto one scratch file — one run overwrites while
+    // the other reads. The write is re-done every call, so a PATH key
+    // is sufficient (no content fingerprint needed, unlike the
+    // build-once Artifacts roots).
+    val path = s"/tmp/graft_books_raw_${dir.replaceAll("[^0-9.]", "")}_" +
+      java.lang.Integer.toHexString(dir.hashCode)
     syntheticRaw(s, dir).write.mode("overwrite").json(path)
     flat(flattenRawBooks(s.read.schema(rawSchema).json(path)))
   }

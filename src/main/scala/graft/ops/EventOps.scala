@@ -40,7 +40,11 @@ object EventOps {
   def jsonExtract(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .select(col("event_id"), col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        // try_cast like the oracle's TRY_CAST and ratingScale (review
+        // r10): a non-numeric props.k must yield null, not an ANSI
+        // CAST_INVALID_INPUT that fails the whole job — the E1/E2
+        // coerce-don't-fail ingest posture.
+        expr("try_cast(get_json_object(props, '$.k') AS bigint)").as("k"))
       .orderBy("event_id")
 
   /** P7: coerce-don't-fail numeric cast + scalar arithmetic — the
@@ -157,8 +161,10 @@ object EventOps {
     events(s, dir)
       .select(col("event_id"), parse_json(col("props")).as("v"))
       .select(col("event_id"),
-        expr("variant_get(v, '$.k', 'bigint')").as("k"),
-        expr("variant_get(v, '$.tag', 'string')").as("tag"))
+        // try_variant_get (review r10): the oracle TRY_CASTs, and a
+        // non-numeric k must extract as null, not throw under ANSI
+        expr("try_variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(v, '$.tag', 'string')").as("tag"))
       .orderBy("event_id")
 
   /** E1/E2: PERMISSIVE semi-structured parse — per-record tolerance, the
@@ -1146,14 +1152,14 @@ object EventOps {
         |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS prev_ts
         |  FROM events),
         |s AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, event_id, ts,
         |    CASE WHEN prev_ts IS NULL
         |      OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
         |      THEN 1 ELSE 0 END AS new_sess
         |  FROM e),
         |g AS (
         |  SELECT user_id, ts,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM s)
         |SELECT user_id,

@@ -245,14 +245,26 @@ object PipelineOps {
     * incremental legs. */
   def shardPackIncremental(s: SparkSession, dir: String): DataFrame = {
     val cut = DedupOps.IncrementalCutoff
-    val toks = documents(s, dir)
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val toks = tokenCounts(s, dir)
     val baseTot = toks.filter(col("doc_id") < cut)
       .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("base_tokens"))
-    packByBudget(toks.filter(col("doc_id") >= cut), budget = 10000L,
-      startTokens = Some(baseTot))
+    packByBudget(toks.filter(col("doc_id") >= cut),
+      budget = IncrementalShardBudget, startTokens = Some(baseTot))
   }
+
+  /** The incremental shard token budget — ONE definition (review r10):
+    * [[graft.jobs.DailyIncrement]] packs with the same constant, and a
+    * drift between the two would silently break cross-day
+    * shard-numbering continuity (floor(cum/budget) boundaries move). */
+  private[graft] val IncrementalShardBudget = 10000L
+
+  /** (doc_id, n_tokens) over the corpus — the one tokenization the
+    * incremental packer and the daily job both derive base/batch token
+    * state from, so the formula cannot drift between them. */
+  private[graft] def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
 
   /** L11b: shard manifest — the per-shard summary written alongside packed
     * training shards (doc count, token total, language spread, id range)

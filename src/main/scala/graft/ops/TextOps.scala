@@ -159,8 +159,13 @@ object TextOps {
     * at 100 TB the second agg is a cheap re-use of the first's
     * partitioning (no wide rows, no collect). */
   def textLexicalDiversity(s: SparkSession, dir: String): DataFrame = {
+    // tokens() = lowercase split, like every companion quality signal
+    // (review r10): pre-fix this op alone was case-SENSITIVE, so
+    // 'The'/'the' counted as two types for TTR but one for entropy,
+    // making the documented complementary signals incomparable. Oracle
+    // lowercases identically.
     val tf = documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
     tf.groupBy("doc_id").agg(
         sum("c").as("n_tokens"),
@@ -194,7 +199,7 @@ object TextOps {
   def textTokenEntropy(s: SparkSession, dir: String): DataFrame = {
     val wd = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     documents(s, dir)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       .withColumn("n_tokens", sum(col("c")).over(wd))
       .withColumn("n_types", count(lit(1)).over(wd))
@@ -255,7 +260,7 @@ object TextOps {
     * independent (the [[graft.Tables.dsum]] determinism rule). */
   def textLogprob(s: SparkSession, dir: String): DataFrame = {
     val tok = documents(s, dir)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
     val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
     val totals = vocab.agg(sum("cnt").as("tot"))
     tok.join(broadcast(vocab), "w")
@@ -312,15 +317,17 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val tok = documents(s, dir)
-      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
       .toDF("doc_id", "pos", "w")
+    // bigram identity is the token PAIR, never a joined string (review
+    // r10): a '|' separator collided distinct bigrams on tokens that
+    // contain the separator ('a|b c' vs 'a b|c'), corrupting P(wn|w)
     val big = tok.withColumn("wn", lead("w", 1).over(w))
       .filter(col("wn").isNotNull)
-      .select(col("doc_id"), concat_ws("|", col("w"), col("wn")).as("b"),
-        col("w"))
-    val bc = big.groupBy("b").agg(count(lit(1)).as("bc"))
+      .select(col("doc_id"), col("w"), col("wn"))
+    val bc = big.groupBy("w", "wn").agg(count(lit(1)).as("bc"))
     val cx = big.groupBy("w").agg(count(lit(1)).as("cxc"))
-    big.join(bc, "b").join(broadcast(cx), "w")
+    big.join(bc, Seq("w", "wn")).join(broadcast(cx), "w")
       .select(col("doc_id"),
         r6(log(col("bc").cast("double") / col("cxc"))).as("lp"))
       .groupBy("doc_id")
@@ -374,12 +381,13 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val tok = documents(s, dir)
-      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
       .toDF("doc_id", "pos", "w")
+    // token-pair identity, not a '|'-joined string (review r10 — same
+    // separator-collision fix as textBigramLogprob)
     tok.withColumn("wn", lead("w", 1).over(w))
       .filter(col("wn").isNotNull)
-      .select(col("doc_id"), concat_ws("|", col("w"), col("wn")).as("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "w", "wn").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_n"))
       .select(col("doc_id"), col("n_bigrams"), col("top_n"),
@@ -459,7 +467,7 @@ object TextOps {
     * row" primitive: zero shuffle, zero intermediate explode-join — at
     * 100 TB this is a pure map stage that fuses into the scan. */
   def arrayHof(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(lower(col("text")), " ")
+    val toks = tokens(col("text"))
     documents(s, dir)
       .select(col("doc_id"),
         size(filter(toks, t => length(t) > 4)).cast("long").as("n_long"),
@@ -695,9 +703,9 @@ object TextOps {
       """WITH bg AS (
         |  SELECT doc_id, unnest(
         |    CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)),
-        |      i -> t[i] || '|' || t[i+1]) ELSE [] END) AS b
+        |      i -> {'w': t[i], 'wn': t[i+1]}) ELSE [] END, recursive := true)
         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
-        |c AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |c AS (SELECT doc_id, w, wn, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
         |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
         |    MAX(c) AS top_n FROM c GROUP BY 1),
         |r AS (SELECT *, floor((top_n::DOUBLE / n_bigrams) * 1000000 + 0.5)
@@ -708,16 +716,15 @@ object TextOps {
       """WITH bg AS (
         |  SELECT doc_id, unnest(
         |    CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)),
-        |      i -> t[i] || '|' || t[i+1]) ELSE [] END) AS b
+        |      i -> {'w': t[i], 'wn': t[i+1]}) ELSE [] END, recursive := true)
         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
-        |bc AS (SELECT b, COUNT(*) AS bc FROM bg GROUP BY b),
-        |cx AS (SELECT split_part(b, '|', 1) AS w, COUNT(*) AS cxc
-        |  FROM bg GROUP BY 1),
+        |bc AS (SELECT w, wn, COUNT(*) AS bc FROM bg GROUP BY 1, 2),
+        |cx AS (SELECT w, COUNT(*) AS cxc FROM bg GROUP BY 1),
         |sc AS (
         |  SELECT bg.doc_id,
         |    floor(ln(bc.bc::DOUBLE / cx.cxc) * 1000000 + 0.5) / 1000000 AS lp
-        |  FROM bg JOIN bc USING (b)
-        |    JOIN cx ON split_part(bg.b, '|', 1) = cx.w)
+        |  FROM bg JOIN bc USING (w, wn)
+        |    JOIN cx USING (w))
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  floor((CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*))
         |    * 1000000 + 0.5) / 1000000 AS avg_logprob
@@ -884,7 +891,7 @@ object TextOps {
     "text_lexical_diversity" ->
       """WITH tf AS (
         |  SELECT doc_id, w, COUNT(*) AS c FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
         |    FROM documents) t
         |  GROUP BY doc_id, w),
         |a AS (
