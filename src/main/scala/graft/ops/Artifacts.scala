@@ -54,7 +54,7 @@ private[graft] object Artifacts {
 
   /** Fold (name, mtime, length) over the source file (or every file under
     * it when it's a directory, in name order). */
-  private def fingerprint(dir: String, table: String): Long = {
+  private[graft] def fingerprint(dir: String, table: String): Long = {
     def fold(f: java.io.File): Long =
       if (f.isDirectory)
         f.listFiles().sortBy(_.getName).foldLeft(17L)((a, c) => a * 31 + fold(c))

@@ -466,8 +466,11 @@ object DedupOps {
         max(col("sz")).as("max_bucket"),
         sum(when(col("sz") >= 2, 1L).otherwise(0L)).as("hot_buckets"),
         sum(when(col("sz") === 1, 1L).otherwise(0L)).as("singletons"),
-        // sz·(sz−1) is always even → the halved sum is exact in longs
-        sum((col("sz") * (col("sz") - 1) / 2).cast("long")).as("cand_pairs"))
+        // sz·(sz−1) is always even → the halved sum is exact in longs —
+        // via INTEGER div (review r10): Spark `/` coerces to Double,
+        // which loses exactness past 2^53 (sz ≳ 9.5e7, exactly the
+        // hot-bucket blowup this audit measures); the oracle uses `//`.
+        sum(expr("CAST(sz * (sz - 1) AS BIGINT) div 2")).as("cand_pairs"))
       .select(col("band").cast("int").as("band"), col("n_buckets"),
         col("max_bucket"), col("hot_buckets"), col("singletons"),
         col("cand_pairs"))
@@ -533,7 +536,7 @@ object DedupOps {
   }
 
   /** Ingest-batch width for the delete-leg live layout: documents land
-    * in id-ranges of 100 per ingest batch, and takedown requests arrive
+    * in id-ranges of `IngestBatch` (250) ids per ingest batch, and takedown requests arrive
     * per source/batch — so the live postings table is hive-partitioned
     * by (band, ingest batch) and a delete request prunes to the batch
     * directories that actually contain its documents. (Unlike the ANN
@@ -582,13 +585,13 @@ object DedupOps {
     require(emptied.isEmpty,
       s"partitions ${emptied.mkString(",")} would be emptied by this delete; " +
         "drop those partitions via the catalog instead of a data rewrite")
-    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      survivors.withColumn("pband", col("band"))
-        .repartition(col("pband"), col("pbatch"))
-        .write.mode("overwrite").partitionBy("pband", "pbatch").parquet(live)
-    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // writer-scoped option, NOT the session conf (review r10): a global
+    // flip leaks dynamic-overwrite semantics to concurrent writes and
+    // the restore races user conf changes (same fix as deleteFromCodes).
+    survivors.withColumn("pband", col("band"))
+      .repartition(col("pband"), col("pbatch"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pband", "pbatch").parquet(live)
   }
 
   /** Build-once scratch "live" layout for [[dedupIndexDelete]]: the
@@ -639,10 +642,10 @@ object DedupOps {
     * O(affected partitions)). Each draw then performs the identical
     * partition-pruned survivor rewrite, sourcing affected partitions
     * from the PRISTINE postings so re-runs measure the same work and the
-    * live table is byte-stable post-draw. Deletion list = a partial
-    * takedown of ingest batch 1 (doc_id in [100, 200) with
+    * live table is byte-stable post-draw. Deletion list = a mid-batch
+    * slice of ingest batch 0 (doc_id in [100, 200) with
     * doc_id % 3 = 0 — the realistic "one source's slice of one batch"
-    * shape); at 100 TB the rewrite touches NumBands × 1 batch
+    * shape at the width-250 batch axis); at 100 TB the rewrite touches NumBands × 1 batch
     * directories, never the corpus-wide postings. Output is the
     * post-delete per-band manifest; the oracle recomputes the banding
     * minus the deleted ids, so a lost or doubled surviving posting
@@ -1133,7 +1136,7 @@ object DedupOps {
          |  count(DISTINCT doc_id) AS n_docs
          |FROM bands GROUP BY band ORDER BY band""".stripMargin,
     // Post-delete manifest: the full banding minus the takedown slice
-    // (ingest batch 1's doc_id % 3 = 0 documents).
+    // (the [100, 200) range's doc_id % 3 = 0 documents).
     "dedup_index_delete" ->
       s"""WITH $shinglesCte,
          |$bandsCte,

@@ -348,14 +348,23 @@ object Relational {
 
   def joinBucketed(s: SparkSession, dir: String): DataFrame = {
     val sfx = dir.replaceAll("[^0-9]", "")
-    val (liT, ordT) = (s"graft_li_b$sfx", s"graft_ord_b$sfx")
+    // Table names carry the SOURCE fingerprint (review r10, the
+    // writeOnce-sink rule): a corpus regenerated mid-session would
+    // otherwise pass both the in-JVM set and the catalog existence
+    // check and silently join STALE bucketed data while the oracle
+    // reads the new parquet.
+    val fp = java.lang.Long.toHexString(
+      Artifacts.fingerprint(dir, "lineitem.parquet") * 31 +
+        Artifacts.fingerprint(dir, "orders.parquet"))
+    val (liT, ordT) = (s"graft_li_b${sfx}_$fp", s"graft_ord_b${sfx}_$fp")
     // Bucketed tables are WRITE-ONCE layout artifacts (that's the whole
     // point — pay the shuffle at write time, reuse across queries), so
-    // within one JVM the write happens once per (session, sf). The set
-    // alone can false-positive (identityHashCode collides across session
-    // lifetimes), so a catalog existence check backs it up: skip only
-    // when this session can actually resolve both tables.
-    if (bucketedWritten.add(s"${System.identityHashCode(s)}:$dir") ||
+    // within one JVM the write happens once per (session, sf,
+    // fingerprint). The set alone can false-positive (identityHashCode
+    // collides across session lifetimes), so a catalog existence check
+    // backs it up: skip only when this session can actually resolve both
+    // tables.
+    if (bucketedWritten.add(s"${System.identityHashCode(s)}:$dir:$fp") ||
         !s.catalog.tableExists(liT) || !s.catalog.tableExists(ordT)) {
       // The in-memory catalog is per-session but the warehouse directory
       // outlives it; a stale location fails saveAsTable with
@@ -1022,12 +1031,6 @@ object Relational {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
   }
 
-  /** SQL-3 (TPC-H Q1, the canonical pricing summary): filter-free scan +
-    * 8-measure grouped aggregation — the whole-stage-codegen benchmark
-    * query. Every money measure routes through DECIMAL(25,6) partials
-    * (the [[graft.Tables.dsum]] rule in SQL form): the products carry ≤ 6
-    * true decimal digits, so the decimal snap is exact and the aggregate
-    * is partition-order independent. */
   /** SQL23: RECURSIVE CTE (Spark 4's `WITH RECURSIVE`) — bounded
     * transitive reachability over a deterministic 25-node functional
     * graph derived from `nation` (edges i → (2i+1) mod 25 and
@@ -1060,6 +1063,12 @@ object Relational {
         |FROM reach GROUP BY node ORDER BY node""".stripMargin)
   }
 
+  /** SQL-3 (TPC-H Q1, the canonical pricing summary): filter-free scan +
+    * 8-measure grouped aggregation — the whole-stage-codegen benchmark
+    * query. Every money measure routes through DECIMAL(25,6) partials
+    * (the [[graft.Tables.dsum]] rule in SQL form): the products carry ≤ 6
+    * true decimal digits, so the decimal snap is exact and the aggregate
+    * is partition-order independent. */
   def sqlPricingSummary(s: SparkSession, dir: String): DataFrame = {
     registerViews(s, dir)
     s.sql(

@@ -27,12 +27,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object VectorOps {
 
-  /** Persisted codebooks from the PREVIOUS [[knnPq]] invocation — same
-    * generational lifecycle as [[DedupOps]]: lazy results can't be
-    * unpersisted before their consumer's action runs, so each new
-    * invocation retires the previous one's blocks instead of leaking one
-    * set per call (review r6: Verify/Explain/specs never run Bench's
-    * clearCache). */
+  /** Persisted frames from the PREVIOUS recall-harness invocation
+    * ([[knnRecallPq]]/[[knnRecallIvfPq]] pin their truth/codebook
+    * frames here; [[knnPq]] itself has been probe-only since r8 and
+    * caches nothing) — same generational lifecycle as [[DedupOps]]:
+    * lazy results can't be unpersisted before their consumer's action
+    * runs, so each new invocation retires the previous one's blocks
+    * instead of leaking one set per call (review r6: Verify/Explain/
+    * specs never run Bench's clearCache). */
   private val cachedGen = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   private def freshGen(): Unit = synchronized {
@@ -1045,13 +1047,14 @@ object VectorOps {
     require(emptied.isEmpty,
       s"cells ${emptied.mkString(",")} would be emptied by this delete; " +
         "drop those partitions via the catalog instead of a data rewrite")
-    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      survivors.withColumn("pcell", col("cell"))
-        .repartition(col("pcell"))
-        .write.mode("overwrite").partitionBy("pcell").parquet(live)
-    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // writer-scoped option, NOT the session conf (review r10): flipping
+    // spark.sql.sources.partitionOverwriteMode globally leaks dynamic
+    // semantics to any concurrent write in the session, and the restore
+    // races a user's own conf change.
+    survivors.withColumn("pcell", col("cell"))
+      .repartition(col("pcell"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pcell").parquet(live)
   }
 
   /** Build-once scratch "live" layout for [[annIndexDelete]]: the stored
@@ -1486,13 +1489,14 @@ object VectorOps {
          |  SELECT b.vec_id, c.cid, row_number() OVER (PARTITION BY b.vec_id
          |    ORDER BY ${sqlDist("b.x", "c.cv")} ASC, c.cid ASC) AS rn
          |  FROM b CROSS JOIN c2 c) t WHERE rn = 1)
-         |SELECT a.cell,
-         |  CAST(a.n_base + COALESCE(nb.n_new, 0) AS BIGINT) AS n_vecs,
-         |  CAST($PqM * (a.n_base + COALESCE(nb.n_new, 0)) AS BIGINT) AS n_codes
+         |SELECT cell,
+         |  CAST(COALESCE(a.n_base, 0) + COALESCE(nb.n_new, 0) AS BIGINT) AS n_vecs,
+         |  CAST($PqM * (COALESCE(a.n_base, 0) + COALESCE(nb.n_new, 0)) AS BIGINT)
+         |    AS n_codes
          |FROM (SELECT cell, count(*) AS n_base FROM cells GROUP BY cell) a
-         |LEFT JOIN (SELECT cell, count(*) AS n_new FROM bcells GROUP BY cell) nb
+         |FULL JOIN (SELECT cell, count(*) AS n_new FROM bcells GROUP BY cell) nb
          |  USING (cell)
-         |ORDER BY a.cell""".stripMargin,
+         |ORDER BY cell""".stripMargin,
     // Append: coarse training reproduced over the BASE slice only, the
     // held-out batch assigned against those centroids; the delta code
     // VALUES are spec-verified (VectorSpec local re-encode).
