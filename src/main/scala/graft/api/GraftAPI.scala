@@ -891,25 +891,27 @@ object GraftAPI {
   def pqEncode(df: DataFrame, id: String, vec: String,
                m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
     require(m > 0 && k > 0 && iters > 0, s"m/k/iters must be positive: $m/$k/$iters")
-    freshPins() // retire the previous encode's cached frames
-    val e = df.select(col(id).as("vec_id"), col(vec).cast("array<double>").as("x"))
-    val sub = validatedDim(e, vec, m) / m
-    // Long-form training (the `knn_pq` structure): all m codebooks train
-    // in ONE frame keyed by the subspace column — one Lloyd pass and one
-    // assignment regardless of m, instead of m sequential trainings. The
-    // subvector frame and the trained codebook are pinned ([[pinned]])
-    // so the Lloyd fold's and the assignment's many plan references read
-    // cached blocks instead of re-running the upstream scan per
-    // reference.
-    val emLong = pinned(e.select(col("vec_id"), posexplode(array((0 until m).map(i =>
-        slice(col("x"), i * sub + 1, sub)): _*)))
-      .select(col("vec_id"), col("pos").cast("int").as("m"), col("col").as("x")))
-    val cents = pinned(graft.ops.VectorOps.kmeansCentroidsLong(emLong, iters, k))
-    graft.ops.VectorOps.assignCellsLong(emLong, cents)
-      .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("m"), col("cell")))).as("p"))
-      .select(col("vec_id").as(id),
-        transform(col("p"), x => x.getField("cell")).as("code"))
+    val gen = beginPins() // retire completed prior encodes' cached frames
+    try {
+      val e = df.select(col(id).as("vec_id"), col(vec).cast("array<double>").as("x"))
+      val sub = validatedDim(e, vec, m) / m
+      // Long-form training (the `knn_pq` structure): all m codebooks train
+      // in ONE frame keyed by the subspace column — one Lloyd pass and one
+      // assignment regardless of m, instead of m sequential trainings. The
+      // subvector frame and the trained codebook are pinned ([[pinned]])
+      // so the Lloyd fold's and the assignment's many plan references read
+      // cached blocks instead of re-running the upstream scan per
+      // reference.
+      val emLong = pinned(gen, e.select(col("vec_id"), posexplode(array((0 until m).map(i =>
+          slice(col("x"), i * sub + 1, sub)): _*)))
+        .select(col("vec_id"), col("pos").cast("int").as("m"), col("col").as("x")))
+      val cents = pinned(gen, graft.ops.VectorOps.kmeansCentroidsLong(emLong, iters, k))
+      graft.ops.VectorOps.assignCellsLong(emLong, cents)
+        .groupBy("vec_id")
+        .agg(array_sort(collect_list(struct(col("m"), col("cell")))).as("p"))
+        .select(col("vec_id").as(id),
+          transform(col("p"), x => x.getField("cell")).as("code"))
+    } finally endPins(gen)
   }
 
   /** Eagerly-materialized persist for the encoders' shared frames: the
@@ -918,25 +920,37 @@ object GraftAPI {
     * re-executes the upstream subtree (the multi-consumer recompute
     * class the ops twins pin with their generation-managed caches).
     * Generationally retired like VectorOps' cacheEager (review r7):
-    * each encoder call opens a fresh generation via [[freshPins]],
-    * unpersisting the PREVIOUS call's pins — so a driver looping encode
-    * jobs holds at most one call's worth of blocks, not an unbounded
-    * accumulation. */
-  private val pinnedGen = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    * each encoder call opens a CALL-LOCAL generation via [[beginPins]]
+    * and hands it back via [[endPins]] when the call exits; the next
+    * call's beginPins retires every generation whose owning call has
+    * ENDED. A driver looping encode jobs therefore holds at most one
+    * completed call's blocks — and, unlike the old shared-buffer form
+    * (ADVICE r10), a concurrent encoder can never unpersist an in-flight
+    * call's pins mid-materialization (which was silent full recompute:
+    * correct results, uncached cost). */
+  private val retireablePins =
+    scala.collection.mutable.Queue.empty[scala.collection.mutable.ArrayBuffer[DataFrame]]
 
   // CacheLifecycle.retire, not raw unpersist (review r10): a generation
   // pinned by a now-stopped SparkSession must not fail the replacement
   // session's first encode with the dead context's block-manager RPC.
-  private def freshPins(): Unit = synchronized {
-    graft.ops.CacheLifecycle.retire(pinnedGen)
-  }
+  private def beginPins(): scala.collection.mutable.ArrayBuffer[DataFrame] =
+    synchronized {
+      while (retireablePins.nonEmpty)
+        graft.ops.CacheLifecycle.retire(retireablePins.dequeue())
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    }
 
-  // register under the lock, MATERIALIZE outside it (review r10, the
-  // cacheEager discipline): the eager count is a full Spark job, and
-  // holding the object monitor through it would serialize concurrent
-  // encoders for minutes doing no work.
-  private def pinned(df: DataFrame): DataFrame = {
-    synchronized { pinnedGen += df; df.persist() }
+  private def endPins(
+      gen: scala.collection.mutable.ArrayBuffer[DataFrame]): Unit =
+    synchronized { retireablePins.enqueue(gen); () }
+
+  // The generation buffer is call-local, so registration needs no lock
+  // and the eager count (a full Spark job) blocks nobody.
+  private def pinned(gen: scala.collection.mutable.ArrayBuffer[DataFrame],
+                     df: DataFrame): DataFrame = {
+    gen += df
+    df.persist()
     df.count(); df
   }
 
@@ -976,31 +990,33 @@ object GraftAPI {
                   iters: Int = 2): DataFrame = {
     require(cells > 0 && m > 0 && k > 0 && iters > 0,
       s"cells/m/k/iters must be positive: $cells/$m/$k/$iters")
-    freshPins() // retire the previous encode's cached frames
-    val e = df.select(col(id).as("vec_id"), col(vec).cast("array<double>").as("x"))
-    val sub = validatedDim(e, vec, m) / m
-    // Pin the coarse centroids, the assignment, and the residual long
-    // form (review r7): coarse feeds the assignment AND the residual
-    // broadcast, asg feeds the residual build AND the final cell join,
-    // emLong feeds the Lloyd fold and the code assignment — unpinned,
-    // each plan reference would re-run the full coarse training subtree.
-    val coarse = pinned(graft.ops.VectorOps.kmeansCentroids(e, iters, cells))
-    val asg = pinned(graft.ops.VectorOps.assignCells(e, coarse))
-    val emLong = pinned(e.join(asg, "vec_id")
-      .join(broadcast(coarse), col("cell") === col("cid"))
-      .select(col("vec_id"),
-        zip_with(col("x"), col("cv"), (a, b) => r6(a - b)).as("rx"))
-      .select(col("vec_id"), posexplode(array((0 until m).map(i =>
-        slice(col("rx"), i * sub + 1, sub)): _*)))
-      .select(col("vec_id"), col("pos").cast("int").as("m"), col("col").as("x")))
-    val cents = pinned(graft.ops.VectorOps.kmeansCentroidsLong(emLong, iters, k))
-    graft.ops.VectorOps.assignCellsLong(emLong, cents)
-      .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("m"), col("cell")))).as("p"))
-      .select(col("vec_id"),
-        transform(col("p"), x => x.getField("cell")).as("code"))
-      .join(asg, "vec_id")
-      .select(col("vec_id").as(id), col("cell"), col("code"))
+    val gen = beginPins() // retire completed prior encodes' cached frames
+    try {
+      val e = df.select(col(id).as("vec_id"), col(vec).cast("array<double>").as("x"))
+      val sub = validatedDim(e, vec, m) / m
+      // Pin the coarse centroids, the assignment, and the residual long
+      // form (review r7): coarse feeds the assignment AND the residual
+      // broadcast, asg feeds the residual build AND the final cell join,
+      // emLong feeds the Lloyd fold and the code assignment — unpinned,
+      // each plan reference would re-run the full coarse training subtree.
+      val coarse = pinned(gen, graft.ops.VectorOps.kmeansCentroids(e, iters, cells))
+      val asg = pinned(gen, graft.ops.VectorOps.assignCells(e, coarse))
+      val emLong = pinned(gen, e.join(asg, "vec_id")
+        .join(broadcast(coarse), col("cell") === col("cid"))
+        .select(col("vec_id"),
+          zip_with(col("x"), col("cv"), (a, b) => r6(a - b)).as("rx"))
+        .select(col("vec_id"), posexplode(array((0 until m).map(i =>
+          slice(col("rx"), i * sub + 1, sub)): _*)))
+        .select(col("vec_id"), col("pos").cast("int").as("m"), col("col").as("x")))
+      val cents = pinned(gen, graft.ops.VectorOps.kmeansCentroidsLong(emLong, iters, k))
+      graft.ops.VectorOps.assignCellsLong(emLong, cents)
+        .groupBy("vec_id")
+        .agg(array_sort(collect_list(struct(col("m"), col("cell")))).as("p"))
+        .select(col("vec_id"),
+          transform(col("p"), x => x.getField("cell")).as("code"))
+        .join(asg, "vec_id")
+        .select(col("vec_id").as(id), col("cell"), col("code"))
+    } finally endPins(gen)
   }
 
   /** Persist a complete IVF + residual-PQ ANN index for `df` under

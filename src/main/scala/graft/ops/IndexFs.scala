@@ -19,8 +19,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 private[graft] object IndexFs {
 
+  // getActiveSession is THREAD-LOCAL (ADVICE r10): marker I/O issued from
+  // a helper thread that never touched the session would silently fall
+  // back to a bare Configuration without the session's object-store
+  // credentials/endpoints — fall through the process-wide default
+  // session before giving up.
   private def conf: org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
 

@@ -346,16 +346,28 @@ object Relational {
   private val bucketedWritten =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  private val bucketedFp =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
+
   def joinBucketed(s: SparkSession, dir: String): DataFrame = {
     val sfx = dir.replaceAll("[^0-9]", "")
     // Table names carry the SOURCE fingerprint (review r10, the
     // writeOnce-sink rule): a corpus regenerated mid-session would
     // otherwise pass both the in-JVM set and the catalog existence
     // check and silently join STALE bucketed data while the oracle
-    // reads the new parquet.
-    val fp = java.lang.Long.toHexString(
-      Artifacts.fingerprint(dir, "lineitem.parquet") * 31 +
-        Artifacts.fingerprint(dir, "orders.parquet"))
+    // reads the new parquet. The full-tree walk is memoized per
+    // (dir, root mtimes) — ADVICE r10 — so steady-state calls stat two
+    // directories instead of re-walking both parquet trees; a corpus
+    // regeneration rewrites files in the roots, bumping the root mtime
+    // and invalidating the memo.
+    val fp = {
+      val key = (dir,
+        new java.io.File(s"$dir/lineitem.parquet").lastModified,
+        new java.io.File(s"$dir/orders.parquet").lastModified)
+      bucketedFp.computeIfAbsent(key, _ => java.lang.Long.toHexString(
+        Artifacts.fingerprint(dir, "lineitem.parquet") * 31 +
+          Artifacts.fingerprint(dir, "orders.parquet")))
+    }
     val (liT, ordT) = (s"graft_li_b${sfx}_$fp", s"graft_ord_b${sfx}_$fp")
     // Bucketed tables are WRITE-ONCE layout artifacts (that's the whole
     // point — pay the shuffle at write time, reuse across queries), so
@@ -374,6 +386,20 @@ object Relational {
         f.delete(); ()
       }
       val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      // GC prior fingerprint generations (ADVICE r10): a regenerated
+      // corpus mints new table names, and without this sweep every old
+      // generation's catalog entry + warehouse data leaked permanently.
+      // Sweep the WAREHOUSE for the name prefix (the in-memory catalog
+      // forgets prior JVMs' tables, but their directories survive) and
+      // drop any matching catalog entries this session can still see.
+      Seq(s"graft_li_b${sfx}_", s"graft_ord_b${sfx}_").foreach { pfx =>
+        Option(new java.io.File(wh).listFiles).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith(pfx) && f.getName != s"$pfx$fp")
+          .foreach { stale =>
+            s.sql(s"DROP TABLE IF EXISTS ${stale.getName}")
+            rmrf(stale)
+          }
+      }
       Seq(liT, ordT).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
         rmrf(new java.io.File(wh, t))

@@ -455,8 +455,11 @@ object StreamingOps {
               // beyond-reorder straggler: ≥ a full gap OLDER than the open
               // session's start — its own session, never a merge (the
               // signed gap check below would otherwise glue it across
-              // hours). Unreachable in batch (per-group ascending sort).
-              case Some(s) if t < s.start_us - GapUs =>
+              // hours). `<=`, not `<` (ADVICE r10): at exactly one full
+              // gap the batch split rule (gap >= GapUs) closes, so the
+              // straggler guard must too — `<` let the boundary case fall
+              // through and glue. Unreachable in batch (per-group sort).
+              case Some(s) if t <= s.start_us - GapUs =>
                 closed += Session(uid, t, t, 1)
                 Some(s)
               case Some(s) if t - s.end_us < GapUs =>
