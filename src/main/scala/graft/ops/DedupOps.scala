@@ -178,19 +178,28 @@ object DedupOps {
         conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("a"),
         conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("b"))
     val mins = (1 to NumHashes).map(sd => min(col("a") + lit(sd.toLong) * col("b")).as(s"mh$sd"))
-    ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    // n_sh rides the SAME hash aggregate for free: the per-doc shingle-set
+    // size feeds the candidate-stage length filter in [[simPairs]].
+    ex.groupBy("doc_id").agg(mins.head, (mins.tail :+ count(lit(1)).as("n_sh")): _*)
   }
 
   /** (doc_id, band, band_key) LSH banding table: band key = md5 over its
     * RowsPerBand signature slots. */
-  private[ops] def bandTableFrom(shRows: DataFrame): DataFrame = {
+  private[ops] def bandTableFrom(shRows: DataFrame): DataFrame =
+    bandTableWithN(shRows).select("doc_id", "band", "band_key")
+
+  /** Band table carrying each doc's shingle-set size (`n_sh`) — the
+    * verify-stage length filter reads it straight out of the bucket rows,
+    * no extra join. */
+  private def bandTableWithN(shRows: DataFrame): DataFrame = {
     val bands = array((1 to NumBands).map { b =>
       val slots = ((b - 1) * RowsPerBand + 1 to b * RowsPerBand)
         .map(i => col(s"mh$i").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("band_key"))
     }: _*)
-    signaturesFrom(shRows).select(col("doc_id"), explode(bands).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    signaturesFrom(shRows).select(col("doc_id"), col("n_sh"), explode(bands).as("bk"))
+      .select(col("doc_id"), col("n_sh"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
   /** L1: exact dedup — content-hash groupBy keeping the smallest doc_id
@@ -238,24 +247,48 @@ object DedupOps {
     // eager-per-cache counted EVERY cache — the cost was serializing many
     // small jobs, not this single shared-root pin.)
     timed("shRows.count")(shRows.count())
-    val cand = bandTableFrom(shRows)
+    // Bucket rows carry (doc_id, n_sh) structs so the LENGTH FILTER runs
+    // at pair birth (r11, the hot-bucket fix): J(A,B) >= 0.8 forces
+    // min|.|/max|.| >= 0.8, i.e. 5*min >= 4*max in exact integer
+    // arithmetic (never 0.8*max — FP ties at the boundary). Template
+    // families glue hundreds of UNRELATED docs into one band bucket at
+    // corpus scale (measured 30x fixture: 4.66M distinct candidates,
+    // 58% killed here), and every survivor saved is one fewer
+    // shingle-array fetch + set intersection downstream.
+    val cand = bandTableWithN(shRows)
       .groupBy("band", "band_key")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+          y => struct(x.getField("doc_id").as("doc_a"),
+            y.getField("doc_id").as("doc_b"),
+            x.getField("n_sh").as("na"), y.getField("n_sh").as("nb")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.na"), col("p.nb"))
+      .filter(lit(5) * least(col("na"), col("nb")) >=
+        lit(4) * greatest(col("na"), col("nb")))
       .distinct()
     // cached: the shingle-ARRAY table feeds BOTH verify sides; uncached,
-    // each join recomputes the collect_list groupBy over the corpus
-    val sh = cache(shRows.groupBy("doc_id").agg(collect_list(col("x")).as("shingles")))
+    // each join recomputes the collect_list groupBy over the corpus.
+    // Arrays hold 64-bit shingle FINGERPRINTS, not the ~30-byte shingle
+    // strings (r11): the verify joins shuffle candidate-pair x array
+    // payloads, and longs cut that volume ~4x and make the per-pair set
+    // intersection integer work (Broder's classic shingle-fingerprint
+    // form; a fingerprint collision inside one pair's union — ~n^2/2^65
+    // — is the only divergence risk, and the three-scale oracle gate
+    // would catch it).
+    val sh = cache(shRows.groupBy("doc_id")
+      .agg(collect_list(xxhash64(col("x"))).as("shingles")))
     cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      // |A u B| = na + nb - |A n B| (shingle rows are distinct per doc):
+      // one hash-set intersection per pair, no union array materialized.
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        size(array_intersect(col("sa.shingles"), col("sb.shingles"))).as("inter"))
       .select(col("doc_a"), col("doc_b"),
-        r6(size(array_intersect(col("sa.shingles"), col("sb.shingles"))).cast("double") /
-          size(array_union(col("sa.shingles"), col("sb.shingles")))).as("jaccard"))
+        r6(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
   }
 
