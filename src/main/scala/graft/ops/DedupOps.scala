@@ -311,7 +311,14 @@ object DedupOps {
     * [[propagateMinLabels]] invocation. */
   @volatile private[graft] var lastClusterRounds: Int = -1
 
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClustersUnsorted(s, dir).orderBy("doc_id")
+
+  /** [[dedupClusters]] minus the presentation sort — the form the
+    * curation stage PRODUCER writes (r11): the drop-list parquet is
+    * consumed as a join SET, and a global range sort on the cluster map
+    * is pure waste inside a stage write. */
+  private[ops] def dedupClustersUnsorted(s: SparkSession, dir: String): DataFrame = {
     val pairs = cache(simPairs(s, dir).select("doc_a", "doc_b"))
     // Materialize the verified pair set BEFORE the propagation loop
     // (VERDICT r6 #2): the loop re-reads `edges` (= pairs twice) every
@@ -323,7 +330,6 @@ object DedupOps {
       .toDF("src", "dst")
     propagateMinLabels(edges)
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-      .orderBy("doc_id")
   }
 
   /** Pointer-jumped min-label propagation over a SYMMETRIC (src, dst)
@@ -419,7 +425,13 @@ object DedupOps {
     * a 100 TB corpus) → its distinct shingle set BROADCASTS, the corpus
     * side stays map-side through the probe, and the only shuffle is the
     * output-scale per-doc overlap count. */
-  def decontamNgram(s: SparkSession, dir: String): DataFrame = {
+  def decontamNgram(s: SparkSession, dir: String): DataFrame =
+    decontamNgramUnsorted(s, dir).orderBy("doc_id")
+
+  /** [[decontamNgram]] minus the presentation sort (r11) — see
+    * [[dedupClustersUnsorted]]; the contamination drop-list is a join
+    * set for the stage consumers. */
+  private[ops] def decontamNgramUnsorted(s: SparkSession, dir: String): DataFrame = {
     // three consumers (eval set, totals, hits) — materialize once, with
     // the same shared-root eager pin as simPairs; the pin is the
     // GENERATION-shared shingle frame, so a composite that already ran
@@ -440,7 +452,6 @@ object DedupOps {
     tot.join(hits, Seq("doc_id"))
       .select(col("doc_id"), col("n_overlap"), col("n_shingles"),
         r6(col("n_overlap").cast("double") / col("n_shingles")).as("contam_ratio"))
-      .orderBy("doc_id")
   }
 
   /** Full-corpus band rows for the index BUILD ([[MinhashIndex]]). */
