@@ -175,8 +175,24 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] timeline write FAILED (results below unaffected): $e")
     }
+    // Per-module subtotals (VERDICT r10 #8): a 251-query single number
+    // makes sweep regressions unattributable; the family line localizes a
+    // +17% to "dedup grew 4 s" without manual per-query diffing.
+    val families: Seq[(String, Set[String])] = Seq(
+      "relational" -> ops.Relational.queries.keySet,
+      "events"     -> ops.EventOps.queries.keySet,
+      "text"       -> ops.TextOps.queries.keySet,
+      "dedup"      -> ops.DedupOps.queries.keySet,
+      "vector"     -> ops.VectorOps.queries.keySet,
+      "books"      -> ops.BooksOps.queries.keySet,
+      "multimodal" -> ops.MultimodalOps.queries.keySet,
+      "pipeline"   -> ops.PipelineOps.queries.keySet)
+    val famJson = families.map { case (fam, keys) =>
+      val secs = ok.collect { case (k, v) if keys(k) => v }
+      s""""$fam":{"sec":${f3(secs.sum)},"n":${secs.size}}"""
+    }.mkString("{", ",", "}")
     // Full per-query map — earlier line, human/log consumption only.
-    println(s"""{"metric":"total_full","value":${f3(total)},"unit":"sec","queries":${qmap(ok.toSeq.sortBy(_._1))},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_full","value":${f3(total)},"unit":"sec","subtotals":$famJson,"queries":${qmap(ok.toSeq.sortBy(_._1))},"failed":$failedJson,"sf":"$sfDir"}""")
     // Compact line LAST: grand total + counts + headline subset. `wall` /
     // `warm` carry the sweep + warm-up wall seconds so the artifact shows
     // how much of the driver's observed runtime was measured queries vs
