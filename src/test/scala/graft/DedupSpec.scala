@@ -300,4 +300,81 @@ class DedupSpec extends AnyFunSuite {
       e.getMessage.contains("catalog"), e.getMessage)
     assert(files() == before, "failed delete must not have touched the layout")
   }
+
+  test("dedup_index_reband: planted hot bucket's pair count drops, verified near-dups preserved (L2o)") {
+    import org.apache.spark.sql.functions._
+    // Planted corpus: a 5-doc EXACT-duplicate family (identical full
+    // signatures — the true near-dups) + 150 chaff variants of the same
+    // boilerplate with ~40% token mutation (pairwise J well under 0.8,
+    // so chaff contributes hot-bucket candidates but never verified
+    // pairs). Fixed seed -> deterministic signatures -> deterministic
+    // bucket topology.
+    val rnd = new scala.util.Random(41)
+    val boiler = (1 to 60).map(i => s"tok$i")
+    val family = (0L to 4L).map(id => (id, boiler.mkString(" ")))
+    val chaff = (10L until 160L).map { id =>
+      val toks = boiler.zipWithIndex.map { case (t, i) =>
+        if (rnd.nextDouble() < 0.4) s"u${id}x$i" else t }
+      (id, toks.mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_reband").toString
+    val sq = spark; import sq.implicits._
+    (family ++ chaff).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val manifest = DedupOps.dedupIndexReband(spark, dir).collect()
+    assert(manifest.nonEmpty, "planted corpus must surface hot buckets")
+    manifest.foreach { r =>
+      assert(r.getAs[Long]("pairs_after") <= r.getAs[Long]("pairs_before"))
+      assert(r.getAs[Long]("max_sub") <= r.getAs[Long]("n_docs"))
+    }
+    // the exact-dup family shares every signature slot: some hot bucket
+    // keeps a >= 5-doc sub-bucket intact after rebanding
+    assert(manifest.exists(_.getAs[Long]("max_sub") >= 5L),
+      "full-signature duplicates must keep colliding after the reband")
+    // and at least one mixed bucket actually deflates
+    assert(manifest.exists(r =>
+      r.getAs[Long]("pairs_after") < r.getAs[Long]("pairs_before")),
+      "no hot bucket deflated — the reband did nothing")
+
+    // Verified-set preservation under the fine-union candidate scheme:
+    // candidates = raw pairs from non-hot buckets UNION sub-bucket pairs
+    // from the side-table; every locally-verified (J >= 0.8) raw-candidate
+    // pair must survive.
+    val raw = DedupOps.dedupMinhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val rawBuckets = raw.groupBy(r => (r._2, r._3)).values.map(_.map(_._1).sorted.toSeq)
+    val hotKeys = raw.groupBy(r => (r._2, r._3)).collect {
+      case (k, rows) if rows.length >= 4 => k }.toSet
+    val ixRoot = ops.Artifacts.root("mhix_v1", dir, "documents.parquet")
+    val fine = spark.read.parquet(s"$ixRoot/bands_fine")
+      .select("doc_id", "band", "band_key", "sub_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+    def pairsOf(ids: Seq[Long]): Set[(Long, Long)] =
+      (for { i <- ids.indices; j <- i + 1 until ids.length }
+        yield (ids(i), ids(j))).toSet
+    val rawCands = rawBuckets.flatMap(pairsOf).toSet
+    val fineCands =
+      raw.groupBy(r => (r._2, r._3)).collect {
+        case (k, rows) if !hotKeys(k) => rows.map(_._1).sorted.toSeq }
+        .flatMap(pairsOf).toSet ++
+      fine.groupBy(r => (r._2, r._3, r._4)).values
+        .map(_.map(_._1).sorted.toSeq).flatMap(pairsOf).toSet
+    assert(fineCands.subsetOf(rawCands), "reband must never invent candidates")
+    assert(fineCands.size < rawCands.size, "reband must drop hot-bucket chaff pairs")
+    val sh = Tables.documents(spark, dir).select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).toLowerCase.split(" ")
+      r.getLong(0) -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    def verified(cands: Set[(Long, Long)]): Set[(Long, Long)] = cands.filter {
+      case (a, b) =>
+        val inter = (sh(a) & sh(b)).size
+        val uni = (sh(a) | sh(b)).size
+        uni > 0 && inter.toDouble / uni >= 0.8
+    }
+    assert(verified(fineCands) == verified(rawCands),
+      "the verified near-dup pair set must be unchanged by the reband")
+  }
 }
