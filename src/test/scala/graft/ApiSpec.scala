@@ -633,6 +633,57 @@ class ApiSpec extends AnyFunSuite {
       "a rejected delete on a registry index must leave its marker intact")
   }
 
+  test("crash window mid-delete: a restarted minhash ensure rebuilds, never serves the half-rewritten table") {
+    // The withRetiredMarker discipline (retire _SUCCESS -> rewrite ->
+    // recommit) exists for exactly one failure: a crash BETWEEN retire
+    // and recommit. Simulate that window on the registry index — marker
+    // gone, table half-rewritten (one band partition missing) — and
+    // assert the restart path (ensure) detects the uncommitted root and
+    // rebuilds to pristine content instead of trusting what is on disk.
+    val ix = ops.MinhashIndex.ensure(spark, sf)
+    def content() = spark.read.parquet(ix.bands)
+      .select("doc_id", "band", "band_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    val pristine = content()
+    // crash window: marker retired, rewrite half-done
+    assert(new java.io.File(ix.root, "_SUCCESS").delete())
+    val part = new java.io.File(ix.bands).listFiles()
+      .filter(_.getName.startsWith("pband=")).head
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+      f.delete(); ()
+    }
+    rmrf(part)
+    assert(content() != pristine, "the half-rewritten table must differ")
+    val ix2 = ops.MinhashIndex.ensure(spark, sf)
+    assert(new java.io.File(ix2.root, "_SUCCESS").isFile,
+      "restarted ensure must recommit the marker")
+    assert(content() == pristine,
+      "restarted ensure must rebuild the postings, not serve the partial table")
+  }
+
+  test("crash window mid-delete: a restarted ANN ensure rebuilds, never serves the half-rewritten codes") {
+    val ix = ops.IvfPqIndex.ensure(spark, sf)
+    def codes() = spark.read.parquet(ix.ivfCodes)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val pristine = codes()
+    assert(new java.io.File(ix.root, "_SUCCESS").delete())
+    val part = new java.io.File(ix.ivfCodes).listFiles()
+      .filter(_.getName.startsWith("pcell=")).head
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+      f.delete(); ()
+    }
+    rmrf(part)
+    assert(codes() != pristine, "the half-rewritten code table must differ")
+    val ix2 = ops.IvfPqIndex.ensure(spark, sf)
+    assert(new java.io.File(ix2.root, "_SUCCESS").isFile,
+      "restarted ensure must recommit the marker")
+    assert(codes() == pristine,
+      "restarted ensure must rebuild the codes, not serve the partial table")
+  }
+
   test("annIndexDelete(facade): in-place pruned takedown on buildAnnIndex's codes") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft_anndel_api").toString

@@ -846,6 +846,101 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a", "b")), got.toString)
   }
 
+  test("transitionsTwsOrdered: kill + checkpoint-restart mid-stream keeps the pair multiset exact") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_restart").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_tws_restart_out").toString
+    try {
+      val ms = MemoryStream[Ev]
+      // Durable FILE sink (the memory sink refuses checkpoint recovery):
+      // exactly-once across the kill/restart is part of what's pinned.
+      // ---- run 1: two shuffled micro-batches, then KILL the query ----
+      val q1 = StreamingOps.transitionsTwsOrdered(ms.toDS())
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        ms.addData(evAt(13, "2025-06-01T10:04:00Z", 1, "c"),
+                   evAt(22, "2025-06-01T10:03:00Z", 2, "q"),
+                   evAt(11, "2025-06-01T10:00:00Z", 1, "a"))
+        q1.processAllAvailable()
+        ms.addData(evAt(12, "2025-06-01T10:02:00Z", 1, "b"),
+                   evAt(23, "2025-06-01T10:05:00Z", 2, "r"),
+                   evAt(21, "2025-06-01T10:01:00Z", 2, "p"))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // ---- run 2: RESUME from the checkpoint (reorder-buffer state,
+      // timers and watermark all come back from RocksDB) and finish ----
+      val q2 = StreamingOps.transitionsTwsOrdered(ms.toDS())
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        ms.addData(evAt(14, "2025-06-01T10:06:00Z", 1, "d"))
+        q2.processAllAvailable()
+        ms.addData(evAt(91, "2025-06-01T10:20:00Z", 91, "z")); q2.processAllAvailable()
+        ms.addData(evAt(92, "2025-06-01T10:30:00Z", 92, "z")); q2.processAllAvailable()
+        ms.addData(evAt(93, "2025-06-01T10:40:00Z", 93, "z")); q2.processAllAvailable()
+      } finally q2.stop()
+      val got = spark.read.parquet(out)
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[String]("prev_type"), r.getAs[String]("event_type"))).toSeq
+      // EXACT multiset across the kill/restart boundary: nothing lost
+      // from buffered state, nothing double-emitted on replay
+      assert(got.sorted == Seq(
+        (1L, "a", "b"), (1L, "b", "c"), (1L, "c", "d"),
+        (2L, "p", "q"), (2L, "q", "r")).sorted, got.toString)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("sessionizeTwsOrdered: kill + checkpoint-restart mid-stream keeps the session multiset exact") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_restart").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sess_restart_out").toString
+    try {
+      val ms = MemoryStream[Ev]
+      val q1 = StreamingOps.sessionizeTwsOrdered(ms.toDS())
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        // the reversed pair of the first session arrives BEFORE the kill;
+        // the session itself can only close after the restart
+        ms.addData(evAt(2, "2025-06-01T10:08:00Z", 1, "view"))
+        q1.processAllAvailable()
+        ms.addData(evAt(1, "2025-06-01T10:00:00Z", 1, "view")) // late
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = StreamingOps.sessionizeTwsOrdered(ms.toDS())
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        ms.addData(evAt(3, "2025-06-01T11:00:00Z", 1, "view"))
+        q2.processAllAvailable()
+        ms.addData(evAt(91, "2025-06-01T11:45:00Z", 91, "z")); q2.processAllAvailable()
+        ms.addData(evAt(92, "2025-06-01T12:30:00Z", 92, "z")); q2.processAllAvailable()
+        ms.addData(evAt(93, "2025-06-01T13:30:00Z", 93, "z")); q2.processAllAvailable()
+        ms.addData(evAt(94, "2025-06-01T14:30:00Z", 94, "z")); q2.processAllAvailable()
+      } finally q2.stop()
+      val gotU1 = spark.read.parquet(out).as[StreamingOps.Session]
+        .collect().map(s => (s.user_id, s.start_us, s.end_us, s.n_events))
+        .filter(_._1 == 1L).toSeq.sorted
+      // the late 10:00 event buffered BEFORE the kill must land inside
+      // the first closed session AFTER the restart — state-exact recovery
+      assert(gotU1 == Seq(
+        (1L, usOf("2025-06-01T10:00:00Z"), usOf("2025-06-01T10:08:00Z"), 2L),
+        (1L, usOf("2025-06-01T11:00:00Z"), usOf("2025-06-01T11:00:00Z"), 1L)),
+        gotU1.toString)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("sessionizeTwsOrdered: out-of-order feed yields the exact batch session machine output") {
     val sq = spark; import sq.implicits._
     implicit val ctx = spark.sqlContext
