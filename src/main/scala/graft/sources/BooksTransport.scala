@@ -30,14 +30,20 @@ object BooksTransport {
     def fetchPage(offset: Long, count: Long): IndexedSeq[BookRecord]
   }
 
-  /** Serializable transport selection, carried in every partition. */
+  /** Serializable transport selection, carried in every partition.
+    * `trustStore`/`trustStorePass` (r11): optional PKCS12 path for HTTPS
+    * endpoints signed by a private CA — the enterprise deployment shape;
+    * empty means the JDK default trust (public CAs). */
   final case class TransportSpec(kind: String = "deterministic",
                                  baseUrl: String = "",
                                  apiKey: String = "",
-                                 timeoutMs: Long = 10000L) {
+                                 timeoutMs: Long = 10000L,
+                                 trustStore: String = "",
+                                 trustStorePass: String = "") {
     def build(): Transport = kind match {
       case "deterministic" => Deterministic
-      case "http"          => new HttpTransport(baseUrl, apiKey, timeoutMs)
+      case "http" =>
+        new HttpTransport(baseUrl, apiKey, timeoutMs, trustStore, trustStorePass)
       case other => throw new IllegalArgumentException(
         s"unknown transport '$other' (expected deterministic|http)")
     }
@@ -68,11 +74,31 @@ object BooksTransport {
     * API key, malformed-payload abort, wire-level limit pushdown) — the
     * only untested leg left is a non-loopback network path. */
   final class HttpTransport(baseUrl: String, apiKey: String,
-                            timeoutMs: Long) extends Transport {
+                            timeoutMs: Long,
+                            trustStore: String = "",
+                            trustStorePass: String = "") extends Transport {
     require(baseUrl.nonEmpty, "transport=http requires option baseUrl")
 
-    @transient private lazy val client = java.net.http.HttpClient.newBuilder()
-      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+    @transient private lazy val client = {
+      val b = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+      // Private-CA HTTPS (r11): a PKCS12 truststore path swaps the JDK
+      // default trust for the deployment's own roots — loopback TLS in
+      // the spec, an internal CA in production. TLS version/ciphers stay
+      // the JDK defaults.
+      if (trustStore.nonEmpty) {
+        val ks = java.security.KeyStore.getInstance("PKCS12")
+        val in = new java.io.FileInputStream(trustStore)
+        try ks.load(in, trustStorePass.toCharArray) finally in.close()
+        val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+          javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(ks)
+        val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+        ctx.init(null, tmf.getTrustManagers, null)
+        b.sslContext(ctx)
+      }
+      b.build()
+    }
     @transient private lazy val mapper = {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
       m
@@ -83,15 +109,31 @@ object BooksTransport {
       val b = java.net.http.HttpRequest.newBuilder()
         .uri(java.net.URI.create(s"$baseUrl${sep}offset=$offset&limit=$count"))
         .timeout(java.time.Duration.ofMillis(timeoutMs))
+        // The JDK client does NOT negotiate or decode compression itself
+        // (r11): offer gzip and decode it below — page payloads are
+        // highly compressible JSON, and a real feed will send it.
+        .header("Accept-Encoding", "gzip")
         .GET()
       if (apiKey.nonEmpty) b.header("X-Api-Key", apiKey)
       val resp = client.send(b.build(),
-        java.net.http.HttpResponse.BodyHandlers.ofString())
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
       resp.headers().firstValueAsLong("X-RateLimit-Remaining")
         .ifPresent(v => quotaRemaining.set(v))
+      def bodyString: String = {
+        val raw = resp.body()
+        val gz = resp.headers().firstValue("Content-Encoding")
+          .map[Boolean](_.equalsIgnoreCase("gzip")).orElse(false)
+        if (gz && raw.nonEmpty) {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(raw))
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        } else new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+      }
       resp.statusCode() match {
         case 200 =>
-          val root = mapper.readTree(resp.body())
+          val root = mapper.readTree(bodyString)
           require(root.isArray, s"expected JSON array page, got ${root.getNodeType}")
           // Missing OR wrong-typed fields abort with the FIELD AND RECORD
           // named (review r6; typed in review r10 — Jackson's asLong()/

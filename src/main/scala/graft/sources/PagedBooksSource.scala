@@ -88,7 +88,9 @@ class PagedBooksTable extends Table with SupportsRead {
       kind = Option(options.get("transport")).getOrElse("deterministic"),
       baseUrl = Option(options.get("baseUrl")).getOrElse(""),
       apiKey = Option(options.get("apiKey")).getOrElse(""),
-      timeoutMs = options.getLong("timeoutMs", 10000L))
+      timeoutMs = options.getLong("timeoutMs", 10000L),
+      trustStore = Option(options.get("trustStore")).getOrElse(""),
+      trustStorePass = Option(options.get("trustStorePass")).getOrElse(""))
     new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
         with Scan with Batch {
       private var prunedSchema: StructType = PagedBooksTable.Schema
