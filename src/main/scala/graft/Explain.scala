@@ -104,7 +104,13 @@ object Explain {
                   // round 9b: the incremental curation verdict (stored
                   // base-artifact probes: fingerprint broadcast, postings
                   // semi-join, eval-shingle broadcast)
-                  "curation_incremental")) {
+                  "curation_incremental",
+                  // round 11: the reshaped near-dup cluster pipeline (the
+                  // plan must show the length filter between the bucket
+                  // pair explode and the hashed-array verify joins) and
+                  // the hot-bucket reband manifest (stored-postings
+                  // groupBys + the semi-joined re-sign subtree)
+                  "dedup_clusters", "dedup_index_reband")) {
       println(s"===== $q =====")
       // Cap per-query output: cached-frame-heavy composites nest their
       // InMemoryRelation child plans repeatedly and can print 50k+ lines
