@@ -54,6 +54,25 @@ private[graft] object Artifacts {
 
   /** Fold (name, mtime, length) over the source file (or every file under
     * it when it's a directory, in name order). */
+  /** Recursive local delete, shared by the bucketed-table GC and the
+    * crash-window specs (review r11 — was copy-pasted three times). */
+  private[graft] def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+    f.delete(); ()
+  }
+
+  /** One-level fold of a table root (name/mtime/length of the root and
+    * its DIRECT children) — the cheap memo key for [[fingerprint]]:
+    * any rewrite touches a direct child (part file or partition dir),
+    * bumping its mtime, so the deep walk re-runs exactly when content
+    * may have changed. */
+  private[graft] def shallowStamp(dir: String, table: String): Long = {
+    val root = new java.io.File(s"$dir/$table")
+    Option(root.listFiles).getOrElse(Array.empty).sortBy(_.getName)
+      .foldLeft(root.lastModified)((a, c) =>
+        a * 31 + c.getName.hashCode.toLong + c.lastModified * 7 + c.length)
+  }
+
   private[graft] def fingerprint(dir: String, table: String): Long = {
     def fold(f: java.io.File): Long =
       if (f.isDirectory)

@@ -248,13 +248,18 @@ object DedupOps {
     // small jobs, not this single shared-root pin.)
     timed("shRows.count")(shRows.count())
     // Bucket rows carry (doc_id, n_sh) structs so the LENGTH FILTER runs
-    // at pair birth (r11, the hot-bucket fix): J(A,B) >= 0.8 forces
-    // min|.|/max|.| >= 0.8, i.e. 5*min >= 4*max in exact integer
-    // arithmetic (never 0.8*max — FP ties at the boundary). Template
-    // families glue hundreds of UNRELATED docs into one band bucket at
-    // corpus scale (measured 30x fixture: 4.66M distinct candidates,
-    // 58% killed here), and every survivor saved is one fewer
-    // shingle-array fetch + set intersection downstream.
+    // at pair birth (r11, the hot-bucket fix). The emitted predicate is
+    // the ROUNDED threshold's necessary condition: downstream keeps
+    // r6(J) >= 0.8, i.e. true J >= 0.7999995, and J <= min|.|/max|.|,
+    // so a pair can survive only if min/max >= 0.7999995 — in exact
+    // integer arithmetic 4e6*min >= 3199998*max (never 0.8*max: FP ties
+    // at the boundary; and not the naive 5*min >= 4*max, which would
+    // drop a >= 400k-shingle pair whose true J in [0.7999995, 0.8)
+    // rounds UP to 0.800000 — review r11). Template families glue
+    // hundreds of UNRELATED docs into one band bucket at corpus scale
+    // (measured 30x fixture: 4.66M distinct candidates, 58% killed
+    // here), and every survivor saved is one fewer shingle-array fetch
+    // + set intersection downstream.
     val cand = bandTableWithN(shRows)
       .groupBy("band", "band_key")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ids"))
@@ -265,8 +270,8 @@ object DedupOps {
             y.getField("doc_id").as("doc_b"),
             x.getField("n_sh").as("na"), y.getField("n_sh").as("nb")))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.na"), col("p.nb"))
-      .filter(lit(5) * least(col("na"), col("nb")) >=
-        lit(4) * greatest(col("na"), col("nb")))
+      .filter(lit(4000000L) * least(col("na"), col("nb")) >=
+        lit(3199998L) * greatest(col("na"), col("nb")))
       .distinct()
     // cached: the shingle-ARRAY table feeds BOTH verify sides; uncached,
     // each join recomputes the collect_list groupBy over the corpus.
@@ -755,13 +760,17 @@ object DedupOps {
         pinnedShingles(s, dir).join(hotIds, Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), md5(concat_ws("|",
         (1 to NumHashes).map(i => col(s"mh$i").cast("string")): _*)).as("sub_key"))
-    hotPostings.join(subKeys, "doc_id")
+    val fine = hotPostings.join(subKeys, "doc_id")
       .select("doc_id", "band", "band_key", "sub_key")
       .withColumn("pband", col("band"))
-      .repartition(col("pband"))
+    fine.repartition(col("pband"))
       .write.mode("overwrite").partitionBy("pband")
       .parquet(s"${ix.root}/bands_fine")
-    val sub = s.read.parquet(s"${ix.root}/bands_fine")
+    // Read back WITH the writer's schema (review r11): a corpus with no
+    // bucket >= the hot threshold writes a data-file-less partitioned
+    // table, and schema inference on it throws — a healthy index must
+    // yield an EMPTY manifest, not a crash.
+    val sub = s.read.schema(fine.schema).parquet(s"${ix.root}/bands_fine")
       .groupBy("band", "band_key", "sub_key").agg(count(lit(1)).as("ssz"))
     sub.groupBy("band", "band_key")
       .agg(sum("ssz").as("n_docs"),

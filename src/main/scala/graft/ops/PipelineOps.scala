@@ -398,7 +398,14 @@ object PipelineOps {
           .filter(col("contam_ratio") >= 0.3).select("doc_id")
           .write.mode("overwrite").parquet(s"$root/contaminated")
       })
-    Await.result(Future.sequence(writes), Duration.Inf)
+    // Settle ALL three before rethrowing (review r11): a fail-fast Await
+    // would abandon still-running writes, and a retried build would then
+    // race the orphans into the same output directories (_temporary/
+    // commit collisions or a silently mixed stage table).
+    val settled = Await.result(
+      Future.sequence(writes.map(_.transform(scala.util.Success(_)))),
+      Duration.Inf)
+    settled.collectFirst { case scala.util.Failure(e) => throw e }
     stagesBuilt += root
     root
   }

@@ -356,14 +356,16 @@ object Relational {
     // otherwise pass both the in-JVM set and the catalog existence
     // check and silently join STALE bucketed data while the oracle
     // reads the new parquet. The full-tree walk is memoized per
-    // (dir, root mtimes) — ADVICE r10 — so steady-state calls stat two
-    // directories instead of re-walking both parquet trees; a corpus
-    // regeneration rewrites files in the roots, bumping the root mtime
-    // and invalidating the memo.
+    // (dir, shallow stamp of each root) — ADVICE r10; the stamp folds
+    // the name/mtime/length of the root AND its direct children
+    // (review r11: root mtime alone misses a rewrite inside a nested
+    // partition directory), so one directory listing replaces the
+    // recursive walk on steady-state calls and any regeneration
+    // invalidates the memo.
     val fp = {
       val key = (dir,
-        new java.io.File(s"$dir/lineitem.parquet").lastModified,
-        new java.io.File(s"$dir/orders.parquet").lastModified)
+        Artifacts.shallowStamp(dir, "lineitem.parquet"),
+        Artifacts.shallowStamp(dir, "orders.parquet"))
       bucketedFp.computeIfAbsent(key, _ => java.lang.Long.toHexString(
         Artifacts.fingerprint(dir, "lineitem.parquet") * 31 +
           Artifacts.fingerprint(dir, "orders.parquet")))
@@ -381,10 +383,6 @@ object Relational {
       // The in-memory catalog is per-session but the warehouse directory
       // outlives it; a stale location fails saveAsTable with
       // LOCATION_ALREADY_EXISTS, so drop both catalog entry and directory.
-      def rmrf(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
-        f.delete(); ()
-      }
       val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
       // GC prior fingerprint generations (ADVICE r10): a regenerated
       // corpus mints new table names, and without this sweep every old
@@ -397,12 +395,12 @@ object Relational {
           .filter(f => f.getName.startsWith(pfx) && f.getName != s"$pfx$fp")
           .foreach { stale =>
             s.sql(s"DROP TABLE IF EXISTS ${stale.getName}")
-            rmrf(stale)
+            Artifacts.rmrf(stale)
           }
       }
       Seq(liT, ordT).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
-        rmrf(new java.io.File(wh, t))
+        Artifacts.rmrf(new java.io.File(wh, t))
       }
       lineitem(s, dir).write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)

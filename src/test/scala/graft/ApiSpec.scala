@@ -649,11 +649,7 @@ class ApiSpec extends AnyFunSuite {
     assert(new java.io.File(ix.root, "_SUCCESS").delete())
     val part = new java.io.File(ix.bands).listFiles()
       .filter(_.getName.startsWith("pband=")).head
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
-      f.delete(); ()
-    }
-    rmrf(part)
+    ops.Artifacts.rmrf(part)
     assert(content() != pristine, "the half-rewritten table must differ")
     val ix2 = ops.MinhashIndex.ensure(spark, sf)
     assert(new java.io.File(ix2.root, "_SUCCESS").isFile,
@@ -671,11 +667,7 @@ class ApiSpec extends AnyFunSuite {
     assert(new java.io.File(ix.root, "_SUCCESS").delete())
     val part = new java.io.File(ix.ivfCodes).listFiles()
       .filter(_.getName.startsWith("pcell=")).head
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
-      f.delete(); ()
-    }
-    rmrf(part)
+    ops.Artifacts.rmrf(part)
     assert(codes() != pristine, "the half-rewritten code table must differ")
     val ix2 = ops.IvfPqIndex.ensure(spark, sf)
     assert(new java.io.File(ix2.root, "_SUCCESS").isFile,

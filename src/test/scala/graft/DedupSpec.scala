@@ -376,5 +376,18 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(verified(fineCands) == verified(rawCands),
       "the verified near-dup pair set must be unchanged by the reband")
+
+    // A healthy index (no bucket >= the hot threshold) must yield an
+    // EMPTY manifest, not crash on the data-file-less side-table
+    // read-back (review r11).
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_reband_cool").toString
+    (0L until 40L).map(id =>
+        (id, (1 to 30).map(i => s"solo${id}w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    assert(DedupOps.dedupIndexReband(spark, dir2).count() == 0L,
+      "a hot-bucket-free index must reband to an empty manifest")
   }
 }
