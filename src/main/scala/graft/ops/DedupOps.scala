@@ -136,9 +136,16 @@ object DedupOps {
     * keys, which is also the right layout at 100 TB (each doc's token
     * stream is processed in one partition, shingle sets never exist as
     * driver-side or per-row array objects). */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    shingleRowsFrom(documents(s, dir))
+
+  /** Shingle pipeline over an arbitrary (doc_id, text) frame — lets a
+    * caller push a doc_id restriction BELOW the tokenize fan-out
+    * ([[dedupIndexReband]]: only hot docs re-sign; the per-token explode
+    * over 100 TB is exactly the cost a maintenance job must not pay). */
+  private def shingleRowsFrom(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    documents(s, dir)
+    docs
       .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
       .withColumnRenamed("col", "w")
       .withColumn("w1", lead("w", 1).over(w))
@@ -756,8 +763,11 @@ object DedupOps {
       bands.join(hot, Seq("band", "band_key"), "left_semi"))
     hotPostings.count()
     val hotIds = hotPostings.select("doc_id").distinct()
-    val subKeys = signaturesFrom(
-        pinnedShingles(s, dir).join(hotIds, Seq("doc_id"), "left_semi"))
+    // The doc restriction pushes BELOW the tokenize fan-out (review r11:
+    // a semi-join on the corpus-wide shingle ROWS still paid the full
+    // per-token explode + window; only the hot docs' text should).
+    val subKeys = signaturesFrom(shingleRowsFrom(
+        documents(s, dir).join(hotIds, Seq("doc_id"), "left_semi")))
       .select(col("doc_id"), md5(concat_ws("|",
         (1 to NumHashes).map(i => col(s"mh$i").cast("string")): _*)).as("sub_key"))
     val fine = hotPostings.join(subKeys, "doc_id")
