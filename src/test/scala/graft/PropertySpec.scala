@@ -515,4 +515,33 @@ class PropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("length filter soundness: 4e6*min >= 3199998*max never drops a pair the rounded jaccard emits (r11)") {
+    // The candidate-stage predicate must be a NECESSARY condition for
+    // the verify stage's r6(J) >= 0.8 — over ALL set geometries, not
+    // just the fixture's. Model: |A| = na, |B| = nb, |A n B| = i with
+    // i <= min(na, nb); J = i / (na + nb - i); emitted iff
+    // floor(J*1e6 + 0.5)/1e6 >= 0.8. Soundness: emitted => filter keeps.
+    val geom = for {
+      na <- Gen.choose(1L, 2000000L)
+      nb <- Gen.choose(1L, 2000000L)
+      i  <- Gen.choose(0L, math.min(na, nb))
+    } yield (na, nb, i)
+    // bias toward the boundary: intersections near the 0.8 crossing
+    val boundary = for {
+      na <- Gen.choose(1L, 2000000L)
+      nb <- Gen.choose(math.max(1L, na * 4 / 5 - 3), na)
+      d  <- Gen.choose(-3L, 3L)
+      i0 = ((na + nb) * 4L + 4) / 9L + d // i s.t. J ~ 0.8 (J=0.8 <=> 9i=4(na+nb))
+      i  = math.max(0L, math.min(math.min(na, nb), i0))
+    } yield (na, nb, i)
+    val prop = Prop.forAll(Gen.oneOf(geom, boundary)) { case (na, nb, i) =>
+      val j = i.toDouble / (na + nb - i).toDouble
+      val emitted = math.floor(j * 1e6 + 0.5) / 1e6 >= 0.8
+      val kept = 4000000L * math.min(na, nb) >= 3199998L * math.max(na, nb)
+      Prop(!emitted || kept) :| s"na=$na nb=$nb i=$i J=$j emitted=$emitted kept=$kept"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5000), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
