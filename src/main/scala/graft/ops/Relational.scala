@@ -99,7 +99,7 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
-  /** A4b: full cube grouping sets (all 4 combinations of flag × status). */
+  /** Cube leg of A4: full cube grouping sets (all 4 combinations of flag × status; declared in SURVEY §2 prose). */
   def aggCube(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
       .cube("l_returnflag", "l_linestatus")
@@ -117,7 +117,7 @@ object Relational {
         org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaDouble))
     lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 6).as("wavg_price"))
+      .agg(r6(wavg(col("l_extendedprice"), col("l_quantity"))).as("wavg_price"))
       .orderBy("l_returnflag")
   }
 
@@ -169,7 +169,7 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
-  /** A12: histogram — fixed-width bucketing of document lengths (the
+  /** A12b: histogram — fixed-width bucketing of document lengths (the
     * corpus length-distribution probe every data-quality pass runs). */
   def docLengthHistogram(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
@@ -378,6 +378,11 @@ object Relational {
     // collides across session lifetimes), so a catalog existence check
     // backs it up: skip only when this session can actually resolve both
     // tables.
+    // Guard + build under ONE lock (review r11, the writeOnce idiom three
+    // screens below): the check-then-act was non-atomic, so two threads'
+    // first calls could both enter and run concurrent DROP/rmrf/
+    // saveAsTable on the same table names.
+    bucketedWritten.synchronized {
     if (bucketedWritten.add(s"${System.identityHashCode(s)}:$dir:$fp") ||
         !s.catalog.tableExists(liT) || !s.catalog.tableExists(ordT)) {
       // The in-memory catalog is per-session but the warehouse directory
@@ -406,6 +411,7 @@ object Relational {
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
       orders(s, dir).write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)
+    }
     }
     s.table(liT).join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderstatus")
@@ -613,8 +619,8 @@ object Relational {
   def aggPercentile(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.95)), 6).as("p95"))
+      .agg(r6(percentile(col("l_extendedprice"), lit(0.5))).as("p50"),
+        r6(percentile(col("l_extendedprice"), lit(0.95))).as("p95"))
       .orderBy("l_returnflag")
 
   /** A8: pivot (long→wide) — counts per linestatus pivoted over the three
@@ -625,6 +631,13 @@ object Relational {
       .groupBy("l_linestatus")
       .pivot("l_returnflag", Seq("A", "N", "R"))
       .agg(count(lit(1)))
+      // empty pivot cells are NULL in Spark but 0 in the oracle's
+      // SUM(CASE ...) — coalesce so a corpus with a missing
+      // (status, flag) combo can't hash-diverge (review r11)
+      .select(col("l_linestatus"),
+        coalesce(col("A"), lit(0L)).as("A"),
+        coalesce(col("N"), lit(0L)).as("N"),
+        coalesce(col("R"), lit(0L)).as("R"))
       .orderBy("l_linestatus")
 
   /** C7: MapType construction + key lookup (the map/decimal/interval slots
@@ -864,7 +877,7 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
-  /** J13: dynamic-partition-pruned join — the fact table is WRITTEN
+  /** J13b: dynamic-partition-pruned join — the fact table is WRITTEN
     * partitioned by month; the month-dim side carries a filter (Q2
     * months) that is only knowable at runtime, so Catalyst inserts a
     * `dynamicpruning` partition filter fed by the broadcast dim: the fact
@@ -909,8 +922,8 @@ object Relational {
       .groupBy("l_returnflag")
       .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("a50"),
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("a95"),
-        round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.95)), 6).as("p95"))
+        r6(percentile(col("l_extendedprice"), lit(0.5))).as("p50"),
+        r6(percentile(col("l_extendedprice"), lit(0.95))).as("p95"))
       .select(col("l_returnflag"), col("p50"), col("p95"),
         ((abs(col("a50") - col("p50")) <= col("p50") * lit(0.02)) &&
           (abs(col("a95") - col("p95")) <= col("p95") * lit(0.02))).as("approx_ok"))
@@ -938,8 +951,8 @@ object Relational {
     lineitem(s, dir).join(broadcast(est), col("l_returnflag") === col("ef"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.95)), 6).as("p95"),
+        r6(percentile(col("l_extendedprice"), lit(0.5))).as("p50"),
+        r6(percentile(col("l_extendedprice"), lit(0.95))).as("p95"),
         avg(when(col("l_extendedprice") <= col("e50"), 1.0).otherwise(0.0)).as("r50"),
         avg(when(col("l_extendedprice") <= col("e95"), 1.0).otherwise(0.0)).as("r95"))
       .select(col("l_returnflag"), col("n"), col("p50"), col("p95"),
@@ -1022,7 +1035,7 @@ object Relational {
         |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
   }
 
-  /** S6: deterministic hash sampling — the reproducible substitute for
+  /** Deterministic hash sampling (SURVEY §2 prose) — the reproducible substitute for
     * TABLESAMPLE in a pipeline (same rows on every engine, every run,
     * every retry; mod-bucket on a stable key hash). ~10% of orders. */
   def sampleHash(s: SparkSession, dir: String): DataFrame =
@@ -1146,7 +1159,7 @@ object Relational {
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
   }
 
-  /** W6: RANGE frame — peers-inclusive running aggregation (value-based
+  /** W5: RANGE frame — peers-inclusive running aggregation (value-based
     * frame, not row-based): count of same-nation customers within ±1000
     * acctbal of each row. */
   def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
@@ -1313,7 +1326,7 @@ object Relational {
       .orderBy("o_custkey")
   }
 
-  /** A18: 7-day trailing moving average of daily revenue — the canonical
+  /** W6b: 7-day trailing moving average of daily revenue — the canonical
     * time-series smoothing query. The raw table collapses to ONE row per
     * calendar day first (partial agg map-side, exchange carries days, not
     * rows), so the subsequent global range-frame window runs over a frame
@@ -1347,17 +1360,28 @@ object Relational {
     * pair columns instead (pairs ≫ parts either way). lift =
     * (pair_n · n_orders) / (n_a · n_b), exact-integer numerator first so
     * one double divide is the only FP step. */
-  def basketPairs(s: SparkSession, dir: String): DataFrame = {
-    val items = lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
-    val baskets = items.groupBy("l_orderkey")
+  /** Shared co-occurrence edge derivation (review r11 — was duplicated
+    * inline by [[graphTriangles]], whose oracle DEFINES its edge set as
+    * this pair set): distinct (order, part) rows → sorted basket array →
+    * bucket-local i<j pair fan-out → support ≥ 2 filter. Returns
+    * (part_a, part_b, pair_n). */
+  private def coOccurrencePairs(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
+      .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
-    val pairs = baskets.filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1)
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "part_a")))
       .select(col("part_a"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
           .as("part_b"))
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("pair_n"))
       .filter(col("pair_n") >= 2)
+
+  def basketPairs(s: SparkSession, dir: String): DataFrame = {
+    val items = lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
+    val baskets = items.groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
+    val pairs = coOccurrencePairs(s, dir)
     val freq = items.groupBy("l_partkey").agg(count(lit(1)).as("n"))
     val total = baskets.agg(count(lit(1)).as("n_orders"))
     pairs
@@ -1447,7 +1471,7 @@ object Relational {
         |  AND l_quantity < 24""".stripMargin)
   }
 
-  /** A18: Pearson correlation per group from EXACT moment sums — n, Σx,
+  /** A18b: Pearson correlation per group from EXACT moment sums — n, Σx,
     * Σy, Σxy, Σx², Σy² accumulate as DECIMALs (one hash-agg pass,
     * partition-order-independent) and the closed-form r is a single
     * double expression over the six exact sums, written identically in
@@ -2063,16 +2087,8 @@ object Relational {
     * same algorithm, provably O(m^1.5) candidate pairs — and the two-path
     * join would pre-bucket both edge copies on the pivot vertex. */
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
-    val items = lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
-    val edges = items.groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
-      .select(col("a"),
-        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-      .select("a", "b")
+    val edges = coOccurrencePairs(s, dir)
+      .select(col("part_a").as("a"), col("part_b").as("b"))
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e1.b") === col("e2.a"))
       .join(edges.as("e3"),
@@ -2475,8 +2491,8 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_percentile" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+        |  floor(quantile_cont(l_extendedprice, 0.5) * 1000000 + 0.5) / 1000000 AS p50,
+        |  floor(quantile_cont(l_extendedprice, 0.95) * 1000000 + 0.5) / 1000000 AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // Calibration-audit oracles (VERDICT r5 #4): the sketch ESTIMATE is
     // engine-specific, but the exact values and the tolerance bit are
@@ -2488,8 +2504,8 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_approx_percentile" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+        |  floor(quantile_cont(l_extendedprice, 0.5) * 1000000 + 0.5) / 1000000 AS p50,
+        |  floor(quantile_cont(l_extendedprice, 0.95) * 1000000 + 0.5) / 1000000 AS p95,
         |  true AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "sql_reachability" ->
@@ -2511,8 +2527,8 @@ object Relational {
         |FROM reach GROUP BY node ORDER BY node""".stripMargin,
     "agg_kll_quantiles" ->
       """SELECT l_returnflag, count(*) AS n,
-        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+        |  floor(quantile_cont(l_extendedprice, 0.5) * 1000000 + 0.5) / 1000000 AS p50,
+        |  floor(quantile_cont(l_extendedprice, 0.95) * 1000000 + 0.5) / 1000000 AS p95,
         |  true AS kll_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_hll_sketch_merge" ->
@@ -2693,10 +2709,10 @@ object Relational {
         |FROM documents GROUP BY 1 ORDER BY bucket_100""".stripMargin,
     "agg_typed_wavg" ->
       """SELECT l_returnflag,
-        |  round(CAST(SUM(CAST(round(l_extendedprice, 6) AS DECIMAL(25,6))
+        |  floor(CAST(SUM(CAST(round(l_extendedprice, 6) AS DECIMAL(25,6))
         |      * CAST(round(l_quantity, 6) AS DECIMAL(25,6))) AS DOUBLE)
-        |    / CAST(SUM(CAST(round(l_quantity, 6) AS DECIMAL(25,6))) AS DOUBLE),
-        |    6) AS wavg_price
+        |    / CAST(SUM(CAST(round(l_quantity, 6) AS DECIMAL(25,6))) AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS wavg_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "join_bucketed" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
