@@ -126,7 +126,11 @@ object PipelineOps {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("pn"),
           sum(col("o_totalprice").cast("decimal(25,6)")).as("prev"))
-    val isDelta = to_date(col("o_orderdate")) >= lit("1997-01-01")
+    // coalesce(pred, false): a NULL/unparseable order date made BOTH
+    // branch filters reject the row (review r11 — the two-sided split
+    // must partition, or incremental != full-recompute on dirty data)
+    val isDelta = coalesce(
+      to_date(col("o_orderdate")) >= lit("1997-01-01"), lit(false))
     partial(!isDelta).unionByName(partial(isDelta))
       .groupBy("o_orderpriority")
       .agg(sum(col("pn")).as("n_orders"),
@@ -186,13 +190,11 @@ object PipelineOps {
     * global window runs over a FIXED number of rows. The oracle is the
     * naive single-task global running sum — proving the decomposition
     * exact. */
-  def shardPackTokens(s: SparkSession, dir: String): DataFrame = {
-    packByBudget(
-      documents(s, dir)
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens")),
-      budget = 10000L)
-  }
+  def shardPackTokens(s: SparkSession, dir: String): DataFrame =
+    // tokenCounts IS the formula (review r11): this key and the
+    // incremental packer / daily job must derive token state from the
+    // same definition or floor(cum/budget) shard boundaries drift.
+    packByBudget(tokenCounts(s, dir), budget = 10000L)
 
   /** Core of [[shardPackTokens]], callable on ANY (doc_id, n_tokens)
     * frame — exposed for the property spec, which drives it with
@@ -289,15 +291,31 @@ object PipelineOps {
     * this is a zero-shuffle pass whose output feeds the sampling and
     * dedup stages. Thresholds are corpus-calibrated so every outcome is
     * represented in the fixtures. */
+  /** The ONE quality rule (review r11 — was restated at four sites):
+    * chars in [[QualityMinChars]]..[[QualityMaxChars]] and
+    * total/distinct token ratio <= [[QualityMaxRep]] (the Gopher-style
+    * repetition heuristic). Every consumer — the filter op, the stage
+    * producer, the funnel and the incremental verdict — must share it
+    * or their memberships silently disagree. */
+  private[graft] val QualityMinChars = 150
+  private[graft] val QualityMaxChars = 450
+  private[graft] val QualityMaxRep = 2.5
+
+  private def qualityOk: org.apache.spark.sql.Column = {
+    val toks = split(col("text"), " ")
+    col("n_chars") >= QualityMinChars && col("n_chars") <= QualityMaxChars &&
+      size(toks).cast("double") / size(array_distinct(toks)) <= QualityMaxRep
+  }
+
   def docsQualityFilter(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val repRatio = size(toks).cast("double") / size(array_distinct(toks))
     documents(s, dir)
       .withColumn("rep_ratio", repRatio)
       .withColumn("reason",
-        when(col("n_chars") < 150, "too_short")
-          .when(col("n_chars") > 450, "too_long")
-          .when(col("rep_ratio") > 2.5, "too_repetitive")
+        when(col("n_chars") < QualityMinChars, "too_short")
+          .when(col("n_chars") > QualityMaxChars, "too_long")
+          .when(col("rep_ratio") > QualityMaxRep, "too_repetitive")
           .otherwise("keep"))
       .select(col("doc_id"), col("reason"))
       .orderBy("doc_id")
@@ -338,20 +356,39 @@ object PipelineOps {
   private def qualityKept(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     documents(s, dir)
-      .filter(col("n_chars") >= 150 && col("n_chars") <= 450 &&
-        size(toks).cast("double") / size(array_distinct(toks)) <= 2.5)
+      .filter(qualityOk)
       .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tokens"),
         md5(col("text")).as("fp"))
   }
 
+  // Root carries the SOURCE fingerprint (review r11, the joinBucketed /
+  // Artifacts.root rule): keyed on the dir's digits alone, two corpora
+  // with the same sf digits — or one regenerated mid-session — mapped to
+  // the SAME stage root, and the stagesBuilt memo then served corpus A's
+  // drop-lists to corpus B's assembly.
   private[graft] def curationStageRoot(dir: String): String =
-    s"/tmp/graft_curation_stages_${dir.replaceAll("[^0-9.]", "")}"
+    Artifacts.root("curation_stages", dir, "documents.parquet")
 
   /** Stage tables built this JVM session, by root. Memo only — the tables
     * themselves live on disk; a fresh JVM always rebuilds on first touch
     * (so stale artifacts from an older code version can never leak in),
     * and every later consumer in the same session reads the tables. */
   private val stagesBuilt = scala.collection.mutable.Set.empty[String]
+
+  /** Generation-scoped persists, the DedupOps/VectorOps discipline
+    * (review r11: [[packShards]] leaked one cached survivor frame per
+    * curation invocation — Verify/Explain/specs never run Bench's
+    * clearCache). Each registry entry retires the previous call's
+    * generation. */
+  private val cachedGen = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private[ops] def freshGen(): Unit = synchronized {
+    CacheLifecycle.retire(cachedGen)
+  }
+
+  private def cache(df: DataFrame): DataFrame = synchronized {
+    cachedGen += df; df.persist()
+  }
 
   /** Builds the corpus-level curation stage tables (VERDICT r8 #1/#2 —
     * the producer half of the staged factoring): exact-dedup keepers,
@@ -497,7 +534,7 @@ object PipelineOps {
     // (n_tokens comes from split(text)), the one column that dominates
     // scan bytes at corpus scale. The pinned frame is survivor-
     // cardinality × 4 scalar columns; lazy persist per the r6 A/B.
-    val survivors = survivorsIn.persist()
+    val survivors = cache(survivorsIn)
     val wIn = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val withPos = survivors
@@ -554,9 +591,7 @@ object PipelineOps {
   def corpusDedupFunnel(s: SparkSession, dir: String): DataFrame = {
     val root = ensureCurationStages(s, dir)
     val docs = documents(s, dir)
-    val toks = split(col("text"), " ")
-    val qOk = col("n_chars") >= 150 && col("n_chars") <= 450 &&
-      size(toks).cast("double") / size(array_distinct(toks)) <= 2.5
+    val qOk = qualityOk
     val exactKeep = s.read.parquet(s"$root/exact_keep")
       .withColumn("ek", lit(true))
     val clusterDrops = s.read.parquet(s"$root/cluster_drops")
@@ -619,9 +654,7 @@ object PipelineOps {
     DedupOps.freshGen()
     val cut = DedupOps.IncrementalCutoff
     val docs = documents(s, dir)
-    val toks = split(col("text"), " ")
-    val qOk = col("n_chars") >= 150 && col("n_chars") <= 450 &&
-      size(toks).cast("double") / size(array_distinct(toks)) <= 2.5
+    val qOk = qualityOk
     val baseFps = docs.filter(col("doc_id") < cut)
       .select(md5(col("text")).as("fp")).distinct()
       .withColumn("seen", lit(true))
@@ -896,17 +929,6 @@ object PipelineOps {
       .orderBy("l_returnflag")
   }
 
-  /** P16: per-source QUOTA rebalancing — cap any single source's share of
-    * the curated corpus (the "no domain may dominate" rule every pretrain
-    * mix applies; C4/Pile-style source balancing). Selection within a
-    * source is by md5-hash rank, so (a) which docs survive is a pure
-    * function of content ids — re-runs and repartitions never change the
-    * cut — and (b) the kept subset is an unbiased uniform sample of the
-    * source. Window is partitioned BY SOURCE (each source's ranking runs
-    * parallel); at 100 TB a source is still millions of rows per
-    * partition slice, so the rank is per-source-partitioned work, never a
-    * global sort. Output: every doc with its rank + kept flag (the audit
-    * artifact; filter `kept` for the corpus). */
   /** P17: temperature-scaled source mixing — the multilingual-corpus
     * rebalancing rule (α-smoothed sampling, the XLM/mT5 family's
     * `p^α / Σp^α` with α = 0.5): big sources are down-weighted, rare
@@ -940,6 +962,17 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** P16: per-source QUOTA rebalancing — cap any single source's share of
+    * the curated corpus (the "no domain may dominate" rule every pretrain
+    * mix applies; C4/Pile-style source balancing). Selection within a
+    * source is by md5-hash rank, so (a) which docs survive is a pure
+    * function of content ids — re-runs and repartitions never change the
+    * cut — and (b) the kept subset is an unbiased uniform sample of the
+    * source. Window is partitioned BY SOURCE (each source's ranking runs
+    * parallel); at 100 TB a source is still millions of rows per
+    * partition slice, so the rank is per-source-partitioned work, never a
+    * global sort. Output: every doc with its rank + kept flag (the audit
+    * artifact; filter `kept` for the corpus). */
   def corpusSourceQuota(s: SparkSession, dir: String): DataFrame = {
     val Quota = 15L // max docs any source may contribute
     val w = Window.partitionBy("source")
@@ -976,7 +1009,9 @@ object PipelineOps {
     "corpus_mix_epochs"    -> corpusMixEpochs _,
     "corpus_budget_select" -> corpusBudgetSelect _,
     "corpus_split_assign"  -> corpusSplitAssign _,
-  )
+  ).map { case (k, fn) =>
+    k -> ((s: SparkSession, d: String) => { freshGen(); fn(s, d) })
+  }
 
   val oracleSql: Map[String, String] = Map(
     "corpus_temperature_mix" ->

@@ -845,6 +845,15 @@ object VectorOps {
       .orderBy("dim", "query_id")
   }
 
+  /** 60-bit sign-bit signature of the embedding column — the ONE
+    * definition [[knnHamming]] ranks by and [[knnRerank]] prefilters
+    * with (review r11: was duplicated verbatim; the oracle side already
+    * shares its sqlSig). */
+  private def sigOf: org.apache.spark.sql.Column = (1 to 60)
+    .map(j => when(element_at(col("embedding"), j) > 0f, lit(1L << (j - 1)))
+      .otherwise(lit(0L)))
+    .reduce(_ + _)
+
   /** L3e: binary-hash ANN — each vector collapses to a 60-bit sign
     * signature (one bit per leading dimension: the degenerate form of
     * signed-random-projection LSH, kept deterministic so a SQL oracle can
@@ -857,11 +866,7 @@ object VectorOps {
     * Top-10 by (hamming, vec_id) — the tie space is large by design at
     * 60 bits; vec_id makes the cut deterministic. */
   def knnHamming(s: SparkSession, dir: String): DataFrame = {
-    val sig = (1 to 60)
-      .map(j => when(element_at(col("embedding"), j) > 0f, lit(1L << (j - 1)))
-        .otherwise(lit(0L)))
-      .reduce(_ + _)
-    val e = embeddings(s, dir).withColumn("sig", sig)
+    val e = embeddings(s, dir).withColumn("sig", sigOf)
     val q = e.filter(col("vec_id") === 0).select(col("sig").as("qsig"))
     e.crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
@@ -879,11 +884,7 @@ object VectorOps {
     * dot product runs on a fraction of the table, and both stages stay
     * map-side against the broadcast query. */
   def knnRerank(s: SparkSession, dir: String): DataFrame = {
-    val sig = (1 to 60)
-      .map(j => when(element_at(col("embedding"), j) > 0f, lit(1L << (j - 1)))
-        .otherwise(lit(0L)))
-      .reduce(_ + _)
-    val e = embeddings(s, dir).withColumn("sig", sig)
+    val e = embeddings(s, dir).withColumn("sig", sigOf)
     val q = e.filter(col("vec_id") === 0)
       .select(col("sig").as("qsig"), asD(col("embedding")).as("qv"))
     e.crossJoin(broadcast(q))
