@@ -23,6 +23,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Null semantics: null array → null (BinaryExpression default); element
   * nulls are not expected (embedding vectors are dense) and read as 0.0.
+  * Mismatched lengths FAIL LOUDLY (review r11): the old min(len)
+  * truncation silently mis-scored ragged embeddings, where the HOF form
+  * nulls out and DuckDB's list_dot_product errors.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -43,7 +46,9 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) throw new IllegalArgumentException(
+      s"graft_dot: vector length mismatch ($n vs ${y.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -56,7 +61,11 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getDouble($i) * $b.getDouble($i);
@@ -160,15 +169,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Arity gate for the builders (review r11): without it a wrong-arity
+    * SQL call threw IndexOutOfBoundsException out of the analyzer (and a
+    * >2-arg call silently dropped the extras) instead of the clear
+    * wrong-number-of-arguments error every built-in produces. */
+  private def binary(name: String, mk: (Expression, Expression) => Expression)
+      (children: Seq[Expression]): Expression = {
+    if (children.length != 2) throw new IllegalArgumentException(
+      s"$name expects exactly 2 arguments, got ${children.length}")
+    mk(children.head, children(1))
+  }
+
   /** The function surface, defined once for both injection paths. */
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))),
+      binary("graft_dot", DotProduct.apply) _),
     (new FunctionIdentifier("graft_quantize_i8"),
       new ExpressionInfo(classOf[QuantizeI8].getName, "graft_quantize_i8"),
-      (children: Seq[Expression]) => QuantizeI8(children.head, children(1))))
+      binary("graft_quantize_i8", QuantizeI8.apply) _))
 
   /** Idempotently registers the graft FUNCTIONS into an already-built
     * session (review r10): a jobs main that JOINS a host session created

@@ -30,9 +30,27 @@ object MultimodalOps {
   object MediaDecode {
     final case class Media(docId: Long, width: Int, height: Int, nFrames: Int, px: Long)
 
-    def md5Hex(bytes: Array[Byte]): String =
-      java.security.MessageDigest.getInstance("MD5").digest(bytes)
-        .map("%02x".format(_)).mkString
+    private val hexChars = "0123456789abcdef".toCharArray
+
+    // digest reused within a thread (review r11: a fresh
+    // MessageDigest.getInstance + 32 per-byte format calls PER ROW was
+    // the dominant constant cost of the stub kernel; MD5 digests reset
+    // themselves after digest())
+    private val md = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue() = java.security.MessageDigest.getInstance("MD5")
+    }
+
+    def md5Hex(bytes: Array[Byte]): String = {
+      val d = md.get().digest(bytes)
+      val out = new Array[Char](d.length * 2)
+      var i = 0
+      while (i < d.length) {
+        out(i * 2) = hexChars((d(i) >> 4) & 0xf)
+        out(i * 2 + 1) = hexChars(d(i) & 0xf)
+        i += 1
+      }
+      new String(out)
+    }
 
     /** Fake header parse: width/height/frame-count from md5 nibbles. */
     def decode(docId: Long, blob: Array[Byte]): Media = {
@@ -104,7 +122,9 @@ object MultimodalOps {
   }
 
   /** L9d: media dedup by leading-chunk fingerprint — blobs whose first
-    * 64 bytes hash identically collapse to their group's min doc_id
+    * 64 CHARACTERS (on the text stand-in; a binary blob column would
+    * take its first N bytes — substring is char-based, review r11) hash
+    * identically collapse to their group's min doc_id
     * (derivatives of one source — re-encodes, truncations, appended
     * variants — share their head; the sub-blob hash is the deterministic
     * stand-in for a perceptual/chunk hash). The window min shuffles
@@ -127,8 +147,11 @@ object MultimodalOps {
     * Hamming distance ≤ 2, the visually-similar-media analogue of
     * [[mediaDedup]]'s exact match. Pairs enumerate only within an 8-bit
     * bucket (the hash's high byte — the pigeonhole trick from SimHash
-    * pairs: distance-≤2 pairs agreeing on the high byte are found; a full
-    * recall pass would union a second bucketing on the low byte), so the
+    * pairs: distance-≤2 pairs agreeing on the high byte are found; FULL
+    * recall at d ≤ 2 needs d+1 = 3 blocks by pigeonhole — a two-block
+    * high/low union still misses a pair with one flipped bit in EACH
+    * byte (review r11) — so the complete form splits the hash in three
+    * and unions three bucketings), so the
     * candidate set is bucket-local and the 2^8 buckets shard evenly —
     * never a global n² self-join; bytes never move, only (bucket, 16-bit
     * hash, id). */
@@ -163,9 +186,9 @@ object MultimodalOps {
 
   val oracleSql: Map[String, String] = Map(
     "media_phash_pairs" ->
-      """WITH m AS (
+      s"""WITH m AS (
         |  SELECT doc_id,
-        |    CAST('0x' || substring(md5(text), 1, 4) AS INTEGER) AS ph
+        |    ${hex("md5(text)", 1, 4)} AS ph
         |  FROM documents),
         |k AS (SELECT doc_id, ph,
         |    CAST(floor(ph / 256.0) AS INTEGER) AS bucket FROM m)

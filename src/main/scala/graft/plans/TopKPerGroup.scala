@@ -143,10 +143,11 @@ case class TopKPerGroupExec(
         // per group survive the partial, truncation keeps ≤ 2k buffered).
         while (it.hasNext) {
           val u = toUnsafe(it.next())
-          var buf = groups.get(keyProj(u))
+          val key = keyProj(u) // project once (review r11); copy only on put
+          var buf = groups.get(key)
           if (buf == null) {
             buf = new ArrayBuffer[UnsafeRow]
-            groups.put(keyProj(u).copy(), buf)
+            groups.put(key.copy(), buf)
           }
           buf += u.copy()
           if (buf.length >= trunc) {
@@ -202,6 +203,14 @@ object TopKPerGroup {
   /** Public entry: top `k` rows per group under a TOTAL `orderCols` order.
     * Requires a session built with GraftExtensions (for the strategy). */
   def apply(df: DataFrame, k: Int, groupCols: Seq[Column], orderCols: Seq[Column]): DataFrame = {
+    // Clear API error (review r11): empty grouping otherwise dies deep in
+    // physical planning with an internal ClusteredDistribution require.
+    // Global top-k is df.orderBy(...).limit(k) — already optimal
+    // (TakeOrderedAndProject), no custom operator needed.
+    require(groupCols.nonEmpty,
+      "TopKPerGroup requires at least one group column; for a global " +
+        "top-k use df.orderBy(...).limit(k)")
+    require(orderCols.nonEmpty, "TopKPerGroup requires at least one order column")
     val sess = df.sparkSession
     val g = groupCols.map(Bridge.expr(sess, _))
     val o = orderCols.map(Bridge.expr(sess, _)).map {

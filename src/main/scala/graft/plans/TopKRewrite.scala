@@ -46,15 +46,18 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case Project(projectList,
+    case p @ Project(projectList,
         Filter(cond,
           Window(Seq(al @ Alias(WindowExpression(RowNumber(), _: WindowSpecDefinition), _)),
             partitionSpec, orderSpec, child, _)))
         if partitionSpec.nonEmpty && orderSpec.nonEmpty &&
-          limitOf(cond, al.toAttribute).exists(k => k > 0 && k <= MaxRewriteK) &&
           projectList.forall(_.references.subsetOf(child.outputSet)) =>
-      Project(projectList,
-        TopKPerGroupNode(partitionSpec, orderSpec,
-          limitOf(cond, al.toAttribute).get, child))
+      // limitOf evaluated ONCE (review r11 — the old guard+body form
+      // re-derived it per matched node); no valid k → node unchanged
+      limitOf(cond, al.toAttribute) match {
+        case Some(k) if k > 0 && k <= MaxRewriteK =>
+          Project(projectList, TopKPerGroupNode(partitionSpec, orderSpec, k, child))
+        case _ => p
+      }
   }
 }

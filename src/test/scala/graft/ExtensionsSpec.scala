@@ -25,15 +25,29 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
-  test("graft_dot is null-safe and length-clamping") {
+  test("graft_dot is null-safe and fails loudly on a length mismatch") {
     val sq = spark; import sq.implicits._
-    val df = Seq(
-      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0, 9.0))), // clamp to min length
-      (None, Some(Seq(1.0)))                            // null -> null
-    ).toDF("a", "b")
-    val rows = df.select(graftDot(col("a"), col("b"))).collect()
-    assert(rows(0).getDouble(0) == 11.0)
-    assert(rows(1).isNullAt(0))
+    val rows = Seq((Option.empty[Seq[Double]], Some(Seq(1.0))))
+      .toDF("a", "b").select(graftDot(col("a"), col("b"))).collect()
+    assert(rows(0).isNullAt(0), "null array -> null")
+    // review r11: the old min(len) clamp silently mis-scored ragged
+    // embeddings (the HOF form nulls, DuckDB errors) — a mismatch must
+    // abort with both lengths named, not return a plausible number
+    val e = intercept[Exception] {
+      Seq((Seq(1.0, 2.0), Seq(3.0, 4.0, 9.0)))
+        .toDF("a", "b").select(graftDot(col("a"), col("b"))).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("length mismatch") && msgs.contains("2") &&
+      msgs.contains("3"), msgs)
+  }
+
+  test("wrong-arity graft_dot call is a clear error, not IndexOutOfBounds (review r11)") {
+    val e = intercept[Exception](spark.sql("SELECT graft_dot(array(1.0d))").collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("exactly 2 arguments"), msgs)
   }
 
   test("injected rule collapses lower(lower(x)) in the optimized plan") {
