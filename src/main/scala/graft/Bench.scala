@@ -88,9 +88,19 @@ object Bench {
     // execution, not first-call compilation. Skipped if the SF is absent.
     val warmDir = "/root/testdata/sf0.001"
     val warmT0 = System.nanoTime()
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      selected.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    // canonical-path compare (review r11): a trailing slash or symlink
+    // alias of the warm SF would pass a raw string inequality and run
+    // the whole suite a THIRD time at the target scale as "warm-up"
+    def canon(p: String) =
+      try new java.io.File(p).getCanonicalPath catch { case _: java.io.IOException => p }
+    if (new java.io.File(warmDir).isDirectory && canon(warmDir) != canon(sfDir)) {
+      selected.foreach { case (name, fn) =>
+        // NonFatal (review r11): an Error (OOM, linkage) must abort the
+        // run, not leave a corrupted JVM poisoning every later timing
+        try fn(spark, warmDir).count() catch {
+          case scala.util.control.NonFatal(t) =>
+            System.err.println(s"[bench] warm-up $name failed: ${t.getClass.getSimpleName}")
+        }
       }
       // Same hygiene as after each timed query: the ~200-query warm-up
       // pass otherwise leaves its persisted generations/broadcasts
@@ -117,7 +127,7 @@ object Bench {
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val r = try { fn(spark, sfDir).count(); None }
-                catch { case t: Throwable => Some(t.getClass.getSimpleName) }
+                catch { case scala.util.control.NonFatal(t) => Some(t.getClass.getSimpleName) }
         (r, (System.nanoTime() - t0) / 1e9)
       }
       val firstErr = runs.flatMap(_._1).headOption
@@ -196,8 +206,15 @@ object Bench {
     // Compact line LAST: grand total + counts + headline subset. `wall` /
     // `warm` carry the sweep + warm-up wall seconds so the artifact shows
     // how much of the driver's observed runtime was measured queries vs
-    // harness overhead.
-    val head = headline.flatMap(k => ok.get(k).map(k -> _))
+    // harness overhead. When queries FAILED, the headline map yields its
+    // budget to the failure list (review r11): the ~1650-char healthy
+    // line plus up-to-8 ~55-char failure entries could overflow the
+    // driver's ~2000-char tail capture and null the artifact in exactly
+    // the regression rounds it exists for — failures outrank headline
+    // seconds, and the full map is on the total_full line + timeline.
+    val head =
+      if (failed.isEmpty) headline.flatMap(k => ok.get(k).map(k -> _))
+      else Seq.empty
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","wall":${f3(wallSec)},"warm":${f3(warmSec)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":${qmap(head)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -40,9 +40,14 @@ object Verify {
     // AnalysisException queries vanished from CORRECTNESS_r04 this way).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
+      // Drop any PRIOR run's dump first (review r11): on a reused outDir a
+      // query that newly fails BEFORE its write would otherwise leave the
+      // stale parquet in place — hash_match:true and err set for the same
+      // key, a mixed signal that can mask the regression.
+      graft.ops.Artifacts.rmrf(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case e if scala.util.control.NonFatal(e) =>
         val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(500)}"
         errors(name) = msg
         System.err.println(s"[verify] $name failed: $msg")

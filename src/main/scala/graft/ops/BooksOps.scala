@@ -141,9 +141,13 @@ object BooksOps {
     // /backup/sf0.1) onto one scratch file — one run overwrites while
     // the other reads. The write is re-done every call, so a PATH key
     // is sufficient (no content fingerprint needed, unlike the
-    // build-once Artifacts roots).
+    // build-once Artifacts roots). Keyed by APPLICATION too (review
+    // r11): two concurrent graft processes on the same corpus — Verify
+    // and Bench triaged side by side — would otherwise race one file,
+    // overwrite-deleting it under the other's read.
     val path = s"/tmp/graft_books_raw_${dir.replaceAll("[^0-9.]", "")}_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      java.lang.Integer.toHexString(dir.hashCode) + "_" +
+      s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9-]", "")
     syntheticRaw(s, dir).write.mode("overwrite").json(path)
     flat(flattenRawBooks(s.read.schema(rawSchema).json(path)))
   }
@@ -212,6 +216,10 @@ object BooksOps {
       .select(col("model_id"), col("author"), col("pipeline_tag"),
         concat_ws(",", col("tags")).as("tags_s"), col("downloads"),
         dateFmt(col("last_modified")).as("last_modified"))
+      // NOT redundant with topByDownloads' internal sort (review r11):
+      // that one SELECTS the top-k (orderBy+limit, TakeOrderedAndProject);
+      // row order through the projection is non-contractual, and the
+      // oracle hash needs a total output order — this sort owns it.
       .orderBy(col("downloads").desc, col("model_id"))
 
   /** S1: the DataSourceV2 paginated source ([[graft.sources.PagedBooksSource]])
