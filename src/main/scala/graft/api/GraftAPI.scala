@@ -169,7 +169,16 @@ object GraftAPI {
     * 8/2 configuration so their DuckDB oracles stay tractable — the
     * banding algebra is identical at any (numHashes, bands). */
   def minhashBands(df: DataFrame, id: String, text: String,
-                   numHashes: Int = 128, bands: Int = 16): DataFrame = {
+                   numHashes: Int = 128, bands: Int = 16): DataFrame =
+    minhashBandsWithSub(df, id, text, numHashes, bands)
+      .drop("sub_key")
+
+  /** [[minhashBands]] plus the full-signature `sub_key` (md5 over ALL
+    * numHashes slots) — the fine re-band key hot-bucket probes and the
+    * `bands_fine` side-table share. One signature pass serves both. */
+  private[graft] def minhashBandsWithSub(df: DataFrame, id: String,
+                                         text: String, numHashes: Int,
+                                         bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val ex = shingleRows(df, id, text)
@@ -184,8 +193,11 @@ object GraftAPI {
         .map(i => col(s"mh$i").cast("string"))
       struct(lit(bnd).as("band"), md5(concat_ws("|", slots: _*)).as("band_key"))
     }: _*)
-    sig.select(col(id), explode(bandArr).as("bk"))
-      .select(col(id), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val subKey = md5(concat_ws("|",
+      (1 to numHashes).map(i => col(s"mh$i").cast("string")): _*))
+    sig.select(col(id), subKey.as("sub_key"), explode(bandArr).as("bk"))
+      .select(col(id), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"), col("sub_key"))
   }
 
   /** Persist [[minhashBands]] as a stored dedup index (the facade form of
@@ -217,9 +229,15 @@ object GraftAPI {
     // partition-pruned: a document posts to EVERY band, so band
     // partitioning alone cannot prune a delete. Readers are unaffected
     // (pbatch is one more hive partition column they never select).
-    val banded = minhashBands(df, id, text, numHashes, bands)
+    // One signature pass feeds BOTH the postings (sub_key dropped — a
+    // 32-char key per posting would bloat the main table for nothing)
+    // and the hot-bucket fine side-table below; persist so the fine
+    // write doesn't re-shingle the corpus.
+    val bandedSub = minhashBandsWithSub(df, id, text, numHashes, bands)
       .withColumnRenamed(id, "_id")
       .withColumn("pband", col("band"))
+      .persist()
+    val banded = bandedSub.drop("sub_key")
     val (laid, partCols) =
       if (batchWidth > 0)
         (banded.withColumn("pbatch", expr(s"_id div $batchWidth"))
@@ -228,12 +246,30 @@ object GraftAPI {
       else (banded.repartition(col("pband")), Seq("pband"))
     laid.write.mode("overwrite").partitionBy(partCols: _*)
       .parquet(s"$path/bands")
+    // Hot-bucket fine side-table (r12, the facade form of the registry's
+    // bands_fine): postings of buckets >= hotSize re-keyed on the
+    // full-signature sub_key, so incremental probes
+    // ([[graft.streaming.StreamingOps.dedupBatchAgainstIndex]]) match a
+    // template-family bucket only on a full-signature hit. Written
+    // BEFORE the root marker commits, so "marker commits last" covers
+    // it; its row count is O(hot postings), not O(corpus).
+    val hotKeys = bandedSub.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") >= graft.ops.DedupOps.RebandHotSize)
+      .select("band", "band_key")
+    bandedSub.join(hotKeys, Seq("band", "band_key"), "left_semi")
+      .select("_id", "band", "band_key", "sub_key", "pband")
+      .repartition(col("pband"))
+      .write.mode("overwrite").partitionBy("pband")
+      .parquet(s"$path/bands_fine")
+    bandedSub.unpersist()
     // batchWidth is recorded so [[minhashIndexDelete]] can refuse an index
     // written WITHOUT a batch axis with a geometry message instead of a
     // late missing-pbatch-column AnalysisException (ADVICE r9).
     graft.ops.Artifacts.writeMeta(path,
       "numHashes" -> numHashes.toString, "bands" -> bands.toString,
-      "batchWidth" -> batchWidth.toString)
+      "batchWidth" -> batchWidth.toString,
+      "hotSize" -> graft.ops.DedupOps.RebandHotSize.toString)
     require(graft.ops.IndexFs.touch(marker),
       s"could not commit index marker under $path")
     s.read.parquet(s"$path/bands")

@@ -67,10 +67,20 @@ private[graft] object Artifacts {
     * bumping its mtime, so the deep walk re-runs exactly when content
     * may have changed. */
   private[graft] def shallowStamp(dir: String, table: String): Long = {
+    // Nanosecond mtimes + child COUNT (ADVICE r11): millisecond
+    // granularity let a same-millisecond regeneration with identical
+    // child names/sizes serve a stale deep fingerprint from the memo.
+    // Files.getLastModifiedTime carries the filesystem's full
+    // resolution (ns on ext4/xfs/apfs), shrinking the silent-staleness
+    // window from 1 ms to the fs clock tick.
+    def ns(f: java.io.File): Long =
+      try java.nio.file.Files.getLastModifiedTime(f.toPath)
+        .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+      catch { case _: java.io.IOException => f.lastModified }
     val root = new java.io.File(s"$dir/$table")
-    Option(root.listFiles).getOrElse(Array.empty).sortBy(_.getName)
-      .foldLeft(root.lastModified)((a, c) =>
-        a * 31 + c.getName.hashCode.toLong + c.lastModified * 7 + c.length)
+    val kids = Option(root.listFiles).getOrElse(Array.empty).sortBy(_.getName)
+    kids.foldLeft(ns(root) * 31 + kids.length)((a, c) =>
+      a * 31 + c.getName.hashCode.toLong + ns(c) * 7 + c.length)
   }
 
   private[graft] def fingerprint(dir: String, table: String): Long = {

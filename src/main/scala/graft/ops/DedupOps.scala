@@ -195,17 +195,29 @@ object DedupOps {
   private[ops] def bandTableFrom(shRows: DataFrame): DataFrame =
     bandTableWithN(shRows).select("doc_id", "band", "band_key")
 
-  /** Band table carrying each doc's shingle-set size (`n_sh`) — the
-    * verify-stage length filter reads it straight out of the bucket rows,
-    * no extra join. */
-  private def bandTableWithN(shRows: DataFrame): DataFrame = {
+  /** The full-signature sub-key — md5 over ALL NumHashes slots, the
+    * fine re-band key (collision probability J^NumHashes instead of the
+    * band's J^RowsPerBand). Shared by [[bandTableWithN]],
+    * [[dedupIndexReband]] and the fine-probe side-table so every
+    * producer/consumer keys identically. */
+  private def subKeyCol: Column =
+    md5(concat_ws("|",
+      (1 to NumHashes).map(i => col(s"mh$i").cast("string")): _*))
+
+  /** Band table carrying each doc's shingle-set size (`n_sh`) and
+    * full-signature `sub_key` — the verify-stage length filter and the
+    * hot-bucket fine scheme both read them straight out of the bucket
+    * rows, no extra join. */
+  private[ops] def bandTableWithN(shRows: DataFrame): DataFrame = {
     val bands = array((1 to NumBands).map { b =>
       val slots = ((b - 1) * RowsPerBand + 1 to b * RowsPerBand)
         .map(i => col(s"mh$i").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("band_key"))
     }: _*)
-    signaturesFrom(shRows).select(col("doc_id"), col("n_sh"), explode(bands).as("bk"))
-      .select(col("doc_id"), col("n_sh"),
+    signaturesFrom(shRows)
+      .select(col("doc_id"), col("n_sh"), subKeyCol.as("sub_key"),
+        explode(bands).as("bk"))
+      .select(col("doc_id"), col("n_sh"), col("sub_key"),
         col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
@@ -229,9 +241,12 @@ object DedupOps {
     * (band, band_key) collects each bucket's ids and enumerates i<j pairs
     * in place — one pass over the banding table, no self-join, no
     * re-computation of the signature pipeline, and pair fan-out bounded by
-    * bucket size (a hot bucket is a banding-parameter bug, and AQE skew
-    * handling is the backstop). Verify = set Jaccard on shingles, kept at
-    * ≥ 0.8, joined only for candidate pairs (output-scale, never n²). */
+    * bucket size. Hot buckets (≥ [[RebandHotSize]]) enumerate at the
+    * full-signature fine key instead of raw ([[candidatePairs]] — the
+    * production form of the [[dedupIndexReband]] remedy; AQE skew
+    * handling remains the residual backstop). Verify = set Jaccard on
+    * shingles, kept at ≥ 0.8, joined only for candidate pairs
+    * (output-scale, never n²). */
   def simjoinLsh(s: SparkSession, dir: String): DataFrame =
     simPairs(s, dir).orderBy("doc_a", "doc_b")
 
@@ -267,19 +282,7 @@ object DedupOps {
     // (measured 30x fixture: 4.66M distinct candidates, 58% killed
     // here), and every survivor saved is one fewer shingle-array fetch
     // + set intersection downstream.
-    val cand = bandTableWithN(shRows)
-      .groupBy("band", "band_key")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.getField("doc_id").as("doc_a"),
-            y.getField("doc_id").as("doc_b"),
-            x.getField("n_sh").as("na"), y.getField("n_sh").as("nb")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("p.na"), col("p.nb"))
-      .filter(lit(4000000L) * least(col("na"), col("nb")) >=
-        lit(3199998L) * greatest(col("na"), col("nb")))
-      .distinct()
+    val cand = candidatePairs(shRows)
     // cached: the shingle-ARRAY table feeds BOTH verify sides; uncached,
     // each join recomputes the collect_list groupBy over the corpus.
     // Arrays hold 64-bit shingle FINGERPRINTS, not the ~30-byte shingle
@@ -302,6 +305,59 @@ object DedupOps {
         r6(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
+  }
+
+  /** Distinct candidate pairs under the FINE-UNION scheme (VERDICT r11
+    * #2 — the production wiring of what [[dedupIndexReband]] remedies):
+    *
+    *   - buckets below [[RebandHotSize]] enumerate raw i<j pairs, as
+    *     before;
+    *   - buckets AT/ABOVE it — the template-family blowups — re-group
+    *     on the full-signature `sub_key` and enumerate pairs only
+    *     WITHIN sub-buckets (collision J^NumHashes instead of
+    *     J^RowsPerBand), so a sz-doc hot bucket costs Σ sub² instead
+    *     of sz².
+    *
+    * The scheme is derived ANALYTICALLY from the in-query band table
+    * (never from side-table presence on disk), so the pair set is a
+    * pure function of the corpus — running [[dedupIndexReband]] first
+    * or not cannot change any query's output, and the DuckDB oracles
+    * mirror the same two-branch rule ([[pairsCte]]). The length filter
+    * (see [[simPairs]]'s comment for the boundary-exact integer rule)
+    * applies to both branches at pair birth. */
+  /** Spec window onto the PRODUCTION candidate scan (DedupSpec asserts
+    * the enumerated-pair drop on the real path, not a spec-local
+    * model). */
+  private[graft] def candidatePairsFor(s: SparkSession, dir: String): DataFrame =
+    candidatePairs(pinnedShingles(s, dir))
+
+  private[graft] def candidatePairs(shRows: DataFrame): DataFrame = {
+    def pairsOf(g: DataFrame): DataFrame = g
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.getField("doc_id").as("doc_a"),
+            y.getField("doc_id").as("doc_b"),
+            x.getField("n_sh").as("na"), y.getField("n_sh").as("nb")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.na"), col("p.nb"))
+    val grouped = bandTableWithN(shRows)
+      .groupBy("band", "band_key")
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("n_sh"), col("sub_key")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val cold = pairsOf(grouped.filter(size(col("ids")) < RebandHotSize))
+    // The hot branch re-explodes ONLY hot buckets' postings (audit
+    // scale, never the corpus) and its fan-out is bounded by sub-bucket
+    // sizes — the whole point of the reband.
+    val hot = pairsOf(grouped.filter(size(col("ids")) >= RebandHotSize)
+      .select(col("band"), col("band_key"), explode(col("ids")).as("d"))
+      .groupBy(col("band"), col("band_key"), col("d.sub_key").as("sub_key"))
+      .agg(sort_array(collect_list(
+        struct(col("d.doc_id").as("doc_id"), col("d.n_sh").as("n_sh")))).as("ids"))
+      .filter(size(col("ids")) > 1))
+    cold.unionByName(hot)
+      .filter(lit(4000000L) * least(col("na"), col("nb")) >=
+        lit(3199998L) * greatest(col("na"), col("nb")))
+      .distinct()
   }
 
   /** L4c: transitive dup-cluster collapse — near-dup PAIRS become dedup
@@ -728,7 +784,7 @@ object DedupOps {
     * production deployment sets this from [[minhashIndexStats]]'s
     * `max_bucket`/`cand_pairs` audit — the point where sz² candidate
     * enumeration starts to hurt (hundreds+). */
-  private[ops] val RebandHotSize = 4L
+  private[graft] val RebandHotSize = 4L
 
   /** L2o: hot-bucket REBAND maintenance (VERDICT r10 #5) — the remedy for
     * what [[minhashIndexStats]] detects: a band bucket glued together by
@@ -739,10 +795,14 @@ object DedupOps {
     * band's RowsPerBand slots (the standard LSH hot-bucket split: more
     * rows per band → collision probability J^k instead of J^(k/b)) —
     * and persists them as a `bands_fine` side-table next to the index,
-    * partitioned by band like the main postings. A candidate-pair scan
-    * unions the fine table in for hot buckets instead of enumerating
-    * them raw (DedupSpec pins the pair-count drop on a planted hot
-    * bucket while full-signature duplicates keep colliding).
+    * partitioned by band like the main postings. The PRODUCTION
+    * candidate scans consume the scheme (r12): [[candidatePairs]]
+    * enumerates hot buckets at the fine key (feeding `simjoin_lsh` and
+    * `dedup_clusters`), and [[dedupIncremental]]'s probe matches hot
+    * buckets only through the stored fine keys
+    * ([[MinhashIndex.ensureFine]]). DedupSpec pins the pair-count drop
+    * on a planted hot bucket while full-signature duplicates keep
+    * colliding.
     *
     * Scale shape: hot-bucket membership is found on the STORED postings
     * (one groupBy, no text); only the hot docs' shingles re-sign (the
@@ -751,9 +811,13 @@ object DedupOps {
     * Output is the per-hot-bucket manifest: docs, candidate pairs
     * before/after, sub-bucket fan-out — the numbers an operator reads
     * to confirm the blowup is gone. */
-  def dedupIndexReband(s: SparkSession, dir: String): DataFrame = {
-    val ix = MinhashIndex.ensure(s, dir)
-    val bands = s.read.parquet(ix.bands).select("doc_id", "band", "band_key")
+  /** The fine side-table's frame: postings of hot buckets (≥
+    * [[RebandHotSize]]) re-keyed on the full-signature `sub_key`. Shared
+    * by [[dedupIndexReband]] (full index) and
+    * [[MinhashIndex.ensureFine]] (the base index's probe side) so both
+    * families key identically. */
+  private[ops] def fineRowsFor(s: SparkSession, dir: String,
+                               bands: DataFrame): DataFrame = {
     val hot = bands.groupBy("band", "band_key")
       .agg(count(lit(1)).as("sz")).filter(col("sz") >= RebandHotSize)
       .select("band", "band_key")
@@ -768,19 +832,40 @@ object DedupOps {
     // per-token explode + window; only the hot docs' text should).
     val subKeys = signaturesFrom(shingleRowsFrom(
         documents(s, dir).join(hotIds, Seq("doc_id"), "left_semi")))
-      .select(col("doc_id"), md5(concat_ws("|",
-        (1 to NumHashes).map(i => col(s"mh$i").cast("string")): _*)).as("sub_key"))
-    val fine = hotPostings.join(subKeys, "doc_id")
+      .select(col("doc_id"), subKeyCol.as("sub_key"))
+    hotPostings.join(subKeys, "doc_id")
       .select("doc_id", "band", "band_key", "sub_key")
       .withColumn("pband", col("band"))
-    fine.repartition(col("pband"))
-      .write.mode("overwrite").partitionBy("pband")
-      .parquet(s"${ix.root}/bands_fine")
-    // Read back WITH the writer's schema (review r11): a corpus with no
+  }
+
+  /** The fine side-table's declared schema — read-backs must not rely
+    * on inference (a hot-bucket-free index writes a data-file-less
+    * partitioned table, and inference on it throws). */
+  private[ops] val fineSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("band_key",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("sub_key",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("pband",
+      org.apache.spark.sql.types.IntegerType)))
+
+  def dedupIndexReband(s: SparkSession, dir: String): DataFrame = {
+    val ix = MinhashIndex.ensure(s, dir)
+    val fine = fineRowsFor(s, dir,
+      s.read.parquet(ix.bands).select("doc_id", "band", "band_key"))
+    // Marker-disciplined rewrite (ADVICE r11): the side-table lands in
+    // a committed index root, so a crash mid-write must read as "no
+    // fine table", not as a trustworthy partial one.
+    MinhashIndex.rewriteFine(fine, ix)
+    // Read back WITH the declared schema (review r11): a corpus with no
     // bucket >= the hot threshold writes a data-file-less partitioned
     // table, and schema inference on it throws — a healthy index must
     // yield an EMPTY manifest, not a crash.
-    val sub = s.read.schema(fine.schema).parquet(s"${ix.root}/bands_fine")
+    val sub = s.read.schema(fineSchema).parquet(s"${ix.root}/bands_fine")
       .groupBy("band", "band_key", "sub_key").agg(count(lit(1)).as("ssz"))
     sub.groupBy("band", "band_key")
       .agg(sum("ssz").as("n_docs"),
@@ -805,19 +890,38 @@ object DedupOps {
     * Scale shape: the index is a stored table (bucketed by band_key at
     * scale); the batch's band rows semi-join it co-partitioned (or
     * broadcast when the batch is small) — the 100 TB corpus text is never
-    * re-read, and the per-batch cost is O(batch), not O(corpus). */
+    * re-read, and the per-batch cost is O(batch), not O(corpus).
+    *
+    * Hot-bucket probes go through the stored `bands_fine` side-table
+    * (VERDICT r11 #2): a batch key landing in a bucket ≥
+    * [[RebandHotSize]] counts as a hit only if the batch doc's
+    * full-signature sub_key matches a stored doc's in that bucket —
+    * the probe mirror of [[candidatePairs]]' fine-union scheme, so a
+    * template-family bucket can no longer mark every batch doc that
+    * grazes it as a dup. The side-table is build-once next to the base
+    * index ([[MinhashIndex.ensureFine]], commit-marker guarded) and the
+    * steady-state probe reads stored postings + stored fine keys only. */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val ix = MinhashIndex.ensureBase(s, dir)
-    val index = s.read.parquet(ix.bands).select("band", "band_key").distinct()
-    // The batch band table feeds TWO consumers (the semi-join probe and
+    val finePath = MinhashIndex.ensureFine(s, dir, ix)
+    val post = s.read.parquet(ix.bands)
+    val coldKeys = post.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("sz")).filter(col("sz") < RebandHotSize)
+      .select("band", "band_key")
+    val fineKeys = s.read.schema(fineSchema).parquet(finePath)
+      .select("band", "band_key", "sub_key").distinct()
+    // The batch band table feeds THREE consumers (both probe legs and
     // the result spine); cache + eager count so they can't race into
     // recomputing the batch's shingle+signature pipeline (the r5→r6
     // lesson at this site, now scoped to the batch only).
-    val batch = cache(bandTableFrom(
+    val batch = cache(bandTableWithN(
       shingleRows(s, dir).filter(col("doc_id") >= IncrementalCutoff)))
     batch.count()
-    val hits = batch.join(index, Seq("band", "band_key"), "left_semi")
-      .select("doc_id").distinct().withColumn("is_dup", lit(true))
+    val hits = batch.join(coldKeys, Seq("band", "band_key"), "left_semi")
+      .select("doc_id")
+      .union(batch.join(fineKeys, Seq("band", "band_key", "sub_key"),
+        "left_semi").select("doc_id"))
+      .distinct().withColumn("is_dup", lit(true))
     batch.select("doc_id").distinct()
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
@@ -1114,13 +1218,29 @@ object DedupOps {
        |bands AS (
        |  $bandSelects)""".stripMargin
 
+  /** Full-signature sub-key per doc (the DuckDB mirror of the Spark
+    * side's `subKeyCol`). Requires bandsCte's `sig` in scope. */
+  private[ops] val subKeySql = "md5(" + (1 to NumHashes)
+    .map(i => s"mh$i::VARCHAR").mkString(" || '|' || ") + ")"
+
   /** Candidate generation + exact-Jaccard verify as CTEs (requires
-    * shinglesCte + bandsCte in scope). */
+    * shinglesCte + bandsCte in scope). Candidates follow the FINE-UNION
+    * scheme ([[candidatePairs]]): raw i<j pairs from buckets below
+    * [[RebandHotSize]], full-signature-equal pairs from hot buckets.
+    * The oracle may enumerate hot buckets raw and filter (it runs at
+    * fixture scale); the ENGINE must not — that asymmetry is the point. */
   private[ops] val pairsCte =
-    """cand AS (
+    s"""bsz AS (SELECT band, band_key, count(*) AS sz
+      |  FROM bands GROUP BY band, band_key),
+      |subk AS (SELECT doc_id, $subKeySql AS sub_key FROM sig),
+      |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |  JOIN bsz ON a.band = bsz.band AND a.band_key = bsz.band_key
+      |  JOIN subk ka ON a.doc_id = ka.doc_id
+      |  JOIN subk kb ON b.doc_id = kb.doc_id
+      |  WHERE bsz.sz < $RebandHotSize OR ka.sub_key = kb.sub_key),
       |jac AS (
       |  SELECT doc_a, doc_b,
       |    floor((len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
@@ -1219,12 +1339,29 @@ object DedupOps {
          |    AS contam_ratio
          |FROM tot t JOIN hit h ON t.doc_id = h.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+    // Mirror of the fine-union probe: cold base buckets (< hot
+    // threshold) hit on (band, band_key); hot buckets hit only on a
+    // full-signature sub_key match against a stored base doc.
     "dedup_incremental" ->
       s"""WITH $shinglesCte,
          |$bandsCte,
-         |idx AS (SELECT DISTINCT band, band_key FROM bands WHERE doc_id < $IncrementalCutoff),
-         |bt AS (SELECT * FROM bands WHERE doc_id >= $IncrementalCutoff),
-         |hit AS (SELECT DISTINCT bt.doc_id FROM bt JOIN idx USING (band, band_key))
+         |idxsz AS (SELECT band, band_key, count(*) AS sz FROM bands
+         |  WHERE doc_id < $IncrementalCutoff GROUP BY band, band_key),
+         |subk AS (SELECT doc_id, $subKeySql AS sub_key FROM sig),
+         |bt AS (SELECT b.doc_id, b.band, b.band_key, k.sub_key
+         |  FROM bands b JOIN subk k USING (doc_id)
+         |  WHERE b.doc_id >= $IncrementalCutoff),
+         |finek AS (SELECT DISTINCT b.band, b.band_key, k.sub_key
+         |  FROM bands b
+         |  JOIN idxsz ON b.band = idxsz.band AND b.band_key = idxsz.band_key
+         |  JOIN subk k ON b.doc_id = k.doc_id
+         |  WHERE b.doc_id < $IncrementalCutoff AND idxsz.sz >= $RebandHotSize),
+         |hit AS (
+         |  SELECT DISTINCT bt.doc_id FROM bt
+         |    JOIN idxsz USING (band, band_key) WHERE idxsz.sz < $RebandHotSize
+         |  UNION
+         |  SELECT DISTINCT bt.doc_id FROM bt
+         |    JOIN finek USING (band, band_key, sub_key))
          |SELECT doc_id, (doc_id IN (SELECT doc_id FROM hit)) AS is_dup
          |FROM (SELECT DISTINCT doc_id FROM bt) ORDER BY doc_id""".stripMargin,
     "build_minhash_index" ->

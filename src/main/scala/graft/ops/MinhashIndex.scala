@@ -51,6 +51,41 @@ object MinhashIndex {
     ix
   }
 
+  private def fineMarker(ix: Ix): java.io.File =
+    new java.io.File(ix.root, "_fine_SUCCESS")
+
+  /** Marker-disciplined rewrite of the `bands_fine` side-table (ADVICE
+    * r11): the table lands inside a COMMITTED index root, so its own
+    * `_fine_SUCCESS` marker retires before the overwrite and recommits
+    * only after it — a crash mid-write reads as "no fine table" to
+    * every consumer ([[ensureFine]], the incremental probe), never as a
+    * trustworthy partial one. The main index `_SUCCESS` stays valid
+    * throughout: the fine table is additive, and the raw postings
+    * remain correct without it. */
+  def rewriteFine(fine: DataFrame, ix: Ix): Unit = synchronized {
+    val m = fineMarker(ix)
+    if (m.isFile) require(m.delete(),
+      s"could not retire the fine marker under ${ix.root} before the rewrite")
+    fine.repartition(col("pband"))
+      .write.mode("overwrite").partitionBy("pband")
+      .parquet(s"${ix.root}/bands_fine")
+    require(m.createNewFile() || m.isFile,
+      s"could not commit the fine marker under ${ix.root}")
+  }
+
+  /** Build-once `bands_fine` next to an index — the stored side of the
+    * hot-bucket fine probe ([[graft.ops.DedupOps.dedupIncremental]]):
+    * postings of buckets ≥ the hot threshold re-keyed on the
+    * full-signature sub_key, computed from the STORED postings (only
+    * the hot docs' text is re-signed). Returns the table path; absent
+    * or uncommitted (no `_fine_SUCCESS`) tables rebuild. */
+  def ensureFine(s: SparkSession, dir: String, ix: Ix): String = synchronized {
+    if (!fineMarker(ix).isFile)
+      rewriteFine(DedupOps.fineRowsFor(s, dir,
+        s.read.parquet(ix.bands).select("doc_id", "band", "band_key")), ix)
+    s"${ix.root}/bands_fine"
+  }
+
   /** One file per band via the repartition; `band` is duplicated as the
     * partition column `pband` so the data column keeps its exact
     * IntegerType (partition-value inference would re-derive it). */

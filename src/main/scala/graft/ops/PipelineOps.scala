@@ -636,7 +636,9 @@ object PipelineOps {
     *     (tiny distinct-md5 table, broadcast);
     *   - near dup: batch band keys semi-join the PERSISTED base MinHash
     *     postings ([[MinhashIndex.ensureBase]] — the same stored index
-    *     `dedup_incremental` probes; only the batch shingles + signs);
+    *     `dedup_incremental` probes, under the same fine-union scheme:
+    *     hot buckets match only on a stored full-signature sub_key;
+    *     only the batch shingles + signs);
     *   - decontamination: batch shingles vs the base eval slice's
     *     shingle set (broadcast), same r6-snapped ≥ 0.3 ratio rule as
     *     [[DedupOps.decontamNgram]].
@@ -659,11 +661,22 @@ object PipelineOps {
       .select(md5(col("text")).as("fp")).distinct()
       .withColumn("seen", lit(true))
     val ix = MinhashIndex.ensureBase(s, dir)
-    val index = s.read.parquet(ix.bands).select("band", "band_key").distinct()
+    // Fine-union probe (r12): the same cold-keys + bands_fine scheme as
+    // dedup_incremental, so the curation verdict and the standalone
+    // dedup probe can never disagree about what counts as a near-dup.
+    val finePath = MinhashIndex.ensureFine(s, dir, ix)
+    val coldKeys = s.read.parquet(ix.bands)
+      .groupBy("band", "band_key").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") < DedupOps.RebandHotSize).select("band", "band_key")
+    val fineKeys = s.read.schema(DedupOps.fineSchema).parquet(finePath)
+      .select("band", "band_key", "sub_key").distinct()
     val sh = DedupOps.pinnedShingles(s, dir)
-    val batchBands = DedupOps.bandTableFrom(sh.filter(col("doc_id") >= cut))
-    val nearHits = batchBands.join(index, Seq("band", "band_key"), "left_semi")
-      .select("doc_id").distinct().withColumn("near", lit(true))
+    val batchBands = DedupOps.bandTableWithN(sh.filter(col("doc_id") >= cut))
+    val nearHits = batchBands
+      .join(coldKeys, Seq("band", "band_key"), "left_semi").select("doc_id")
+      .union(batchBands.join(fineKeys, Seq("band", "band_key", "sub_key"),
+        "left_semi").select("doc_id"))
+      .distinct().withColumn("near", lit(true))
     val evalSet = sh.filter(col("doc_id") < cut && col("doc_id") % 50 === 0)
       .select("x").distinct()
     val batchSh = sh.filter(col("doc_id") >= cut)
@@ -1097,10 +1110,23 @@ object PipelineOps {
          |${DedupOps.bandsCte},
          |basefp AS (SELECT DISTINCT md5(text) AS fp FROM documents
          |           WHERE doc_id < ${DedupOps.IncrementalCutoff}),
-         |idx AS (SELECT DISTINCT band, band_key FROM bands
-         |        WHERE doc_id < ${DedupOps.IncrementalCutoff}),
-         |bt AS (SELECT * FROM bands WHERE doc_id >= ${DedupOps.IncrementalCutoff}),
-         |near AS (SELECT DISTINCT bt.doc_id FROM bt JOIN idx USING (band, band_key)),
+         |idxsz AS (SELECT band, band_key, count(*) AS sz FROM bands
+         |        WHERE doc_id < ${DedupOps.IncrementalCutoff} GROUP BY band, band_key),
+         |subk AS (SELECT doc_id, ${DedupOps.subKeySql} AS sub_key FROM sig),
+         |bt AS (SELECT b.doc_id, b.band, b.band_key, k.sub_key FROM bands b
+         |       JOIN subk k USING (doc_id)
+         |       WHERE b.doc_id >= ${DedupOps.IncrementalCutoff}),
+         |finek AS (SELECT DISTINCT b.band, b.band_key, k.sub_key FROM bands b
+         |       JOIN idxsz ON b.band = idxsz.band AND b.band_key = idxsz.band_key
+         |       JOIN subk k ON b.doc_id = k.doc_id
+         |       WHERE b.doc_id < ${DedupOps.IncrementalCutoff}
+         |         AND idxsz.sz >= ${DedupOps.RebandHotSize}),
+         |near AS (SELECT DISTINCT bt.doc_id FROM bt
+         |           JOIN idxsz USING (band, band_key)
+         |           WHERE idxsz.sz < ${DedupOps.RebandHotSize}
+         |         UNION
+         |         SELECT DISTINCT bt.doc_id FROM bt
+         |           JOIN finek USING (band, band_key, sub_key)),
          |shr AS (SELECT doc_id, unnest(shingles) AS x FROM shf),
          |ev AS (SELECT DISTINCT x FROM shr
          |       WHERE doc_id % 50 = 0 AND doc_id < ${DedupOps.IncrementalCutoff}),

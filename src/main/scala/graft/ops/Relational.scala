@@ -350,7 +350,16 @@ object Relational {
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
 
   def joinBucketed(s: SparkSession, dir: String): DataFrame = {
-    val sfx = dir.replaceAll("[^0-9]", "")
+    // Per-DIRECTORY discriminator in both the table names and the GC
+    // sweep prefix (ADVICE r11): the digit suffix alone collides two
+    // corpora sharing a digit signature (/backup/sf0.1 vs
+    // /root/testdata/sf0.1 — the same collision scanJsonRaw defends
+    // against), and the prior sweep then treated the OTHER corpus's
+    // live generation as a stale one of this corpus and rmrf'd it —
+    // alternating calls rebuilt both tables every call. Hashing the
+    // path scopes the sweep to generations minted for this dir only.
+    val sfx = dir.replaceAll("[^0-9]", "") + "_" +
+      java.lang.Integer.toHexString(dir.hashCode)
     // Table names carry the SOURCE fingerprint (review r10, the
     // writeOnce-sink rule): a corpus regenerated mid-session would
     // otherwise pass both the in-JVM set and the catalog existence

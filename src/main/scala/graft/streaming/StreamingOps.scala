@@ -203,11 +203,8 @@ object StreamingOps {
     Option(new java.io.File(indexBandsPath).getParent).foreach(root =>
       graft.ops.Artifacts.requireGeometry(root,
         "numHashes" -> numHashes.toString, "bands" -> bands.toString))
-    val index = s.read.parquet(indexBandsPath)
-      .select("band", "band_key").distinct()
-    val bt = graft.api.GraftAPI.minhashBands(batch, id, text, numHashes, bands)
-    val hits = bt.join(index, Seq("band", "band_key"), "left_semi")
-      .select(id).distinct().withColumn("is_dup", lit(true))
+    val hits = fineUnionHits(indexBandsPath, batch, id, text,
+      numHashes, bands).withColumn("is_dup", lit(true))
     val flags = batch.select(id).distinct()
       .join(hits, Seq(id), "left")
       .select(col(id), coalesce(col("is_dup"), lit(false)).as("is_dup"))
@@ -234,6 +231,50 @@ object StreamingOps {
     * partition-per-batch sink (at-least-once replay ×
     * [[idempotentBatchWriter]] = exactly-once verdicts). StreamingSpec
     * pins stream == the one-shot registry op on the same batch. */
+  /** Distinct batch ids whose band keys hit the stored postings under
+    * the FINE-UNION probe (r12, the streaming mirror of the batch
+    * `dedup_incremental`): cold buckets (< the index's recorded
+    * `hotSize`) hit on (band, band_key); hot buckets hit only on a
+    * full-signature sub_key match against the stored `bands_fine`
+    * side-table, so a template-family bucket can't flag every doc that
+    * grazes it. An index built before the fine table existed (no
+    * `hotSize` in its meta) degrades to the coarse raw probe for every
+    * bucket — old indexes keep their old semantics until rebuilt. */
+  private def fineUnionHits(indexBandsPath: String, batch: DataFrame,
+                            id: String, text: String,
+                            numHashes: Int, bands: Int): DataFrame = {
+    val s = batch.sparkSession
+    val root = graft.ops.IndexFs.parent(indexBandsPath)
+    val bt = graft.api.GraftAPI.minhashBandsWithSub(
+      batch, id, text, numHashes, bands)
+    (graft.ops.Artifacts.readMeta(root).get("hotSize") match {
+      case Some(hotSize) =>
+        val post = s.read.parquet(indexBandsPath)
+        val coldKeys = post
+          .groupBy("band", "band_key").agg(count(lit(1)).as("sz"))
+          .filter(col("sz") < hotSize.toLong).select("band", "band_key")
+        // Declared schema on the fine read: a hot-bucket-free corpus
+        // writes a data-file-less partitioned table, and inference on
+        // it throws. The id/band/key types come from the POSTINGS
+        // schema so the caller's id type is preserved.
+        val fineSchema = org.apache.spark.sql.types.StructType(Seq(
+          post.schema("_id"), post.schema("band"), post.schema("band_key"),
+          org.apache.spark.sql.types.StructField("sub_key",
+            org.apache.spark.sql.types.StringType),
+          post.schema("pband")))
+        val fineKeys = s.read.schema(fineSchema)
+          .parquet(graft.ops.IndexFs.child(root, "bands_fine"))
+          .select("band", "band_key", "sub_key").distinct()
+        bt.join(coldKeys, Seq("band", "band_key"), "left_semi").select(id)
+          .union(bt.join(fineKeys, Seq("band", "band_key", "sub_key"),
+            "left_semi").select(id))
+      case None =>
+        val index = s.read.parquet(indexBandsPath)
+          .select("band", "band_key").distinct()
+        bt.join(index, Seq("band", "band_key"), "left_semi").select(id)
+    }).distinct()
+  }
+
   def curationVerdictBatch(indexBandsPath: String, baseFpsPath: String,
                            evalShinglesPath: String, outPath: String,
                            id: String, text: String, nChars: String,
@@ -250,11 +291,8 @@ object StreamingOps {
       size(toks).cast("double") / size(array_distinct(toks)) <= maxRep
     val baseFps = s.read.parquet(baseFpsPath)
       .select("fp").distinct().withColumn("seen", lit(true))
-    val index = s.read.parquet(indexBandsPath)
-      .select("band", "band_key").distinct()
-    val bt = graft.api.GraftAPI.minhashBands(batch, id, text, numHashes, bands)
-    val nearHits = bt.join(index, Seq("band", "band_key"), "left_semi")
-      .select(id).distinct().withColumn("near", lit(true))
+    val nearHits = fineUnionHits(indexBandsPath, batch, id, text,
+      numHashes, bands).withColumn("near", lit(true))
     val evalSet = s.read.parquet(evalShinglesPath).select("x").distinct()
     val sh = graft.api.GraftAPI.shingleRows(batch, id, text)
     val tot = sh.groupBy(id).agg(count(lit(1)).as("n_shingles"))

@@ -390,4 +390,98 @@ class DedupSpec extends AnyFunSuite {
     assert(DedupOps.dedupIndexReband(spark, dir2).count() == 0L,
       "a hot-bucket-free index must reband to an empty manifest")
   }
+
+  test("fine-union wiring: PRODUCTION candidate scan and incremental probe consume the fine scheme (VERDICT r11 #2)") {
+    import org.apache.spark.sql.functions._
+    // Planted corpus, reband-spec shape: a 5-doc exact family + 150
+    // chaff variants in the BASE slice (ids < 400); the BATCH (ids >=
+    // 400) holds two exact copies of the family text (full-signature
+    // dups — must stay flagged) and 30 fresh chaff variants (hot-bucket
+    // grazers — must no longer be flagged on a raw bucket hit alone).
+    val rnd = new scala.util.Random(43)
+    val boiler = (1 to 60).map(i => s"tok$i")
+    def variant(id: Long, tag: String): (Long, String) = {
+      val toks = boiler.zipWithIndex.map { case (t, i) =>
+        if (rnd.nextDouble() < 0.4) s"$tag${id}x$i" else t }
+      (id, toks.mkString(" "))
+    }
+    val docs =
+      (0L to 4L).map(id => (id, boiler.mkString(" "))) ++
+      (10L until 160L).map(variant(_, "u")) ++
+      (400L to 401L).map(id => (id, boiler.mkString(" "))) ++
+      (410L until 440L).map(variant(_, "v"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_finewire").toString
+    val sq = spark; import sq.implicits._
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // --- 1. the PRODUCTION candidate scan (what simjoin_lsh /
+    // dedup_clusters enumerate), against the raw + fine models.
+    val raw = DedupOps.dedupMinhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val sh = Tables.documents(spark, dir).select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).toLowerCase.split(" ")
+      r.getLong(0) -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    def lenOk(p: (Long, Long)): Boolean = {
+      val (na, nb) = (sh(p._1).size.toLong, sh(p._2).size.toLong)
+      4000000L * math.min(na, nb) >= 3199998L * math.max(na, nb)
+    }
+    def pairsOf(ids: Seq[Long]): Set[(Long, Long)] =
+      (for { i <- ids.indices; j <- i + 1 until ids.length }
+        yield (ids(i), ids(j))).toSet
+    val buckets = raw.groupBy(r => (r._2, r._3))
+    val rawCands = buckets.values.map(_.map(_._1).sorted.toSeq)
+      .flatMap(pairsOf).toSet.filter(lenOk)
+    // the fine model needs sub keys for hot docs: the committed
+    // bands_fine side-table is exactly that (run the reband to write it)
+    DedupOps.dedupIndexReband(spark, dir).count()
+    val ixRoot = ops.Artifacts.root("mhix_v1", dir, "documents.parquet")
+    val fineRows = spark.read.parquet(s"$ixRoot/bands_fine")
+      .select("doc_id", "band", "band_key", "sub_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+    val modelFine = (
+      buckets.collect { case (_, rows) if rows.length < DedupOps.RebandHotSize.toInt =>
+        rows.map(_._1).sorted.toSeq }.flatMap(pairsOf).toSet ++
+      fineRows.groupBy(r => (r._2, r._3, r._4)).values
+        .map(_.map(_._1).sorted.toSeq).flatMap(pairsOf).toSet
+    ).filter(lenOk)
+    val prod = DedupOps.candidatePairsFor(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prod == modelFine,
+      "the production scan must enumerate exactly the fine-union candidates")
+    assert(prod.size < rawCands.size,
+      "the production enumerated-pair count must drop on a hot corpus")
+    // the exact family never leaves the candidate set (full signatures equal)
+    assert(pairsOf((0L to 4L).toSeq).subsetOf(prod),
+      "full-signature duplicates must survive the fine scheme")
+
+    // --- 2. the PRODUCTION incremental probe: full-signature batch dups
+    // stay flagged; raw grazers of hot base buckets do not.
+    val inc = DedupOps.dedupIncremental(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(inc(400L) && inc(401L),
+      "exact copies of a hot family must still flag through the fine keys")
+    val baseBuckets = buckets.view.mapValues(_.count(_._1 < 400)).toMap
+    val rawFlag = raw.filter(_._1 >= 400).groupBy(_._1).map { case (id, rows) =>
+      id -> rows.exists(r => baseBuckets.getOrElse((r._2, r._3), 0) > 0)
+    }
+    assert(inc.keySet == rawFlag.keySet)
+    assert(inc.collect { case (id, true) => id }.toSet
+      .subsetOf(rawFlag.collect { case (id, true) => id }.toSet),
+      "the fine probe must never invent hits the raw probe lacks")
+    val grazers = rawFlag.collect { case (id, true) if !inc(id) => id }
+    assert(grazers.nonEmpty,
+      "some raw-only hot-bucket grazer must exist and be cleared by the fine probe")
+
+    // --- 3. family consistency: curation_incremental's near_dup leg
+    // agrees with the standalone probe on every batch doc.
+    val curNear = ops.PipelineOps.curationIncremental(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("near_dup")).toMap
+    assert(curNear == inc,
+      "curation_incremental and dedup_incremental must agree on near-dups")
+  }
 }
