@@ -41,6 +41,33 @@ object Bench {
 
   private def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
+  /** Plan-shape telemetry (VERDICT r11 #6): every box-noise adjudication
+    * so far burned a session on isolated re-runs because wall seconds
+    * alone can't distinguish "the plan changed" from "the box is hot".
+    * Shuffle bytes read/written are a plan-shape fingerprint — identical
+    * bytes + slower seconds reads as box noise in one line; different
+    * bytes means the plan actually changed. Peak execution memory is the
+    * spill-pressure early warning. Task-end counters are ASYNC (the
+    * listener bus drains behind the query); the snapshot happens after
+    * the post-query clearCache + GC, so attribution error is bounded by
+    * stragglers of the just-finished query — fine for the fingerprint
+    * use, not an accounting ledger. */
+  private final class MetricListener extends org.apache.spark.scheduler.SparkListener {
+    private val read = new java.util.concurrent.atomic.AtomicLong
+    private val written = new java.util.concurrent.atomic.AtomicLong
+    private val peak = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        peak.accumulateAndGet(m.peakExecutionMemory, math.max(_, _))
+      }
+    }
+    def bytes: (Long, Long) = (read.get, written.get)
+    def peakAndReset(): Long = peak.getAndSet(0L)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -117,13 +144,18 @@ object Bench {
     // driver-vs-builder sweep gaps must be attributable from the artifact
     // alone — a broad min≈max inflation reads as box noise, isolated
     // min≪max spikes as per-query first-run cost).
-    val timeline = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Double, Double, Option[String])]
+    val metrics = new MetricListener
+    spark.sparkContext.addSparkListener(metrics)
+    metrics.peakAndReset() // discard warm-up pressure
+    final case class Tl(name: String, minSec: Double, maxSec: Double,
+                        shr: Long, shw: Long, peak: Long, err: Option[String])
+    val timeline = scala.collection.mutable.ArrayBuffer.empty[Tl]
     // Per query: full execution at the target SF, twice; report the min —
     // standard noise control against transient GC/compilation/IO spikes
     // (a single-shot run once showed a 6× outlier on one query). A query
     // that throws is recorded as FAILED, never as a (fast) time.
     val results: Map[String, Either[String, Double]] = selected.map { case (name, fn) =>
+      val bytes0 = metrics.bytes
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val r = try { fn(spark, sfDir).count(); None }
@@ -145,10 +177,17 @@ object Bench {
       // execution-order timeline makes cross-query interference (cache /
       // codegen / cleaner pressure building up over ~190 queries) visible
       // in one run instead of needing bisection.
+      // Snapshot AFTER the hygiene barrier above (clearCache + GC give
+      // the async listener bus time to drain the query's task events).
+      val bytes1 = metrics.bytes
+      val (shr, shw) = (bytes1._1 - bytes0._1, bytes1._2 - bytes0._2)
+      val peak = metrics.peakAndReset()
       System.err.println(
         f"[bench] $name%-24s ${runs.map(_._2).min}%8.3f min  ${runs.map(_._2).max}%8.3f max" +
+          f"  shr=${shr / 1048576.0}%.1fMB shw=${shw / 1048576.0}%.1fMB" +
           firstErr.fold("")(e => s"  FAILED:$e"))
-      timeline += ((name, runs.map(_._2).min, runs.map(_._2).max, firstErr))
+      timeline += Tl(name, runs.map(_._2).min, runs.map(_._2).max,
+        shr, shw, peak, firstErr)
       name -> firstErr.toLeft(runs.map(_._2).min)
     }
     val wallSec = (System.nanoTime() - sweepT0) / 1e9
@@ -163,9 +202,11 @@ object Bench {
     // end-of-round commit picks up (the stdout tail budget can't fit it).
     // min-of-two is what the totals report; min-vs-max tells inflation
     // stories apart after the fact.
-    val tlJson = timeline.map { case (n, mn, mx, e) =>
-      s"""{"q":"$n","min":${f3(mn)},"max":${f3(mx)}""" +
-        e.fold("")(err => s""","err":"$err"""") + "}"
+    val tlJson = timeline.map { t =>
+      s"""{"q":"${t.name}","min":${f3(t.minSec)},"max":${f3(t.maxSec)}""" +
+        s""","shuffle_read":${t.shr},"shuffle_write":${t.shw}""" +
+        s""","peak_mem":${t.peak}""" +
+        t.err.fold("")(err => s""","err":"$err"""") + "}"
     }.mkString("[\n  ", ",\n  ", "\n]")
     // The file write must NOT be able to discard the sweep (review r6):
     // an unwritable path after a multi-minute run would otherwise throw
@@ -201,8 +242,14 @@ object Bench {
       val secs = ok.collect { case (k, v) if keys(k) => v }
       s""""$fam":{"sec":${f3(secs.sum)},"n":${secs.size}}"""
     }.mkString("{", ",", "}")
+    // Sweep-level plan-shape fingerprint: grand shuffle bytes + worst
+    // per-query peak memory. Bytes stable across boxes ⇒ any seconds
+    // drift is environmental.
+    val shrTot = timeline.map(_.shr).sum
+    val shwTot = timeline.map(_.shw).sum
+    val peakMax = if (timeline.isEmpty) 0L else timeline.map(_.peak).max
     // Full per-query map — earlier line, human/log consumption only.
-    println(s"""{"metric":"total_full","value":${f3(total)},"unit":"sec","subtotals":$famJson,"queries":${qmap(ok.toSeq.sortBy(_._1))},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_full","value":${f3(total)},"unit":"sec","shuffle_read":$shrTot,"shuffle_write":$shwTot,"peak_mem_max":$peakMax,"subtotals":$famJson,"queries":${qmap(ok.toSeq.sortBy(_._1))},"failed":$failedJson,"sf":"$sfDir"}""")
     // Compact line LAST: grand total + counts + headline subset. `wall` /
     // `warm` carry the sweep + warm-up wall seconds so the artifact shows
     // how much of the driver's observed runtime was measured queries vs
@@ -215,7 +262,7 @@ object Bench {
     val head =
       if (failed.isEmpty) headline.flatMap(k => ok.get(k).map(k -> _))
       else Seq.empty
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","wall":${f3(wallSec)},"warm":${f3(warmSec)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":${qmap(head)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","wall":${f3(wallSec)},"warm":${f3(warmSec)},"shuffle_read":$shrTot,"shuffle_write":$shwTot,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":${qmap(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

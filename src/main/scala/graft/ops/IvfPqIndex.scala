@@ -75,6 +75,51 @@ object IvfPqIndex {
     ix
   }
 
+  private def splitMarker(ix: Ix): java.io.File =
+    new java.io.File(ix.root, "_split_SUCCESS")
+
+  /** Marker-disciplined rewrite of the cell-SPLIT side-tables (the ANN
+    * mirror of [[MinhashIndex.rewriteFine]]): `coarse_split` (cell, scid,
+    * scv — per-hot-cell residual sub-centroids) and `cells_split`
+    * (vec_id, cell, scid — the hot cells' vectors re-assigned to
+    * sub-cells, hive-partitioned by cell). Both land inside a COMMITTED
+    * index root, so their own `_split_SUCCESS` marker retires before the
+    * overwrite and recommits only after it — a crash mid-write reads as
+    * "no split" to [[ensureSplit]] and the probe, never as a
+    * trustworthy partial table. The main index `_SUCCESS` stays valid
+    * throughout: the split is additive; raw cell probes remain correct
+    * without it. */
+  def rewriteSplit(s: SparkSession, dir: String, ix: Ix): Unit = synchronized {
+    val m = splitMarker(ix)
+    if (m.isFile) require(m.delete(),
+      s"could not retire the split marker under ${ix.root} before the rewrite")
+    val (he, cents, assign) = VectorOps.splitRowsFor(s, dir, ix)
+    try {
+      cents.select(col("g").as("cell"), col("cid").as("scid"),
+          col("cv").as("scv"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"${ix.root}/coarse_split")
+      assign.select(col("vec_id"), col("g").as("cell"),
+          col("cid").as("scid"))
+        .withColumn("pcell", col("cell"))
+        .repartition(col("pcell"))
+        .write.mode("overwrite").partitionBy("pcell")
+        .parquet(s"${ix.root}/cells_split")
+    } finally he.unpersist()
+    require(m.createNewFile() || m.isFile,
+      s"could not commit the split marker under ${ix.root}")
+  }
+
+  /** Build-once cell-split side-tables next to an index — the stored
+    * side of the hot-cell sub-probe ([[graft.ops.VectorOps.knnIvfSplit]]).
+    * Deterministic (6-dp-snapped grouped Lloyd over the stored residuals),
+    * so whether the maintenance job ([[graft.ops.VectorOps.annIndexSplit]])
+    * ran first or the probe built it lazily, the stored content is
+    * byte-identical and every query stays a pure function of the corpus. */
+  def ensureSplit(s: SparkSession, dir: String, ix: Ix): Unit = synchronized {
+    if (!splitMarker(ix).isFile) rewriteSplit(s, dir, ix)
+  }
+
   /** The one-time registry build at the harness geometry (16 coarse
     * cells, PqM×PqSub subspaces, 2 Lloyd iterations — the point every
     * probe oracle reproduces). */

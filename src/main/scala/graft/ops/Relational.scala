@@ -702,6 +702,52 @@ object Relational {
     JdbcSink.read(s, url, "nation_t").orderBy("n_nationkey")
   }
 
+  /** One-time Derby seed guard for [[scanJdbcPartitioned]] — the scan
+    * measures the READ fan-out, not the seeding, so the orders table
+    * lands once per (source-dir fingerprint). */
+  private val jdbcScanSeeded =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** S4-scan: partitioned JDBC READ — the migration shape of the
+    * reference's full-table `SELECT *` over a live database
+    * (/root/reference/dags/db_to_snowflake.py:39), done the way a Spark
+    * cluster actually drains an RDBMS: `partitionColumn/lowerBound/
+    * upperBound/numPartitions` split the key range so N executors each
+    * issue their own bounded query CONCURRENTLY instead of one reader
+    * funneling the whole table through a single connection. Embedded
+    * Derby (the same engine the JDBC sinks exercise) is seeded once per
+    * corpus from the orders parquet; every draw then measures only the
+    * fan-out read. Bounds come from the parquet source's min/max — the
+    * same metadata a real migration reads from the catalog. The oracle
+    * is the parquet scan's rows: the JDBC hop must be lossless.
+    * JdbcSinkSpec additionally pins that >1 partition reader is OPEN
+    * against the server concurrently mid-scan. */
+  def scanJdbcPartitioned(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.JdbcSink
+    val root = Artifacts.root("derbyscan_v1", dir, "orders.parquet")
+    val url = s"jdbc:derby:$root/db;create=true"
+    val src = orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    jdbcScanSeeded.synchronized {
+      if (jdbcScanSeeded.add(s"${System.identityHashCode(s)}:$root") &&
+          !new java.io.File(root, "_SUCCESS").isFile) {
+        JdbcSink.dropIfExists(url, "orders_t")
+        JdbcSink.ensureTable(url, "orders_t",
+          """"o_orderkey" BIGINT, "o_custkey" BIGINT,
+            |"o_orderstatus" VARCHAR(8), "o_totalprice" DOUBLE""".stripMargin)
+        JdbcSink.append(src, url, "orders_t")
+        require(new java.io.File(root, "_SUCCESS").createNewFile() ||
+          new java.io.File(root, "_SUCCESS").isFile,
+          s"could not commit the derby seed marker under $root")
+      }
+    }
+    val bounds = src.agg(min("o_orderkey"), max("o_orderkey")).head()
+    JdbcSink.readPartitioned(s, url, "orders_t", "o_orderkey",
+        bounds.getLong(0), bounds.getLong(1), numPartitions = 4)
+      .orderBy("o_orderkey")
+  }
+
   /** A12: HLL sketch algebra — per-month DISTINCT-customer sketches and
     * their rollup merge in ONE pass (`hll_sketch_agg` under `rollup`).
     * This is the 100 TB distinct-counting pattern: sketches are partial
@@ -2227,6 +2273,7 @@ object Relational {
     "map_funcs"           -> mapFuncs _,
     "sink_parquet_roundtrip" -> sinkParquetRoundtrip _,
     "sink_jdbc_roundtrip"  -> sinkJdbcRoundtrip _,
+    "scan_jdbc_partitioned" -> scanJdbcPartitioned _,
     "sink_sorted_layout"  -> sinkSortedLayout _,
     "sink_json_roundtrip" -> sinkJsonRoundtrip _,
     "sink_orc_roundtrip"  -> sinkOrcRoundtrip _,
@@ -2570,6 +2617,10 @@ object Relational {
     "sink_jdbc_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // The JDBC hop must be lossless: oracle = the parquet scan itself.
+    "scan_jdbc_partitioned" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "subquery_scalar" ->
       """SELECT l_returnflag, COUNT(*) AS n_above
         |FROM lineitem

@@ -218,6 +218,48 @@ object VectorOps {
       .agg(min(struct(sqDist(col("x"), col("cv")).as("d"), col("cid"))).as("mm"))
       .select(col("m"), col("vec_id"), col("mm.cid").as("cell"))
 
+  /** GROUPED Lloyd training over (g, vec_id, x): one independent k-means
+    * per group, all groups trained in the SAME Spark jobs (the
+    * [[kmeansCentroidsLong]] idea with an arbitrary group key instead of
+    * the PQ subspace index — here g = a hot coarse cell). Differences
+    * from the long form: rows belong to ONE group each, so seeds are the
+    * per-group k lowest vec_ids (a row_number window partitioned by g —
+    * the sort is per-hot-cell, and a split job re-encodes those cells
+    * wholesale anyway). Same math per group: broadcast-argmin with the
+    * cid tie-break, 6-dp snap before the DECIMAL sum — so the grouped
+    * DuckDB oracle chain mirrors it slot for slot. Returns (g, cid, cv). */
+  private[graft] def kmeansCentroidsGrouped(ge: DataFrame, iters: Int,
+                                            k: Int): DataFrame = {
+    val w = Window.partitionBy("g").orderBy("vec_id")
+    val init = ge.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("g"), col("vec_id").as("cid"), col("x").as("cv"))
+    (1 to iters).foldLeft(init) { (cents, _) =>
+      ge.join(broadcast(cents), "g")
+        .groupBy("g", "vec_id")
+        .agg(min(struct(sqDist(col("x"), col("cv")).as("d"), col("cid"))).as("mm"))
+        .select(col("g"), col("vec_id"), col("mm.cid").as("cid"))
+        .join(ge, Seq("g", "vec_id"))
+        .select(col("g"), col("cid"), posexplode(col("x")))
+        .select(col("g"), col("cid"), col("pos").cast("long").as("dim"),
+          r6(col("col")).as("v"))
+        .groupBy("g", "cid", "dim")
+        .agg(count(lit(1)).as("n"), dsum(col("v")).as("sv"))
+        .select(col("g"), col("cid"), col("dim"), r6(col("sv") / col("n")).as("c"))
+        .groupBy("g", "cid")
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("p"))
+        .select(col("g"), col("cid"), transform(col("p"), x => x.getField("c")).as("cv"))
+    }
+  }
+
+  /** Grouped argmin assignment against (g, cid, cv) sub-centroids:
+    * (g, vec_id, cid). */
+  private[graft] def assignCellsGrouped(ge: DataFrame, cents: DataFrame): DataFrame =
+    ge.join(broadcast(cents), "g")
+      .groupBy("g", "vec_id")
+      .agg(min(struct(sqDist(col("x"), col("cv")).as("d"), col("cid"))).as("mm"))
+      .select(col("g"), col("vec_id"), col("mm.cid").as("cid"))
+
   /** L3f: IVF probe over LEARNED centroids (VERDICT r5 #3) — the same
     * one-cell prune as [[knnIvf]] but with 2-Lloyd-iteration k-means
     * cells instead of the sign grid, so cell boundaries follow the data
@@ -1245,8 +1287,15 @@ object VectorOps {
     * assignment counts (so a lost or duplicated row in the merge fails
     * the gate). */
   def annIndexCompact(s: SparkSession, dir: String): DataFrame = {
-    annIndexAppend(s, dir).count() // ensure the delta landed (idempotent)
     val ix = IvfPqIndex.ensureBase(s, dir)
+    // Ensure the delta landed WITHOUT re-running the append when its
+    // committed table already exists (VERDICT r11 "what's wrong" #3: the
+    // in-window append replay made the compact's bench number carry an
+    // append's work). Spark's own _SUCCESS commits last, so a crashed
+    // append re-runs; a committed one is byte-stable (deterministic
+    // codebooks) and is exactly what a re-append would rewrite.
+    if (!new java.io.File(s"${ix.root}/ivfpq_codes_delta/_SUCCESS").isFile)
+      annIndexAppend(s, dir).count()
     val merged = s.read.parquet(ix.ivfCodes)
       .unionByName(s.read.parquet(s"${ix.root}/ivfpq_codes_delta"))
     merged
@@ -1260,7 +1309,149 @@ object VectorOps {
       .orderBy("cell")
   }
 
+  /** Cells at/above this size get sub-split by [[annIndexSplit]].
+    * Fixture-scale constant (sf0.01's cells run 21–38 vectors; the mean
+    * is ~31, so the oversized half splits and the rest probe raw); a
+    * production deployment sets this from [[annIndexStats]]'s
+    * `max_cell`/`imbalance` audit — the point where one cell's scan
+    * dominates probe latency. */
+  private[graft] val SplitHotSize = 32L
+
+  /** Sub-centroids trained per hot cell (k of the inner Lloyd). */
+  private[graft] val SplitSubK = 4
+
+  /** Sub-cells a split probe fans out to — like [[FilteredProbes]], the
+    * pool must stay ≥ K after the split narrows each scan. */
+  private[graft] val SplitProbes = 2
+
+  /** Declared schemas for the split side-table read-backs — a corpus
+    * with no hot cell writes data-file-less tables, and inference on
+    * them throws; a healthy index must read as EMPTY, not crash. */
+  private[graft] val splitCentsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("scid",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("scv",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))))
+  private[graft] val splitCellsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("scid",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("pcell",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The split side-tables' frames: hot cells' vectors as RESIDUALS
+    * against the stored coarse centroids, sub-trained ([[SplitSubK]]
+    * grouped Lloyd) and re-assigned. Returns (pinned residual frame —
+    * caller unpersists after both writes —, sub-centroids (g, cid, cv),
+    * assignments (g, vec_id, cid)). Reads only STORED tables plus the
+    * hot cells' float vectors; cold cells' floats are never touched. */
+  private[ops] def splitRowsFor(s: SparkSession, dir: String,
+                                ix: IvfPqIndex.Ix): (DataFrame, DataFrame, DataFrame) = {
+    val cells = s.read.parquet(ix.cells)
+    val hot = cells.groupBy("cell").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= SplitHotSize).select("cell")
+    val coarse = s.read.parquet(ix.coarse)
+    val he = embeddings(s, dir)
+      .select(col("vec_id"), asD(col("embedding")).as("x"))
+      .join(cells.join(broadcast(hot), Seq("cell"), "left_semi"), "vec_id")
+      .join(broadcast(coarse), col("cell") === col("cid"))
+      .select(col("cell").as("g"), col("vec_id"),
+        zip_with(col("x"), col("cv"), (a, b) => r6(a - b)).as("x"))
+      .persist()
+    val cents = kmeansCentroidsGrouped(he, iters = 2, k = SplitSubK)
+    (he, cents, assignCellsGrouped(he, cents))
+  }
+
+  /** L3n: hot-cell SPLIT maintenance (VERDICT r11 #3) — the remedy for
+    * what [[annIndexStats]] detects: a coarse cell glued together by a
+    * dense embedding region makes every probe of it scan `max_cell`
+    * vectors, and nothing in the lifecycle reduced one once it formed
+    * (stats' scaladoc calls max-over-mean "the re-train trigger"; this
+    * is the trigger's target). Cells ≥ [[SplitHotSize]] train
+    * [[SplitSubK]] sub-centroids on their RESIDUALS (reusing the stored
+    * coarse centroids and the same 6-dp-snapped Lloyd the codebooks
+    * use, grouped so all hot cells train in the same jobs) and their
+    * vectors re-assign into sub-cells, persisted as `coarse_split` /
+    * `cells_split` side-tables next to the index ([[IvfPqIndex
+    * .rewriteSplit]], commit-marker guarded) — the IVF mirror of the
+    * dedup family's L2o reband. [[knnIvfSplit]] is the consuming probe.
+    *
+    * Scale shape: hot-cell membership comes from the STORED assignment
+    * table (one groupBy, no floats); only hot cells' vectors are read
+    * and re-encoded; the rewrite writes only the side-tables. Output is
+    * the per-hot-cell manifest (vectors, sub-cell fan-out, worst
+    * sub-cell) — the numbers an operator reads to confirm the probe
+    * blowup is gone. */
+  def annIndexSplit(s: SparkSession, dir: String): DataFrame = {
+    val ix = IvfPqIndex.ensure(s, dir)
+    IvfPqIndex.rewriteSplit(s, dir, ix)
+    val sub = s.read.schema(splitCellsSchema)
+      .parquet(s"${ix.root}/cells_split")
+      .groupBy("cell", "scid").agg(count(lit(1)).as("ssz"))
+    sub.groupBy("cell")
+      .agg(sum("ssz").as("n_vecs"), count(lit(1)).as("n_sub"),
+        max("ssz").as("max_sub"))
+      .select(col("cell"), col("n_vecs"), col("n_sub"), col("max_sub"))
+      .orderBy("cell")
+  }
+
+  /** L3o: IVF probe THROUGH the cell split — [[knnIvfKmeans]]'s shape,
+    * but when the query's coarse cell has been split, the scan narrows
+    * to the [[SplitProbes]] sub-cells nearest the query's residual
+    * instead of the whole cell (an unsplit cell probes raw, unchanged).
+    * The side-tables are build-once ([[IvfPqIndex.ensureSplit]]) and
+    * deterministic, so the probe is a pure function of the corpus
+    * whether or not the maintenance job ran first. At 100 TB the
+    * `cells_split` table is cell-partitioned like the codes, so the
+    * sub-probe is a partition-pruned scan of max_sub·probes vectors
+    * instead of max_cell. */
+  def knnIvfSplit(s: SparkSession, dir: String): DataFrame = {
+    val ix = IvfPqIndex.ensure(s, dir)
+    IvfPqIndex.ensureSplit(s, dir, ix)
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), asD(col("embedding")).as("x"))
+    val cells = s.read.parquet(ix.cells)
+    val coarse = s.read.parquet(ix.coarse)
+    val q = e.join(cells, "vec_id").filter(col("vec_id") === 0)
+      .select(col("x").as("qv"), col("cell").as("qcell"))
+    val splitCents = s.read.schema(splitCentsSchema)
+      .parquet(s"${ix.root}/coarse_split")
+    val splitCells = s.read.schema(splitCellsSchema)
+      .parquet(s"${ix.root}/cells_split")
+    val splitGs = splitCents.select("cell").distinct()
+    // unsplit cell → the whole-cell scan, exactly knnIvfKmeans' pool
+    val candRaw = cells.join(broadcast(q), col("cell") === col("qcell"))
+      .join(broadcast(splitGs.select(col("cell").as("scell"))),
+        col("cell") === col("scell"), "left_anti")
+      .select("vec_id")
+    // split cell → residual-assign the query, scan its nearest sub-cells
+    val qres = q.join(broadcast(coarse), col("qcell") === col("cid"))
+      .select(col("qcell"),
+        zip_with(col("qv"), col("cv"), (a, b) => r6(a - b)).as("qr"))
+    val top = splitCents.join(broadcast(qres), col("cell") === col("qcell"))
+      .select(col("cell"), col("scid"), sqDist(col("qr"), col("scv")).as("d"))
+      .orderBy(col("d").asc, col("scid").asc).limit(SplitProbes)
+      .select(col("cell"), col("scid"))
+    val candSplit = splitCells
+      .join(broadcast(top), Seq("cell", "scid"), "left_semi")
+      .select("vec_id")
+    candRaw.union(candSplit)
+      .join(e, "vec_id")
+      .crossJoin(broadcast(q.select("qv")))
+      .select(col("vec_id"), cosine(col("x"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(K)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_index_split"   -> annIndexSplit _,
+    "knn_ivf_split"     -> knnIvfSplit _,
     "ann_index_compact" -> annIndexCompact _,
     "ann_index_append"  -> annIndexAppend _,
     "ann_index_delete"  -> annIndexDelete _,
@@ -1417,6 +1608,44 @@ object VectorOps {
        |    JOIN cvl ON cvl.cid = cl.cell AND cvl.dim = el.dim
        |  GROUP BY el.vec_id, cl.cell)""".stripMargin
 
+  /** One GROUPED Lloyd round in DuckDB (g = the hot coarse cell): the
+    * [[sqlLloydRound]] math with g carried through every key, mirroring
+    * [[kmeansCentroidsGrouped]] slot for slot. Source CTEs: `ge`
+    * (g, vec_id, x residual) and `gc$i` (g, cid, cv). */
+  private def sqlGroupedLloydRound(i: Int): String =
+    s"""ga$i AS (SELECT g, vec_id, cid FROM (
+       |  SELECT e.g, e.vec_id, c.cid, row_number() OVER (PARTITION BY e.g, e.vec_id
+       |    ORDER BY ${sqlDist("e.x", "c.cv")} ASC, c.cid ASC) AS rn
+       |  FROM ge e JOIN gc$i c ON e.g = c.g) t WHERE rn = 1),
+       |gu$i AS (SELECT a.g, a.cid,
+       |    CAST(generate_subscripts(e.x, 1) - 1 AS BIGINT) AS dim,
+       |    floor(unnest(e.x) * 1000000 + 0.5) / 1000000 AS v
+       |  FROM ge e JOIN ga$i a ON e.g = a.g AND e.vec_id = a.vec_id),
+       |gm$i AS (SELECT g, cid, dim,
+       |    floor((CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) / count(*))
+       |      * 1000000 + 0.5) / 1000000 AS c
+       |  FROM gu$i GROUP BY g, cid, dim),
+       |gc${i + 1} AS (SELECT g, cid, list(c ORDER BY dim) AS cv FROM gm$i GROUP BY g, cid)""".stripMargin
+
+  /** Residual chain + hot-cell grouped sub-training + final sub-cell
+    * assignment `gcells` (g, vec_id, cid) — the DuckDB mirror of
+    * [[splitRowsFor]]. */
+  private lazy val sqlSplitCte: String =
+    s"""$sqlResidCte,
+       |hot AS (SELECT cell FROM (SELECT cell, count(*) AS n FROM cells
+       |  GROUP BY cell) h WHERE n >= $SplitHotSize),
+       |ge AS (SELECT re.cell AS g, re.vec_id, re.x FROM re
+       |  JOIN hot ON re.cell = hot.cell),
+       |gc0 AS (SELECT g, vec_id AS cid, x AS cv FROM (
+       |  SELECT g, vec_id, x, row_number() OVER (PARTITION BY g ORDER BY vec_id) AS rn
+       |  FROM ge) t WHERE rn <= $SplitSubK),
+       |${sqlGroupedLloydRound(0)},
+       |${sqlGroupedLloydRound(1)},
+       |gcells AS (SELECT g, vec_id, cid FROM (
+       |  SELECT e.g, e.vec_id, c.cid, row_number() OVER (PARTITION BY e.g, e.vec_id
+       |    ORDER BY ${sqlDist("e.x", "c.cv")} ASC, c.cid ASC) AS rn
+       |  FROM ge e JOIN gc2 c ON e.g = c.g) t WHERE rn = 1)""".stripMargin
+
   private lazy val pqJoins: String = (0 until PqM).map(m =>
     s"JOIN s${m}cells cl$m USING (vec_id) JOIN s${m}dt dt$m ON dt$m.cid = cl$m.cell")
     .mkString("\n  ")
@@ -1430,6 +1659,36 @@ object VectorOps {
     ") AS DOUBLE)"
 
   val oracleSql: Map[String, String] = Map(
+    // Split manifest: reproduce the deterministic coarse chain, the hot
+    // set, and the grouped residual sub-training; the read-back counts
+    // must match the recomputed assignment exactly.
+    "ann_index_split" -> matCtes(
+      s"""WITH $sqlSplitCte,
+         |sub AS (SELECT g, cid, count(*) AS ssz FROM gcells GROUP BY g, cid)
+         |SELECT CAST(g AS BIGINT) AS cell, CAST(sum(ssz) AS BIGINT) AS n_vecs,
+         |  CAST(count(*) AS BIGINT) AS n_sub, CAST(max(ssz) AS BIGINT) AS max_sub
+         |FROM sub GROUP BY g ORDER BY cell""".stripMargin),
+    // Split probe: whole-cell scan when the query's cell is unsplit;
+    // otherwise the SplitProbes sub-cells nearest the query's residual.
+    "knn_ivf_split" -> matCtes(
+      s"""WITH $sqlSplitCte,
+         |q0 AS (SELECT cell AS qcell FROM cells WHERE vec_id = 0),
+         |qres AS (SELECT re.x AS qx FROM re WHERE re.vec_id = 0),
+         |topsc AS (SELECT cid FROM (
+         |  SELECT c.cid, row_number() OVER (
+         |    ORDER BY ${sqlDist("q.qx", "c.cv")} ASC, c.cid ASC) AS rn
+         |  FROM gc2 c JOIN q0 ON c.g = q0.qcell CROSS JOIN qres q) t
+         |  WHERE rn <= $SplitProbes),
+         |cand AS (
+         |  SELECT cl.vec_id FROM cells cl JOIN q0 ON cl.cell = q0.qcell
+         |  WHERE q0.qcell NOT IN (SELECT cell FROM hot)
+         |  UNION ALL
+         |  SELECT gc.vec_id FROM gcells gc JOIN q0 ON gc.g = q0.qcell
+         |    JOIN topsc ON gc.cid = topsc.cid),
+         |qv AS (SELECT x AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, ${sqlCos("e.x", "q.qv")} AS cos
+         |FROM cand JOIN e USING (vec_id) CROSS JOIN qv q
+         |ORDER BY cos DESC, vec_id ASC LIMIT $K""".stripMargin),
     // The index manifest: reproduce the deterministic coarse training and
     // count vectors per cell; the encode pass emits exactly PqM code rows
     // per vector.

@@ -278,4 +278,27 @@ object JdbcSink {
     props.setProperty("driver", driver)
     s.read.jdbc(url, table, props)
   }
+
+  /** Range-partitioned JDBC read — the production fan-out: Spark splits
+    * [lowerBound, upperBound] on `partitionColumn` into `numPartitions`
+    * disjoint bounded queries, one per task, so N executors drain the
+    * table over N concurrent connections instead of serializing through
+    * one. Bounds only steer the SPLIT (rows outside them still arrive,
+    * in the unbounded edge partitions — Spark's documented contract);
+    * pass the true min/max so the stride is even. */
+  def readPartitioned(s: SparkSession, url: String, table: String,
+                      partitionColumn: String, lowerBound: Long,
+                      upperBound: Long, numPartitions: Int,
+                      driver: String = DerbyDriver): DataFrame = {
+    derbyHome
+    s.read.format("jdbc")
+      .option("url", url)
+      .option("driver", driver)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .load()
+  }
 }

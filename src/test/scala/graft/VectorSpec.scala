@@ -424,4 +424,80 @@ class VectorSpec extends AnyFunSuite {
       assert(audited(k)._2, s"group $k: approx_ok=false")
     }
   }
+
+  test("ann_index_split + knn_ivf_split: planted hot cell's probe pool shrinks, top-10 unchanged (L3n/L3o, VERDICT r11 #3)") {
+    import org.apache.spark.sql.functions._
+    // Planted corpus (dim 16, divisible by the PqM=8 build constraint):
+    // vec 0 = the query at a base point; vecs 1-15 scattered FAR apart so
+    // the 16 lowest-id k-means seeds spread (one inside the cluster, 15
+    // out); vecs 16-25 "twins" (query + tiny noise — the true top-10);
+    // vecs 26-215 cluster mates (moderate noise); vecs 216-315 scattered.
+    // The 201-vector cluster lands in ONE learned cell >= SplitHotSize.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val base = Array.fill(dim)(rnd.nextGaussian() * 0.1 + 0.5)
+    def jitter(s: Double) = base.map(v => (v + rnd.nextGaussian() * s).toFloat)
+    def scattered() = Array.fill(dim)((rnd.nextGaussian() * 2.0).toFloat)
+    val rows =
+      Seq((0L, base.map(_.toFloat))) ++
+      (1L to 15L).map(id => (id, scattered())) ++
+      (16L to 25L).map(id => (id, jitter(0.001))) ++
+      (26L to 215L).map(id => (id, jitter(0.05))) ++
+      (216L to 315L).map(id => (id, scattered()))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annsplit").toString
+    val sq = spark; import sq.implicits._
+    rows.toDF("vec_id", "embedding")
+      .withColumn("label", (col("vec_id") % 7).cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // manifest: some hot cell exists and carries the cluster
+    val manifest = VectorOps.annIndexSplit(spark, dir).collect()
+    assert(manifest.nonEmpty, "planted corpus must surface a hot cell")
+    manifest.foreach { r =>
+      assert(r.getAs[Long]("n_sub") >= 1L &&
+        r.getAs[Long]("n_sub") <= VectorOps.SplitSubK.toLong)
+      assert(r.getAs[Long]("max_sub") <= r.getAs[Long]("n_vecs"))
+    }
+    assert(manifest.exists(_.getAs[Long]("n_vecs") >= 200L),
+      "the planted cluster must sit in one hot cell")
+
+    // probe pool: the query's cell is hot, and the stored sub-cell scan
+    // (SplitProbes sub-cells — what knnIvfSplit's partition-pruned scan
+    // reads) is strictly smaller than the whole-cell scan.
+    val ixRoot = graft.ops.Artifacts.root("annix_v1", dir, "embeddings.parquet")
+    val cells = spark.read.parquet(s"$ixRoot/cells")
+    val qcell = cells.filter(col("vec_id") === 0).collect()(0).getLong(1)
+    val cellSize = cells.filter(col("cell") === qcell).count()
+    assert(cellSize >= VectorOps.SplitHotSize, "query's cell must be hot")
+    val splitCells = spark.read.parquet(s"$ixRoot/cells_split")
+      .filter(col("cell") === qcell)
+    val bySub = splitCells.groupBy("scid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val worstPool = bySub.values.toSeq.sorted.reverse
+      .take(VectorOps.SplitProbes).sum
+    assert(worstPool < cellSize,
+      s"split probe pool ($worstPool) must shrink below the cell scan ($cellSize)")
+
+    // recall@10 unchanged: the split probe returns exactly the top-10 an
+    // exact whole-cell scan returns (which here contains the true
+    // brute-force top-10 — the twins).
+    val cellIds = cells.filter(col("cell") === qcell)
+      .collect().map(_.getLong(0)).toSet
+    val vecs = rows.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1e6 + 0.5) / 1e6
+    }
+    val q = vecs(0L)
+    val fullCellTop = cellIds.toSeq.map(id => (id, cos(vecs(id), q)))
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    val probed = VectorOps.knnIvfSplit(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(probed == fullCellTop,
+      "the split probe's top-10 must equal the exact whole-cell top-10")
+    val bruteTop = rows.map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    assert(probed.toSet == bruteTop.toSet,
+      "recall@10 must be unchanged by the split (true neighbors recovered)")
+  }
 }
