@@ -73,7 +73,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .withExtensions(new functions.GraftExtensions)
-      .master(s"local[$cpus]")
+      // SPARK_GRAFT_MASTER overrides for multi-JVM runs (e.g.
+      // "local-cluster[2,4,4096]" — the serialization/conf-fallback
+      // seams a single-JVM local[n] can never exercise).
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

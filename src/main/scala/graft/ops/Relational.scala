@@ -724,7 +724,9 @@ object Relational {
     * against the server concurrently mid-scan. */
   def scanJdbcPartitioned(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.JdbcSink
-    val root = Artifacts.root("derbyscan_v1", dir, "orders.parquet")
+    // v2: the layout contract now includes the post-seed read-only mark
+    // (a v1 root predates it and would re-fail multi-JVM boots).
+    val root = Artifacts.root("derbyscan_v2", dir, "orders.parquet")
     val url = s"jdbc:derby:$root/db;create=true"
     val src = orders(s, dir).select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -736,15 +738,33 @@ object Relational {
         JdbcSink.ensureTable(url, "orders_t",
           """"o_orderkey" BIGINT, "o_custkey" BIGINT,
             |"o_orderstatus" VARCHAR(8), "o_totalprice" DOUBLE""".stripMargin)
-        JdbcSink.append(src, url, "orders_t")
+        // Driver-local seed (not the distributed append writer): on a
+        // multi-JVM master the executors' insert tasks each boot the
+        // embedded engine and fail XSDB6; seeding is setup, not the
+        // measured product.
+        JdbcSink.seedLocal(src, url, "orders_t")
+        // Multi-JVM seam (r12, found on the local-cluster sweep): a
+        // read-WRITE embedded-Derby boot is exclusive per JVM (db.lck),
+        // so two executor JVMs' concurrent partition readers failed
+        // XSDB6. Shut the seeded database down and package it as
+        // Derby's read-only database-in-a-jar: jar boots take no lock
+        // and are concurrently bootable from any number of executor
+        // JVMs — the embedded stand-in then behaves like the real
+        // server it stands in for. (A chmod read-only mark was tried
+        // first and is silently bypassed when the process runs as
+        // root.)
+        JdbcSink.shutdownDb(url)
+        JdbcSink.packageDb(new java.io.File(s"$root/db"),
+          new java.io.File(s"$root/db.jar"))
         require(new java.io.File(root, "_SUCCESS").createNewFile() ||
           new java.io.File(root, "_SUCCESS").isFile,
           s"could not commit the derby seed marker under $root")
       }
     }
     val bounds = src.agg(min("o_orderkey"), max("o_orderkey")).head()
-    JdbcSink.readPartitioned(s, url, "orders_t", "o_orderkey",
-        bounds.getLong(0), bounds.getLong(1), numPartitions = 4)
+    JdbcSink.readPartitioned(s,
+        JdbcSink.jarDbUrl(new java.io.File(s"$root/db.jar")), "orders_t",
+        "o_orderkey", bounds.getLong(0), bounds.getLong(1), numPartitions = 4)
       .orderBy("o_orderkey")
   }
 

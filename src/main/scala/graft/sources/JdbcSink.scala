@@ -279,6 +279,74 @@ object JdbcSink {
     s.read.jdbc(url, table, props)
   }
 
+  /** Driver-LOCAL batch insert — the seeding path for an embedded
+    * database that executor JVMs will later read ([[packageDb]]): the
+    * distributed [[append]] writer would boot the embedded engine from
+    * every executor JVM and fail XSDB6 from the second one on a
+    * multi-JVM master, and an embedded SEED is setup anyway, not the
+    * measured product. Bounded memory via `toLocalIterator` (one
+    * partition resident at a time), one transaction per 1000-row batch. */
+  def seedLocal(df: DataFrame, url: String, table: String,
+                driver: String = DerbyDriver): Unit = {
+    val cols = df.schema.fieldNames
+    val sql = s"INSERT INTO ${ident(table)} VALUES (${cols.map(_ => "?").mkString(",")})"
+    withConnection(url, driver) { conn =>
+      val ps = conn.prepareStatement(sql)
+      var n = 0
+      df.toLocalIterator().forEachRemaining { row =>
+        cols.indices.foreach(i => ps.setObject(i + 1, row.get(i)))
+        ps.addBatch()
+        n += 1
+        if (n % 1000 == 0) { ps.executeBatch(); conn.commit() }
+      }
+      ps.executeBatch(); conn.commit(); ps.close()
+    }
+  }
+
+  /** Shut down ONE embedded Derby database (not the whole engine),
+    * releasing its boot and db.lck. Derby signals a successful shutdown
+    * with SQLException 08006 — swallowed here; anything else rethrows. */
+  def shutdownDb(url: String): Unit = {
+    derbyHome
+    val plain = url.replaceAll(";create=true", "")
+    try {
+      java.sql.DriverManager.getConnection(s"$plain;shutdown=true")
+      ()
+    } catch {
+      case e: java.sql.SQLException if e.getSQLState == "08006" => ()
+    }
+  }
+
+  /** Package a SHUT-DOWN embedded database directory into a jar archive
+    * — Derby's documented read-only "database in a jar" deployment
+    * (`jdbc:derby:jar:(archive)name`): a jar-subprotocol boot takes no
+    * db.lck and is concurrently bootable from ANY number of JVMs, which
+    * is what lets a multi-executor cluster fan partition readers out
+    * over one seeded embedded database (a read-write embedded boot is
+    * exclusive per JVM — XSDB6 from the second JVM on; a chmod-based
+    * read-only mark is bypassed when the process runs as root). Call
+    * [[shutdownDb]] first so no lock files are live. */
+  def packageDb(dbDir: java.io.File, jar: java.io.File,
+                name: String = "db"): Unit = {
+    val out = new java.util.zip.ZipOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(jar)))
+    def walk(f: java.io.File, prefix: String): Unit =
+      Option(f.listFiles).getOrElse(Array.empty).foreach { c =>
+        val entry = s"$prefix/${c.getName}"
+        if (c.isDirectory) walk(c, entry)
+        else if (!c.getName.endsWith(".lck")) {
+          out.putNextEntry(new java.util.zip.ZipEntry(entry))
+          java.nio.file.Files.copy(c.toPath, out)
+          out.closeEntry()
+        }
+      }
+    try walk(dbDir, name) finally out.close()
+  }
+
+  /** The jar-subprotocol URL for a database packaged by [[packageDb]]. */
+  def jarDbUrl(jar: java.io.File, name: String = "db"): String =
+    s"jdbc:derby:jar:(${jar.getAbsolutePath})$name"
+
   /** Range-partitioned JDBC read — the production fan-out: Spark splits
     * [lowerBound, upperBound] on `partitionColumn` into `numPartitions`
     * disjoint bounded queries, one per task, so N executors drain the

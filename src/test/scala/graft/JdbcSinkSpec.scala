@@ -264,9 +264,25 @@ class JdbcSinkSpec extends AnyFunSuite {
     JdbcSink.ensureTable(url, "orders_t",
       """"o_orderkey" BIGINT, "o_custkey" BIGINT,
         |"o_orderstatus" VARCHAR(8), "o_totalprice" DOUBLE""".stripMargin)
-    JdbcSink.append(src, url, "orders_t")
+    // Driver-local seed — the production shape (the distributed append
+    // writer boots the embedded engine per executor JVM; see seedLocal).
+    JdbcSink.seedLocal(src, url, "orders_t")
+    // The production contract (r12 local-cluster finding): the seeded
+    // database shuts down and is packaged as Derby's read-only
+    // database-in-a-jar, because a read-write embedded boot is
+    // exclusive per JVM (XSDB6 from the second executor JVM on) while
+    // jar boots take no lock and open concurrently from any number of
+    // JVMs. The read below must work off the immutable jar.
+    JdbcSink.shutdownDb(url)
+    val dbDir = new java.io.File(url.stripPrefix("jdbc:derby:")
+      .replaceAll(";create=true", ""))
+    assert(!new java.io.File(dbDir, "db.lck").exists,
+      "shutdown must have released the embedded boot lock")
+    val dbJar = new java.io.File(dbDir.getParentFile, "db.jar")
+    JdbcSink.packageDb(dbDir, dbJar)
     val bounds = src.agg(min("o_orderkey"), max("o_orderkey")).head()
-    val df = JdbcSink.readPartitioned(spark, url, "orders_t", "o_orderkey",
+    val df = JdbcSink.readPartitioned(spark, JdbcSink.jarDbUrl(dbJar),
+      "orders_t", "o_orderkey",
       bounds.getLong(0), bounds.getLong(1), numPartitions = 4)
     assert(df.rdd.getNumPartitions == 4, "the scan must fan out to 4 readers")
     // Concurrency proof: each task's span covers draining its JDBC
