@@ -110,7 +110,16 @@ object Explain {
                   // pair explode and the hashed-array verify joins) and
                   // the hot-bucket reband manifest (stored-postings
                   // groupBys + the semi-joined re-sign subtree)
-                  "dedup_clusters", "dedup_index_reband")) {
+                  "dedup_clusters", "dedup_index_reband",
+                  // round 12: the fine-union candidate scan (cold raw
+                  // pairs + hot sub-bucket pairs must both show the
+                  // codegen'd length filter above their Generates), the
+                  // fine-probe incremental twin, the ANN hot-cell split
+                  // manifest + its consuming sub-probe, and the
+                  // range-partitioned JDBC scan (JDBCRelation with 4
+                  // partition predicates)
+                  "knn_ivf_split", "ann_index_split",
+                  "scan_jdbc_partitioned")) {
       println(s"===== $q =====")
       // Cap per-query output: cached-frame-heavy composites nest their
       // InMemoryRelation child plans repeatedly and can print 50k+ lines

@@ -10,7 +10,11 @@ object TestSpark {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .withExtensions(new graft.functions.GraftExtensions)
-    .master("local[4]")
+    // SPARK_GRAFT_MASTER lets a suite run on local-cluster[n,c,m] — the
+    // multi-JVM seam check (executors then need the compiled classes:
+    // pass -Dspark.executor.extraClassPath=target/scala-2.13/{classes,
+    // test-classes} and SPARK_HOME/SPARK_SCALA_VERSION).
+    .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
