@@ -314,6 +314,24 @@ object GraftAPI {
     withRetiredMarker(root) {
       graft.ops.DedupOps.deleteFromBands(spark, bandsPath,
         deleteIds.select(col(id).as("_id")), idCol = "_id")
+      // The `bands_fine` side-table holds the SAME documents' hot-bucket
+      // postings (review r12): leaving it stale after a takedown lets a
+      // later fine probe flag new text as a dup of a document the index
+      // no longer contains — rewrite it minus the deleted ids under the
+      // same retired marker. localCheckpoint severs the read from the
+      // overwrite of its own source path; the survivors table is
+      // hot-postings-small, so a full rewrite is fine.
+      val fineDir = graft.ops.IndexFs.child(root, "bands_fine")
+      if (graft.ops.Artifacts.readMeta(root).contains("hotSize")) {
+        val survivors = spark.read
+          .schema(graft.ops.MinhashIndex.facadeFineSchema(
+            spark.read.parquet(bandsPath).schema))
+          .parquet(fineDir)
+          .join(deleteIds.select(col(id).as("_id")), Seq("_id"), "left_anti")
+          .localCheckpoint()
+        survivors.repartition(col("pband"))
+          .write.mode("overwrite").partitionBy("pband").parquet(fineDir)
+      }
     }
   }
 

@@ -886,6 +886,30 @@ object DedupOps {
       .orderBy("band", "band_key")
   }
 
+  /** The fine-union PROBE core shared by [[dedupIncremental]] and
+    * [[PipelineOps.curationIncremental]] (review r12 — the two callers
+    * must never disagree about what counts as a near-dup, so the
+    * cold-keys/fine-keys wiring lives once): distinct batch doc_ids
+    * whose band rows hit the stored base index under the fine-union
+    * rule. `batch` must carry (doc_id, band, band_key, sub_key) —
+    * [[bandTableWithN]]'s shape — and should be cached by the caller
+    * (both legs consume it). */
+  private[ops] def fineProbeHits(s: SparkSession, dir: String,
+                                 batch: DataFrame): DataFrame = {
+    val ix = MinhashIndex.ensureBase(s, dir)
+    val finePath = MinhashIndex.ensureFine(s, dir, ix)
+    val coldKeys = s.read.parquet(ix.bands)
+      .groupBy("band", "band_key").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") < RebandHotSize).select("band", "band_key")
+    val fineKeys = s.read.schema(fineSchema).parquet(finePath)
+      .select("band", "band_key", "sub_key").distinct()
+    batch.join(coldKeys, Seq("band", "band_key"), "left_semi")
+      .select("doc_id")
+      .union(batch.join(fineKeys, Seq("band", "band_key", "sub_key"),
+        "left_semi").select("doc_id"))
+      .distinct()
+  }
+
   /** L14: incremental MinHash dedup of a new batch against the STORED
     * corpus index — the steady-state form of [[simjoinLsh]], now actually
     * reading the persisted artifact (r8: previously the "index" was
@@ -909,14 +933,6 @@ object DedupOps {
     * index ([[MinhashIndex.ensureFine]], commit-marker guarded) and the
     * steady-state probe reads stored postings + stored fine keys only. */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val ix = MinhashIndex.ensureBase(s, dir)
-    val finePath = MinhashIndex.ensureFine(s, dir, ix)
-    val post = s.read.parquet(ix.bands)
-    val coldKeys = post.groupBy("band", "band_key")
-      .agg(count(lit(1)).as("sz")).filter(col("sz") < RebandHotSize)
-      .select("band", "band_key")
-    val fineKeys = s.read.schema(fineSchema).parquet(finePath)
-      .select("band", "band_key", "sub_key").distinct()
     // The batch band table feeds THREE consumers (both probe legs and
     // the result spine); cache + eager count so they can't race into
     // recomputing the batch's shingle+signature pipeline (the r5→r6
@@ -924,11 +940,7 @@ object DedupOps {
     val batch = cache(bandTableWithN(
       shingleRows(s, dir).filter(col("doc_id") >= IncrementalCutoff)))
     batch.count()
-    val hits = batch.join(coldKeys, Seq("band", "band_key"), "left_semi")
-      .select("doc_id")
-      .union(batch.join(fineKeys, Seq("band", "band_key", "sub_key"),
-        "left_semi").select("doc_id"))
-      .distinct().withColumn("is_dup", lit(true))
+    val hits = fineProbeHits(s, dir, batch).withColumn("is_dup", lit(true))
     batch.select("doc_id").distinct()
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))

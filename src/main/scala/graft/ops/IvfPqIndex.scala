@@ -105,7 +105,7 @@ object IvfPqIndex {
         .repartition(col("pcell"))
         .write.mode("overwrite").partitionBy("pcell")
         .parquet(s"${ix.root}/cells_split")
-    } finally he.unpersist()
+    } finally { he.unpersist(); cents.unpersist(); () }
     require(m.createNewFile() || m.isFile,
       s"could not commit the split marker under ${ix.root}")
   }

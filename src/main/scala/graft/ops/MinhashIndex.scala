@@ -54,6 +54,21 @@ object MinhashIndex {
   private def fineMarker(ix: Ix): java.io.File =
     new java.io.File(ix.root, "_fine_SUCCESS")
 
+  /** Declared schema of a FACADE `bands_fine` side-table
+    * ([[graft.api.GraftAPI.writeMinhashIndex]]'s layout: `_id` instead
+    * of the registry's `doc_id`), derived from the postings schema so
+    * the caller's id type is preserved. Shared by the streaming probe
+    * and the takedown rewrite so neither can drift; a declared schema
+    * is required because a hot-bucket-free corpus writes a
+    * data-file-less partitioned table and inference on it throws. */
+  def facadeFineSchema(postings: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      postings("_id"), postings("band"), postings("band_key"),
+      org.apache.spark.sql.types.StructField("sub_key",
+        org.apache.spark.sql.types.StringType),
+      postings("pband")))
+
   /** Marker-disciplined rewrite of the `bands_fine` side-table (ADVICE
     * r11): the table lands inside a COMMITTED index root, so its own
     * `_fine_SUCCESS` marker retires before the overwrite and recommits

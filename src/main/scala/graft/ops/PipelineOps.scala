@@ -660,23 +660,18 @@ object PipelineOps {
     val baseFps = docs.filter(col("doc_id") < cut)
       .select(md5(col("text")).as("fp")).distinct()
       .withColumn("seen", lit(true))
-    val ix = MinhashIndex.ensureBase(s, dir)
-    // Fine-union probe (r12): the same cold-keys + bands_fine scheme as
-    // dedup_incremental, so the curation verdict and the standalone
-    // dedup probe can never disagree about what counts as a near-dup.
-    val finePath = MinhashIndex.ensureFine(s, dir, ix)
-    val coldKeys = s.read.parquet(ix.bands)
-      .groupBy("band", "band_key").agg(count(lit(1)).as("sz"))
-      .filter(col("sz") < DedupOps.RebandHotSize).select("band", "band_key")
-    val fineKeys = s.read.schema(DedupOps.fineSchema).parquet(finePath)
-      .select("band", "band_key", "sub_key").distinct()
     val sh = DedupOps.pinnedShingles(s, dir)
-    val batchBands = DedupOps.bandTableWithN(sh.filter(col("doc_id") >= cut))
-    val nearHits = batchBands
-      .join(coldKeys, Seq("band", "band_key"), "left_semi").select("doc_id")
-      .union(batchBands.join(fineKeys, Seq("band", "band_key", "sub_key"),
-        "left_semi").select("doc_id"))
-      .distinct().withColumn("near", lit(true))
+    // Fine-union probe (r12): the SHARED core with dedup_incremental
+    // (DedupOps.fineProbeHits), so the curation verdict and the
+    // standalone dedup probe can never disagree about what counts as a
+    // near-dup. The batch band table feeds both probe legs — cache +
+    // eager count against the double-compute of the batch signature
+    // pipeline (the dedupIncremental lesson at this site).
+    val batchBands = cache(
+      DedupOps.bandTableWithN(sh.filter(col("doc_id") >= cut)))
+    batchBands.count()
+    val nearHits = DedupOps.fineProbeHits(s, dir, batchBands)
+      .withColumn("near", lit(true))
     val evalSet = sh.filter(col("doc_id") < cut && col("doc_id") % 50 === 0)
       .select("x").distinct()
     val batchSh = sh.filter(col("doc_id") >= cut)

@@ -1321,7 +1321,9 @@ object VectorOps {
   private[graft] val SplitSubK = 4
 
   /** Sub-cells a split probe fans out to — like [[FilteredProbes]], the
-    * pool must stay ≥ K after the split narrows each scan. */
+    * pool should cover K after the split narrows each scan; when it
+    * can't (degenerate sub-cells), [[knnIvfSplit]] ENFORCES the floor
+    * by falling back to the whole-cell scan. */
   private[graft] val SplitProbes = 2
 
   /** Declared schemas for the split side-table read-backs — a corpus
@@ -1364,7 +1366,11 @@ object VectorOps {
       .select(col("cell").as("g"), col("vec_id"),
         zip_with(col("x"), col("cv"), (a, b) => r6(a - b)).as("x"))
       .persist()
-    val cents = kmeansCentroidsGrouped(he, iters = 2, k = SplitSubK)
+    // cents persisted too (review r12): the assignment (and therefore
+    // the cells_split write) would otherwise re-run the whole grouped
+    // Lloyd chain the coarse_split write already executed — 2x training
+    // cost for a deterministic recompute.
+    val cents = kmeansCentroidsGrouped(he, iters = 2, k = SplitSubK).persist()
     (he, cents, assignCellsGrouped(he, cents))
   }
 
@@ -1441,7 +1447,21 @@ object VectorOps {
     val candSplit = splitCells
       .join(broadcast(top), Seq("cell", "scid"), "left_semi")
       .select("vec_id")
-    candRaw.union(candSplit)
+    // Pool floor (review r12): sub-cells that lose every point during
+    // the grouped Lloyd can leave the SplitProbes pool below K — the
+    // scaladoc's "pool must stay >= K" was asserted, not enforced. When
+    // the narrowed pool can't fill the top-K, fall back to the whole
+    // cell (exactly the unsplit scan) rather than silently returning a
+    // short result; the pool count is a broadcast scalar, so both
+    // branches stay one filter each. The oracle mirrors the same rule.
+    val pool = broadcast(candSplit.agg(count(lit(1)).as("pool")))
+    val candSplitOk = candSplit.crossJoin(pool)
+      .filter(col("pool") >= K).select("vec_id")
+    val candWide = cells.join(broadcast(q), col("cell") === col("qcell"))
+      .join(broadcast(splitGs.select(col("cell").as("wcell"))),
+        col("cell") === col("wcell"), "left_semi")
+      .crossJoin(pool).filter(col("pool") < K).select("vec_id")
+    candRaw.union(candSplitOk).union(candWide)
       .join(e, "vec_id")
       .crossJoin(broadcast(q.select("qv")))
       .select(col("vec_id"), cosine(col("x"), col("qv")).as("cos"))
@@ -1679,12 +1699,20 @@ object VectorOps {
          |    ORDER BY ${sqlDist("q.qx", "c.cv")} ASC, c.cid ASC) AS rn
          |  FROM gc2 c JOIN q0 ON c.g = q0.qcell CROSS JOIN qres q) t
          |  WHERE rn <= $SplitProbes),
+         |candsplit AS (
+         |  SELECT gc.vec_id FROM gcells gc JOIN q0 ON gc.g = q0.qcell
+         |    JOIN topsc ON gc.cid = topsc.cid),
+         |poolc AS (SELECT count(*) AS pool FROM candsplit),
          |cand AS (
          |  SELECT cl.vec_id FROM cells cl JOIN q0 ON cl.cell = q0.qcell
          |  WHERE q0.qcell NOT IN (SELECT cell FROM hot)
          |  UNION ALL
-         |  SELECT gc.vec_id FROM gcells gc JOIN q0 ON gc.g = q0.qcell
-         |    JOIN topsc ON gc.cid = topsc.cid),
+         |  SELECT vec_id FROM candsplit
+         |  WHERE (SELECT pool FROM poolc) >= $K
+         |  UNION ALL
+         |  SELECT cl.vec_id FROM cells cl JOIN q0 ON cl.cell = q0.qcell
+         |  WHERE q0.qcell IN (SELECT cell FROM hot)
+         |    AND (SELECT pool FROM poolc) < $K),
          |qv AS (SELECT x AS qv FROM e WHERE vec_id = 0)
          |SELECT e.vec_id, ${sqlCos("e.x", "q.qv")} AS cos
          |FROM cand JOIN e USING (vec_id) CROSS JOIN qv q

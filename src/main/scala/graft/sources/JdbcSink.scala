@@ -291,6 +291,11 @@ object JdbcSink {
     val cols = df.schema.fieldNames
     val sql = s"INSERT INTO ${ident(table)} VALUES (${cols.map(_ => "?").mkString(",")})"
     withConnection(url, driver) { conn =>
+      // Explicit transactions (review r12): withConnection leaves
+      // auto-commit ON, under which Derby commits every INSERT
+      // individually (per-row log sync) and spec-compliant drivers
+      // (Postgres) THROW on the manual commit() below.
+      conn.setAutoCommit(false)
       val ps = conn.prepareStatement(sql)
       var n = 0
       df.toLocalIterator().forEachRemaining { row =>

@@ -245,24 +245,21 @@ object StreamingOps {
                             numHashes: Int, bands: Int): DataFrame = {
     val s = batch.sparkSession
     val root = graft.ops.IndexFs.parent(indexBandsPath)
+    // The band table feeds BOTH probe legs; an eager localCheckpoint
+    // materializes the micro-batch's tokenize+signature pipeline once
+    // instead of twice per batch (the same double-compute hazard the
+    // batch twin caches against), and its blocks are released when the
+    // batch's RDD is GC'd — no cross-batch persist leak.
     val bt = graft.api.GraftAPI.minhashBandsWithSub(
-      batch, id, text, numHashes, bands)
+      batch, id, text, numHashes, bands).localCheckpoint()
     (graft.ops.Artifacts.readMeta(root).get("hotSize") match {
       case Some(hotSize) =>
         val post = s.read.parquet(indexBandsPath)
         val coldKeys = post
           .groupBy("band", "band_key").agg(count(lit(1)).as("sz"))
           .filter(col("sz") < hotSize.toLong).select("band", "band_key")
-        // Declared schema on the fine read: a hot-bucket-free corpus
-        // writes a data-file-less partitioned table, and inference on
-        // it throws. The id/band/key types come from the POSTINGS
-        // schema so the caller's id type is preserved.
-        val fineSchema = org.apache.spark.sql.types.StructType(Seq(
-          post.schema("_id"), post.schema("band"), post.schema("band_key"),
-          org.apache.spark.sql.types.StructField("sub_key",
-            org.apache.spark.sql.types.StringType),
-          post.schema("pband")))
-        val fineKeys = s.read.schema(fineSchema)
+        val fineKeys = s.read
+          .schema(graft.ops.MinhashIndex.facadeFineSchema(post.schema))
           .parquet(graft.ops.IndexFs.child(root, "bands_fine"))
           .select("band", "band_key", "sub_key").distinct()
         bt.join(coldKeys, Seq("band", "band_key"), "left_semi").select(id)

@@ -576,6 +576,48 @@ class ApiSpec extends AnyFunSuite {
       "post-delete content must be the exact survivor set")
   }
 
+  test("takedown purges bands_fine: deleted hot-family text stops flagging in the fine probe (review r12)") {
+    import org.apache.spark.sql.functions._
+    val sq = spark; import sq.implicits._
+    // two exact-dup families (both hot at RebandHotSize=4) + uniques,
+    // all in ingest batch 0 so no (band, batch) partition empties
+    val famA = (0L to 4L).map(id => (id, (1 to 40).map(i => s"atok$i").mkString(" ")))
+    val famB = (10L to 15L).map(id => (id, (1 to 40).map(i => s"btok$i").mkString(" ")))
+    val uniq = (20L to 60L).map(id => (id, (1 to 40).map(i => s"u${id}w$i").mkString(" ")))
+    val corpus = (famA ++ famB ++ uniq).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_mhdel_fine").toString
+    GraftAPI.writeMinhashIndex(corpus, "doc_id", "text", root,
+      numHashes = 8, bands = 2, batchWidth = 250).collect()
+    val bands = s"$root/bands"
+    def probe(out: String): Map[Long, Boolean] = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val batch = Seq((400L, famA.head._2), (401L, famB.head._2),
+        (402L, (1 to 40).map(i => s"fresh$i").mkString(" "))).toDF("doc_id", "text")
+      graft.streaming.StreamingOps.dedupBatchAgainstIndex(
+        bands, out, "doc_id", "text", numHashes = 8, bands = 2)(batch, 0L)
+      spark.read.parquet(out).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_dup")).toMap
+    }
+    val pre = probe("/tmp/graft_mhdel_fine_pre")
+    assert(pre(400L) && pre(401L) && !pre(402L),
+      "both hot families must flag through the fine probe pre-delete")
+    // take down family A entirely
+    GraftAPI.minhashIndexDelete(spark, bands,
+      famA.map(_._1).toDF("doc_id"), "doc_id")
+    val fineLeft = spark.read.schema(ops.MinhashIndex.facadeFineSchema(
+        spark.read.parquet(bands).schema))
+      .parquet(s"$root/bands_fine").select("_id").collect().map(_.getLong(0))
+    assert(!fineLeft.exists(famA.map(_._1).contains(_)),
+      "bands_fine must not retain deleted documents' postings")
+    assert(fineLeft.nonEmpty && famB.map(_._1).forall(fineLeft.contains),
+      "the surviving hot family's fine rows must remain")
+    val post = probe("/tmp/graft_mhdel_fine_post")
+    assert(!post(400L),
+      "text of a fully-taken-down family must stop flagging as a dup")
+    assert(post(401L), "the surviving family must keep flagging")
+    assert(!post(402L))
+  }
+
   test("delete-leg marker semantics: success recommits _SUCCESS; a failed delete leaves the index uncommitted") {
     import org.apache.spark.sql.functions._
     val sq = spark
