@@ -743,6 +743,11 @@ object Relational {
         // embedded engine and fail XSDB6; seeding is setup, not the
         // measured product.
         JdbcSink.seedLocal(src, url, "orders_t")
+        // Index the partition column (review r12, measured): without
+        // it each of the 4 bounded partition queries full-scans the
+        // table — 4x the pages for one logical pass; a real migration
+        // source has its PK indexed, so the stand-in should too.
+        JdbcSink.createIndex(url, "orders_t", "o_orderkey")
         // Multi-JVM seam (r12, found on the local-cluster sweep): a
         // read-WRITE embedded-Derby boot is exclusive per JVM (db.lck),
         // so two executor JVMs' concurrent partition readers failed
