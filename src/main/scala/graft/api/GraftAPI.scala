@@ -1103,6 +1103,35 @@ object GraftAPI {
     nv.join(nc, "cell").select(col("cell"), col("n_vecs"), col("n_codes"))
   }
 
+  /** Hot-cell SPLIT maintenance on a stored [[buildAnnIndex]] layout —
+    * the remedy for what [[annIndexStats]]'s `imbalance`/`max_cell`
+    * detect (the facade form of the registry's `ann_index_split`, and
+    * the ANN mirror of the MinHash hot-bucket reband): cells holding ≥
+    * `hotSize` vectors train `subK` sub-centroids on their RESIDUALS
+    * against the stored coarse centroids (one grouped Lloyd pass trains
+    * every hot cell in the same jobs, same 6-dp-snapped deterministic
+    * math as the codebooks) and re-assign into `coarse_split` /
+    * `cells_split` side-tables next to the index, guarded by their own
+    * `_split_SUCCESS` commit marker (a crash mid-write reads as "no
+    * split"). Probes narrow a split cell to the sub-cells nearest the
+    * query's residual instead of scanning `max_cell` vectors. `df` must
+    * be the SAME corpus the index was built from — only the hot cells'
+    * vectors are read. Returns the per-hot-cell manifest
+    * (cell, n_vecs, n_sub, max_sub); empty when no cell is hot.
+    * Harness twin: `ann_index_split` / `knn_ivf_split`. */
+  def annIndexSplit(df: DataFrame, id: String, vec: String, path: String,
+                    hotSize: Long = 32L, subK: Int = 4): DataFrame = {
+    require(hotSize > 1 && subK > 1,
+      s"hotSize/subK must exceed 1: $hotSize/$subK")
+    val s = df.sparkSession
+    val ix = graft.ops.IvfPqIndex.Ix(path)
+    val e = df.select(col(id).as("vec_id"),
+      col(vec).cast("array<double>").as("x"))
+    graft.ops.IvfPqIndex.rewriteSplitFrom(
+      graft.ops.VectorOps.splitRowsOf(s, e, ix, hotSize, subK), ix)
+    graft.ops.VectorOps.splitManifest(s, ix)
+  }
+
   /** Health audit of a stored ANN index ([[buildAnnIndex]] layout) — the
     * one-row dashboard an operator reads before deciding to re-train:
     * cell coverage vs the quantizer's `quantizerCells` capacity, size

@@ -89,11 +89,19 @@ object IvfPqIndex {
     * trustworthy partial table. The main index `_SUCCESS` stays valid
     * throughout: the split is additive; raw cell probes remain correct
     * without it. */
-  def rewriteSplit(s: SparkSession, dir: String, ix: Ix): Unit = synchronized {
+  def rewriteSplit(s: SparkSession, dir: String, ix: Ix): Unit =
+    rewriteSplitFrom(VectorOps.splitRowsFor(s, dir, ix), ix)
+
+  /** [[rewriteSplit]] from pre-built (pinned residuals, sub-centroids,
+    * assignments) frames — shared with the public facade, which derives
+    * them from a caller corpus at caller geometry
+    * ([[graft.ops.VectorOps.splitRowsOf]]). */
+  def rewriteSplitFrom(frames: (DataFrame, DataFrame, DataFrame),
+                       ix: Ix): Unit = synchronized {
+    val (he, cents, assign) = frames
     val m = splitMarker(ix)
     if (m.isFile) require(m.delete(),
       s"could not retire the split marker under ${ix.root} before the rewrite")
-    val (he, cents, assign) = VectorOps.splitRowsFor(s, dir, ix)
     try {
       cents.select(col("g").as("cell"), col("cid").as("scid"),
           col("cv").as("scv"))

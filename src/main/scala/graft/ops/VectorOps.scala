@@ -1354,13 +1354,23 @@ object VectorOps {
     * assignments (g, vec_id, cid)). Reads only STORED tables plus the
     * hot cells' float vectors; cold cells' floats are never touched. */
   private[ops] def splitRowsFor(s: SparkSession, dir: String,
-                                ix: IvfPqIndex.Ix): (DataFrame, DataFrame, DataFrame) = {
+                                ix: IvfPqIndex.Ix): (DataFrame, DataFrame, DataFrame) =
+    splitRowsOf(s,
+      embeddings(s, dir).select(col("vec_id"), asD(col("embedding")).as("x")),
+      ix, SplitHotSize, SplitSubK)
+
+  /** [[splitRowsFor]] over an arbitrary (vec_id, x) frame at caller
+    * geometry — the core the public facade
+    * ([[graft.api.GraftAPI.annIndexSplit]]) shares with the registry
+    * path. */
+  private[graft] def splitRowsOf(s: SparkSession, e: DataFrame,
+                                 ix: IvfPqIndex.Ix, hotSize: Long,
+                                 subK: Int): (DataFrame, DataFrame, DataFrame) = {
     val cells = s.read.parquet(ix.cells)
     val hot = cells.groupBy("cell").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= SplitHotSize).select("cell")
+      .filter(col("n") >= hotSize).select("cell")
     val coarse = s.read.parquet(ix.coarse)
-    val he = embeddings(s, dir)
-      .select(col("vec_id"), asD(col("embedding")).as("x"))
+    val he = e
       .join(cells.join(broadcast(hot), Seq("cell"), "left_semi"), "vec_id")
       .join(broadcast(coarse), col("cell") === col("cid"))
       .select(col("cell").as("g"), col("vec_id"),
@@ -1370,8 +1380,21 @@ object VectorOps {
     // the cells_split write) would otherwise re-run the whole grouped
     // Lloyd chain the coarse_split write already executed — 2x training
     // cost for a deterministic recompute.
-    val cents = kmeansCentroidsGrouped(he, iters = 2, k = SplitSubK).persist()
+    val cents = kmeansCentroidsGrouped(he, iters = 2, k = subK).persist()
     (he, cents, assignCellsGrouped(he, cents))
+  }
+
+  /** Per-hot-cell manifest read back FROM the written `cells_split`
+    * side-table — shared by the registry op and the facade. */
+  private[graft] def splitManifest(s: SparkSession, ix: IvfPqIndex.Ix): DataFrame = {
+    val sub = s.read.schema(splitCellsSchema)
+      .parquet(s"${ix.root}/cells_split")
+      .groupBy("cell", "scid").agg(count(lit(1)).as("ssz"))
+    sub.groupBy("cell")
+      .agg(sum("ssz").as("n_vecs"), count(lit(1)).as("n_sub"),
+        max("ssz").as("max_sub"))
+      .select(col("cell"), col("n_vecs"), col("n_sub"), col("max_sub"))
+      .orderBy("cell")
   }
 
   /** L3n: hot-cell SPLIT maintenance (VERDICT r11 #3) — the remedy for
@@ -1397,14 +1420,7 @@ object VectorOps {
   def annIndexSplit(s: SparkSession, dir: String): DataFrame = {
     val ix = IvfPqIndex.ensure(s, dir)
     IvfPqIndex.rewriteSplit(s, dir, ix)
-    val sub = s.read.schema(splitCellsSchema)
-      .parquet(s"${ix.root}/cells_split")
-      .groupBy("cell", "scid").agg(count(lit(1)).as("ssz"))
-    sub.groupBy("cell")
-      .agg(sum("ssz").as("n_vecs"), count(lit(1)).as("n_sub"),
-        max("ssz").as("max_sub"))
-      .select(col("cell"), col("n_vecs"), col("n_sub"), col("max_sub"))
-      .orderBy("cell")
+    splitManifest(s, ix)
   }
 
   /** L3o: IVF probe THROUGH the cell split — [[knnIvfKmeans]]'s shape,

@@ -365,10 +365,69 @@ object StreamingOps {
         q.select(col("query_id").as("vec_id"), col("qx").as("x")), coarse)
       .select(col("vec_id").as("query_id"), col("cell").as("qcell"))
     val qfull = broadcast(q.join(qa, "query_id"))
+    // Split-aware candidate pool (r12): when the index root carries a
+    // COMMITTED cell split (`_split_SUCCESS` — artifacts bind per batch,
+    // like a compacted/re-trained index), a query landing in a split
+    // cell scans only its nearest sub-cells instead of max_cell
+    // vectors, with the same per-query pool >= k floor the batch probe
+    // enforces (whole-cell fallback). Unsplit indexes and unsplit cells
+    // keep the exact pre-split pool.
+    val cand: DataFrame =
+      if (!graft.ops.IndexFs.isFile(
+          graft.ops.IndexFs.child(indexRoot, "_split_SUCCESS"))) {
+        cells.join(qfull, col("cell") === col("qcell"))
+          .select(col("query_id"), col("qx"), col("vec_id"))
+      } else {
+        def sq(x: Column, cv: Column): Column =
+          graft.Tables.r6(dot2(x, x) - lit(2) * dot2(x, cv) + dot2(cv, cv))
+        val splitCents = s.read
+          .schema(graft.ops.VectorOps.splitCentsSchema)
+          .parquet(s"$indexRoot/coarse_split")
+        val splitCells = s.read
+          .schema(graft.ops.VectorOps.splitCellsSchema)
+          .parquet(s"$indexRoot/cells_split")
+        val splitGs = broadcast(splitCents
+          .select(col("cell").as("scell")).distinct())
+        val qres = qfull.join(broadcast(coarse), col("qcell") === col("cid"))
+          .select(col("query_id"), col("qcell"),
+            zip_with(col("qx"), col("cv"),
+              (a, b) => graft.Tables.r6(a - b)).as("qrx"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("d").asc, col("scid").asc)
+        val topPer = broadcast(splitCents
+          .join(broadcast(qres), col("cell") === col("qcell"))
+          .select(col("query_id"), col("cell"), col("scid"),
+            sq(col("qrx"), col("scv")).as("d"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= graft.ops.VectorOps.SplitProbes)
+          .select(col("query_id"), col("cell"), col("scid")))
+        val poolPer = broadcast(splitCells
+          .join(topPer, Seq("cell", "scid"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("pool")))
+        val candRaw = cells.join(qfull, col("cell") === col("qcell"))
+          .join(splitGs, col("qcell") === col("scell"), "left_anti")
+          .select(col("query_id"), col("qx"), col("vec_id"))
+        val candSplit = splitCells
+          .join(topPer, Seq("cell", "scid"))
+          .join(poolPer.filter(col("pool") >= k), "query_id")
+          .join(qfull.select(col("query_id").as("qid2"), col("qx")),
+            col("query_id") === col("qid2"))
+          .select(col("query_id"), col("qx"), col("vec_id"))
+        // pool < k (or 0 — no row in poolPer): whole split cell
+        val underfilled = broadcast(qfull
+          .join(splitGs, col("qcell") === col("scell"), "left_semi")
+          .join(poolPer, Seq("query_id"), "left")
+          .filter(coalesce(col("pool"), lit(0L)) < k)
+          .select(col("query_id"), col("qx"), col("qcell")))
+        val candWide = cells
+          .join(underfilled, col("cell") === col("qcell"))
+          .select(col("query_id"), col("qx"), col("vec_id"))
+        candRaw.unionByName(candSplit).unionByName(candWide)
+      }
     val scored = s.read.parquet(corpusPath)
       .select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cx"))
-      .join(cells, col("corpus_id") === col("vec_id"))
-      .join(qfull, col("cell") === col("qcell"))
+      .join(cand, col("corpus_id") === col("vec_id"))
       .select(col("query_id"), col("corpus_id"),
         graft.Tables.r6(dot2(col("cx"), col("qx")) /
           (sqrt(dot2(col("cx"), col("cx"))) * sqrt(dot2(col("qx"), col("qx")))))

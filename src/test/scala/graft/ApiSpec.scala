@@ -425,6 +425,81 @@ class ApiSpec extends AnyFunSuite {
     assert(pdirs == manifest.map(c => s"pcell=${c._1}").toSet)
   }
 
+  test("annIndexSplit(facade) + split-aware annProbeBatch: hot cell narrows, per-query top-k exact (r12)") {
+    import org.apache.spark.sql.functions._
+    val sq = spark; import sq.implicits._
+    // planted corpus (dim 16): a 201-vector cluster that lands in ONE
+    // coarse cell (seeds: vec 0 inside it, 1-15 scattered far) + more
+    // scattered mass — the VectorSpec L3n shape, here through the API.
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(16)(rnd.nextGaussian() * 0.1 + 0.5)
+    def jitter(s: Double) = base.map(v => (v + rnd.nextGaussian() * s).toFloat)
+    def scattered() = Array.fill(16)((rnd.nextGaussian() * 2.0).toFloat)
+    val rows =
+      Seq((0L, base.map(_.toFloat))) ++
+      (1L to 15L).map(id => (id, scattered())) ++
+      (16L to 215L).map(id => (id, jitter(0.05))) ++
+      (216L to 315L).map(id => (id, scattered()))
+    val dir = java.nio.file.Files.createTempDirectory("graft_split_api").toString
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft_split_ix").toString
+    GraftAPI.buildAnnIndex(emb, "vec_id", "embedding", root,
+      cells = 16, m = 4, k = 8).collect()
+
+    val manifest = GraftAPI.annIndexSplit(emb, "vec_id", "embedding", root,
+      hotSize = 32L, subK = 4).collect()
+    assert(manifest.nonEmpty && manifest.exists(_.getAs[Long]("n_vecs") >= 200L),
+      "the planted cluster must split")
+    assert(new java.io.File(root, "_split_SUCCESS").isFile)
+    // re-running the maintenance job is idempotent (deterministic Lloyd)
+    val manifest2 = GraftAPI.annIndexSplit(emb, "vec_id", "embedding", root,
+      hotSize = 32L, subK = 4).collect()
+    assert(manifest2.map(_.toString).sorted.sameElements(
+      manifest.map(_.toString).sorted))
+
+    // split-aware streaming probe (direct foreachBatch-body call): one
+    // query inside the hot cell, one scattered — each must return the
+    // EXACT whole-cell top-k (the narrowed scan loses nothing here: the
+    // cluster's neighbors share the query's sub-cell or the pool floor
+    // falls back).
+    val out = "/tmp/graft_split_probe_out"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val batch = Seq((0L, rows(0)._2.map(_.toDouble)),
+        (220L, rows.find(_._1 == 220L).get._2.map(_.toDouble)))
+      .toDF("vec_id", "embedding")
+    graft.streaming.StreamingOps.annProbeBatch(s"$dir/embeddings.parquet",
+      root, out, "vec_id", "embedding", k = 10)(batch, 0L)
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cellsT = spark.read.parquet(s"$root/cells").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1e6 + 0.5) / 1e6
+    }
+    val vecs = rows.toMap
+    for (qid <- Seq(0L, 220L)) {
+      val cellIds = cellsT.collect { case (v, c) if c == cellsT(qid) => v }
+      val want = cellIds.toSeq.map(v => (v, cos(vecs(v), vecs(qid))))
+        .sortBy { case (v, c) => (-c, v) }.take(10).map(_._1).toSet
+      assert(got(qid) == want,
+        s"query $qid: split probe must return the exact whole-cell top-10")
+    }
+    // and the split actually narrowed the hot query's scan: its top-2
+    // sub-cells hold fewer vectors than the whole cell
+    val splitCells = spark.read.parquet(s"$root/cells_split")
+      .filter(col("cell") === cellsT(0L))
+    val bySub = splitCells.groupBy("scid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bySub.values.toSeq.sorted.reverse.take(2).sum <
+      cellsT.values.count(_ == cellsT(0L)),
+      "the narrowed pool must be smaller than the hot cell")
+  }
+
   test("scaledSignBuckets: bucket width follows n/T; sqrtNSignCells matches the registry op") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val n = emb.count() // 500 on the fixture
