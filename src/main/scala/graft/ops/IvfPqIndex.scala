@@ -75,8 +75,11 @@ object IvfPqIndex {
     ix
   }
 
-  private def splitMarker(ix: Ix): java.io.File =
-    new java.io.File(ix.root, "_split_SUCCESS")
+  // IndexFs, not java.io.File (review r12): the split write path is
+  // reachable from the public facade (GraftAPI.annIndexSplit), whose
+  // `path` may be an object-store URI — same rule as buildAt's marker.
+  private def splitMarker(ix: Ix): String =
+    IndexFs.child(ix.root, "_split_SUCCESS")
 
   /** Marker-disciplined rewrite of the cell-SPLIT side-tables (the ANN
     * mirror of [[MinhashIndex.rewriteFine]]): `coarse_split` (cell, scid,
@@ -100,7 +103,7 @@ object IvfPqIndex {
                        ix: Ix): Unit = synchronized {
     val (he, cents, assign) = frames
     val m = splitMarker(ix)
-    if (m.isFile) require(m.delete(),
+    if (IndexFs.isFile(m)) require(IndexFs.delete(m),
       s"could not retire the split marker under ${ix.root} before the rewrite")
     try {
       cents.select(col("g").as("cell"), col("cid").as("scid"),
@@ -114,7 +117,7 @@ object IvfPqIndex {
         .write.mode("overwrite").partitionBy("pcell")
         .parquet(s"${ix.root}/cells_split")
     } finally { he.unpersist(); cents.unpersist(); () }
-    require(m.createNewFile() || m.isFile,
+    require(IndexFs.touch(m),
       s"could not commit the split marker under ${ix.root}")
   }
 
@@ -125,7 +128,7 @@ object IvfPqIndex {
     * ran first or the probe built it lazily, the stored content is
     * byte-identical and every query stays a pure function of the corpus. */
   def ensureSplit(s: SparkSession, dir: String, ix: Ix): Unit = synchronized {
-    if (!splitMarker(ix).isFile) rewriteSplit(s, dir, ix)
+    if (!IndexFs.isFile(splitMarker(ix))) rewriteSplit(s, dir, ix)
   }
 
   /** The one-time registry build at the harness geometry (16 coarse
@@ -158,6 +161,14 @@ object IvfPqIndex {
     val marker = IndexFs.child(ix.root, "_SUCCESS")
     if (IndexFs.isFile(marker)) require(IndexFs.delete(marker),
       s"could not retire the stale index marker under ${ix.root}")
+    // An in-place REBUILD invalidates any committed cell split (review
+    // r12): the side-tables reflect the OLD assignment, and the
+    // split-aware probe would silently serve them — retire the split
+    // marker so consumers fall back to whole-cell scans until the next
+    // maintenance run re-splits against the new index.
+    val stale = splitMarker(ix)
+    if (IndexFs.isFile(stale)) require(IndexFs.delete(stale),
+      s"could not retire the stale split marker under ${ix.root}")
     val e = raw.persist()
     try {
       val dim = e.select(size(col("x"))).head().getInt(0)

@@ -724,9 +724,11 @@ object Relational {
     * against the server concurrently mid-scan. */
   def scanJdbcPartitioned(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.JdbcSink
-    // v2: the layout contract now includes the post-seed read-only mark
-    // (a v1 root predates it and would re-fail multi-JVM boots).
-    val root = Artifacts.root("derbyscan_v2", dir, "orders.parquet")
+    // v3: the layout contract now includes the partition-column index
+    // and the STORED (uncompressed) jar packaging (review r12: a v2 root
+    // would silently keep the 4x-full-scan DEFLATED artifact the fix
+    // retired); v2 added the post-seed immutable packaging over v1.
+    val root = Artifacts.root("derbyscan_v3", dir, "orders.parquet")
     val url = s"jdbc:derby:$root/db;create=true"
     val src = orders(s, dir).select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),

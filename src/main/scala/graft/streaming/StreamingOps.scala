@@ -324,12 +324,17 @@ object StreamingOps {
     * coarse-assigned against the stored centroid table (broadcast-argmin
     * over the tiny batch), joins ONLY its assigned cells' corpus vectors
     * — with a cell-partitioned corpus layout at 100 TB that join is a
-    * partition-pruned scan, never the full corpus — and lands exact
-    * per-query cosine top-k through the idempotent partition-per-batch
-    * sink (at-least-once replay × [[idempotentBatchWriter]] = exactly-once
-    * results). Index and corpus frames are bound per batch (read inside
-    * foreachBatch), so a re-trained/compacted index is picked up at the
-    * next batch boundary, not mid-query. */
+    * partition-pruned scan, never the full corpus — and lands per-query
+    * cosine top-k through the idempotent partition-per-batch sink
+    * (at-least-once replay × [[idempotentBatchWriter]] = exactly-once
+    * results). Scores are EXACT over the probed pool; the pool is the
+    * assigned cell, or — when the index root carries a committed cell
+    * split (r12) — that cell's nearest sub-cells, which is approximate
+    * at the cell level exactly like narrowing nprobe (pool ≥ k enforced
+    * via whole-cell fallback; retire `_split_SUCCESS` to restore
+    * whole-cell pools). Index and corpus frames are bound per batch
+    * (read inside foreachBatch), so a re-trained/compacted/re-split
+    * index is picked up at the next batch boundary, not mid-query. */
   def annProbeBatch(corpusPath: String, indexRoot: String, outPath: String,
                     qId: String, qVec: String,
                     cId: String = "vec_id", cVec: String = "embedding",
@@ -402,14 +407,20 @@ object StreamingOps {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= graft.ops.VectorOps.SplitProbes)
           .select(col("query_id"), col("cell"), col("scid")))
-        val poolPer = broadcast(splitCells
+        // ONE scan of cells_split serves both the pool count and the
+        // candidate set (review r12): the matched frame is pool-sized
+        // (probed sub-cells' members), so an eager localCheckpoint is
+        // cheap and halves the side-table I/O per micro-batch.
+        val matched = splitCells
           .join(topPer, Seq("cell", "scid"))
+          .select(col("query_id"), col("vec_id"))
+          .localCheckpoint()
+        val poolPer = broadcast(matched
           .groupBy(col("query_id")).agg(count(lit(1)).as("pool")))
         val candRaw = cells.join(qfull, col("cell") === col("qcell"))
           .join(splitGs, col("qcell") === col("scell"), "left_anti")
           .select(col("query_id"), col("qx"), col("vec_id"))
-        val candSplit = splitCells
-          .join(topPer, Seq("cell", "scid"))
+        val candSplit = matched
           .join(poolPer.filter(col("pool") >= k), "query_id")
           .join(qfull.select(col("query_id").as("qid2"), col("qx")),
             col("query_id") === col("qid2"))

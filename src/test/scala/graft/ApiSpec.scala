@@ -464,8 +464,8 @@ class ApiSpec extends AnyFunSuite {
     // EXACT whole-cell top-k (the narrowed scan loses nothing here: the
     // cluster's neighbors share the query's sub-cell or the pool floor
     // falls back).
-    val out = "/tmp/graft_split_probe_out"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_split_probe").toString + "/out"
     val batch = Seq((0L, rows(0)._2.map(_.toDouble)),
         (220L, rows.find(_._1 == 220L).get._2.map(_.toDouble)))
       .toDF("vec_id", "embedding")
