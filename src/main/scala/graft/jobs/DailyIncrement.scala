@@ -30,7 +30,13 @@ import org.apache.spark.sql.functions._
   *      as a cell-partitioned delta next to the base codes, so
   *      tomorrow's vector probes see today's vectors too; the merged
   *      per-cell manifest → `<outDir>/ann_delta_manifest`. One
-  *      spark-submit absorbs a day for BOTH indexes (VERDICT r9 #4).
+  *      spark-submit absorbs a day for BOTH indexes (VERDICT r9 #4);
+  *   5. MAINTENANCE AUDIT (r12): hot-shard posture of both index
+  *      families over base ∪ today's delta — (family, hot_shards,
+  *      max_shard, remedy_job) rows → `<outDir>/maintenance`, with the
+  *      counts on the report line, so the detect→remedy loop
+  *      (`dedup_index_reband` / `ann_index_split`) triggers from the
+  *      daily job instead of from probe-latency complaints.
   *
   * Every stage re-runs idempotently (all writes are overwrites keyed by
   * the batch), and at 100 TB the whole job costs one pass over the DAY:
@@ -89,6 +95,44 @@ object DailyIncrement {
         .write.mode("overwrite").parquet(s"$outDir/ann_delta_manifest")
       val annNew = spark.read.parquet(s"$outDir/ann_delta_manifest")
         .agg(coalesce(sum("n_new"), lit(0L))).head().getLong(0)
+      // 5. MAINTENANCE AUDIT (r12): after the day lands, re-check both
+      // index families' hot-shard posture over base ∪ today's delta —
+      // the operable form of the detect→remedy loop (stats detect;
+      // `dedup_index_reband` / `ann_index_split` remedy). One row per
+      // family → `<outDir>/maintenance`; the report line carries the
+      // counts so an operator (or the scheduler) can trigger the remedy
+      // job the moment appends push a shard over its threshold, instead
+      // of discovering it in probe latency.
+      val mhIx = graft.ops.MinhashIndex.ensureBase(spark, sfDir)
+      val hotBuckets = spark.read.parquet(mhIx.bands)
+        .select("band", "band_key")
+        .unionByName(spark.read.parquet(s"${mhIx.root}/bands_delta")
+          .select("band", "band_key"))
+        .groupBy("band", "band_key").agg(count(lit(1)).as("sz"))
+        .agg(coalesce(sum(when(
+            col("sz") >= graft.ops.DedupOps.RebandHotSize, 1L)
+          .otherwise(0L)), lit(0L)).as("hot"),
+          coalesce(max("sz"), lit(0L)).as("max_sz"))
+        .head()
+      val annIx = graft.ops.IvfPqIndex.ensureBase(spark, sfDir)
+      val hotCells = spark.read.parquet(annIx.cells).select("cell")
+        .unionByName(spark.read
+          .parquet(s"${annIx.root}/ivfpq_codes_delta")
+          .filter(col("m") === 0).select("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("sz"))
+        .agg(coalesce(sum(when(
+            col("sz") >= graft.ops.VectorOps.SplitHotSize, 1L)
+          .otherwise(0L)), lit(0L)).as("hot"),
+          coalesce(max("sz"), lit(0L)).as("max_sz"))
+        .head()
+      val sq2 = spark; import sq2.implicits._
+      Seq(
+        ("minhash", hotBuckets.getLong(0), hotBuckets.getLong(1),
+          "dedup_index_reband"),
+        ("ann", hotCells.getLong(0), hotCells.getLong(1),
+          "ann_index_split"))
+        .toDF("family", "hot_shards", "max_shard", "remedy_job")
+        .write.mode("overwrite").parquet(s"$outDir/maintenance")
       val shards = spark.read.parquet(s"$outDir/shards")
       val dayTokens = shards.agg(coalesce(sum("n_tokens"), lit(0L)))
         .head().getLong(0)
@@ -99,7 +143,8 @@ object DailyIncrement {
           s"packed_tokens_day=$dayTokens " +
           s"packed_tokens_total=${baseTokens + dayTokens} " +
           s"last_shard=${shards.agg(coalesce(max("shard"), lit(-1L))).head().getLong(0)} " +
-          s"ann_new=$annNew"
+          s"ann_new=$annNew " +
+          s"hot_buckets=${hotBuckets.getLong(0)} hot_cells=${hotCells.getLong(0)}"
       println(report)
     } finally JobSession.release(spark)
   }

@@ -92,6 +92,24 @@ class JobsSpec extends AnyFunSuite {
     assert(reported("packed_tokens_day") == dayTokens)
     assert(reported("packed_tokens_total") == baseTokens0 + dayTokens,
       "packed_tokens_total must be cumulative (the next run's third arg)")
+    // maintenance audit (r12): one row per index family, counts equal a
+    // local recompute over base ∪ delta, remedy jobs named
+    val maint = spark.read.parquet(s"$out/maintenance").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(maint.keySet == Set("minhash", "ann"))
+    assert(maint("minhash")._3 == "dedup_index_reband" &&
+      maint("ann")._3 == "ann_index_split")
+    val mhIx = ops.MinhashIndex.ensureBase(spark, sf)
+    val sizes = spark.read.parquet(mhIx.bands).select("band", "band_key")
+      .unionByName(spark.read.parquet(s"${mhIx.root}/bands_delta")
+        .select("band", "band_key"))
+      .groupBy("band", "band_key").count().collect().map(_.getLong(2))
+    assert(maint("minhash")._1 ==
+      sizes.count(_ >= ops.DedupOps.RebandHotSize).toLong)
+    assert(maint("minhash")._2 == sizes.max)
+    assert(reported("hot_buckets") == maint("minhash")._1 &&
+      reported("hot_cells") == maint("ann")._1)
     // orchestrator retry: byte-stable outputs on identical re-run
     val first = verdicts.collect().map(_.toString).sorted
     jobs.DailyIncrement.main(Array(sf, out))
