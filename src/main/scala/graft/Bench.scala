@@ -28,6 +28,7 @@ object Bench {
     "embed_mrl_recall",
     "knn_cosine", "knn_ivf", "knn_ivf_kmeans", "knn_batch", "embed_neardup",
     "build_ivfpq_index", "ann_index_append", "ann_index_compact",
+    "ann_index_split", "knn_ivf_split", "scan_jdbc_partitioned",
     "knn_ivf_pq", "semantic_dedup_scaled",
     "embed_centroids", "agg_kll_quantiles", "corpus_temperature_mix",
     "text_tfidf", "text_bm25", "text_logprob", "lang_id_ngram", "token_count",
