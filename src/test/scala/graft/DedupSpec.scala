@@ -483,5 +483,29 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("near_dup")).toMap
     assert(curNear == inc,
       "curation_incremental and dedup_incremental must agree on near-dups")
+
+    // --- 4. crash window on the bands_fine seam (the r11 marker-seam
+    // pattern): _fine_SUCCESS gone + one partition missing must read as
+    // "no fine table" and the next probe must rebuild to pristine
+    // content, never serve the partial side-table.
+    val baseRoot = ops.Artifacts.root("mhix_v1", dir, "documents.parquet") + "_base"
+    val pristineFine = spark.read.parquet(s"$baseRoot/bands_fine")
+      .collect().map(_.toString).sorted
+    assert(pristineFine.nonEmpty)
+    assert(new java.io.File(baseRoot, "_fine_SUCCESS").delete())
+    val parts = new java.io.File(s"$baseRoot/bands_fine").listFiles()
+      .filter(_.getName.startsWith("pband="))
+    assert(parts.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(parts.head)
+    val inc2 = DedupOps.dedupIncremental(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(inc2 == inc,
+      "a post-crash probe must rebuild bands_fine, not serve the partial table")
+    assert(new java.io.File(baseRoot, "_fine_SUCCESS").isFile,
+      "the rebuild must recommit the fine marker")
+    val rebuiltFine = spark.read.parquet(s"$baseRoot/bands_fine")
+      .collect().map(_.toString).sorted
+    assert(rebuiltFine.sameElements(pristineFine),
+      "deterministic banding: the rebuilt fine table must equal the pristine one")
   }
 }

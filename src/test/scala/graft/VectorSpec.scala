@@ -499,5 +499,29 @@ class VectorSpec extends AnyFunSuite {
       .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
     assert(probed.toSet == bruteTop.toSet,
       "recall@10 must be unchanged by the split (true neighbors recovered)")
+
+    // crash window BETWEEN split-marker retire and recommit (the r11
+    // marker-seam pattern applied to the new side-tables): marker gone +
+    // one cells_split partition missing must read as "no split" and the
+    // next probe must REBUILD to pristine content, never serve the
+    // partial table.
+    val pristine = spark.read.parquet(s"$ixRoot/cells_split")
+      .collect().map(_.toString).sorted
+    assert(new java.io.File(ixRoot, "_split_SUCCESS").isFile)
+    assert(new java.io.File(ixRoot, "_split_SUCCESS").delete())
+    val parts = new java.io.File(s"$ixRoot/cells_split").listFiles()
+      .filter(_.getName.startsWith("pcell="))
+    assert(parts.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(parts.head)
+    val reprobed = VectorOps.knnIvfSplit(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(reprobed == probed,
+      "a post-crash probe must rebuild the split, not serve the partial table")
+    assert(new java.io.File(ixRoot, "_split_SUCCESS").isFile,
+      "the rebuild must recommit the split marker")
+    val rebuilt = spark.read.parquet(s"$ixRoot/cells_split")
+      .collect().map(_.toString).sorted
+    assert(rebuilt.sameElements(pristine),
+      "deterministic Lloyd: the rebuilt split must equal the pristine one")
   }
 }
