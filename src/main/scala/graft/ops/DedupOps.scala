@@ -848,7 +848,7 @@ object DedupOps {
   /** The fine side-table's declared schema — read-backs must not rely
     * on inference (a hot-bucket-free index writes a data-file-less
     * partitioned table, and inference on it throws). */
-  private[ops] val fineSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[graft] val fineSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("band",

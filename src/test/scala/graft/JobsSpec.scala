@@ -92,24 +92,62 @@ class JobsSpec extends AnyFunSuite {
     assert(reported("packed_tokens_day") == dayTokens)
     assert(reported("packed_tokens_total") == baseTokens0 + dayTokens,
       "packed_tokens_total must be cumulative (the next run's third arg)")
-    // maintenance audit (r12): one row per index family, counts equal a
-    // local recompute over base ∪ delta, remedy jobs named
+    // maintenance audit (r12): one row per index family; hot counts
+    // equal a LOCAL recompute (delta-touched shards, base ∪ delta
+    // sizes) for BOTH families, and `unremedied` respects the committed
+    // side-table coverage of this root.
     val maint = spark.read.parquet(s"$out/maintenance").collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
       .toMap
     assert(maint.keySet == Set("minhash", "ann"))
-    assert(maint("minhash")._3 == "dedup_index_reband" &&
-      maint("ann")._3 == "ann_index_split")
+    assert(maint("minhash")._4.contains("dedup_index_reband") &&
+      maint("ann")._4.contains("ann_index_split"))
+    def posture(all: Seq[(String, Long)], touched: Set[String],
+                thr: Long): (Long, Long, Seq[String]) = {
+      val sizes = all.groupBy(_._1).view
+        .filterKeys(touched).mapValues(_.map(_._2).sum).toMap
+      val hot = sizes.filter(_._2 >= thr)
+      (hot.size.toLong, if (sizes.isEmpty) 0L else sizes.values.max,
+        hot.keys.toSeq)
+    }
     val mhIx = ops.MinhashIndex.ensureBase(spark, sf)
-    val sizes = spark.read.parquet(mhIx.bands).select("band", "band_key")
+    val mhAll = spark.read.parquet(mhIx.bands).select("band", "band_key")
       .unionByName(spark.read.parquet(s"${mhIx.root}/bands_delta")
         .select("band", "band_key"))
-      .groupBy("band", "band_key").count().collect().map(_.getLong(2))
-    assert(maint("minhash")._1 ==
-      sizes.count(_ >= ops.DedupOps.RebandHotSize).toLong)
-    assert(maint("minhash")._2 == sizes.max)
+      .collect().map(r => (s"${r.getInt(0)}|${r.getString(1)}", 1L)).toSeq
+    val mhTouched = spark.read.parquet(s"${mhIx.root}/bands_delta")
+      .select("band", "band_key").collect()
+      .map(r => s"${r.getInt(0)}|${r.getString(1)}").toSet
+    val (mhHot, mhMax, mhHotKeys) =
+      posture(mhAll, mhTouched, ops.DedupOps.RebandHotSize)
+    assert(maint("minhash")._1 == mhHot && maint("minhash")._2 == mhMax)
+    val fineCov =
+      if (new java.io.File(mhIx.root, "_fine_SUCCESS").isFile)
+        spark.read.schema(ops.DedupOps.fineSchema)
+          .parquet(s"${mhIx.root}/bands_fine").select("band", "band_key")
+          .collect().map(r => s"${r.getInt(0)}|${r.getString(1)}").toSet
+      else Set.empty[String]
+    assert(maint("minhash")._3 ==
+      mhHotKeys.count(k => !fineCov.contains(k)).toLong,
+      "unremedied must be hot minus fine-covered")
+    val annIx = ops.IvfPqIndex.ensureBase(spark, sf)
+    val annAll = spark.read.parquet(annIx.cells).select("cell")
+      .unionByName(spark.read.parquet(s"${annIx.root}/ivfpq_codes_delta")
+        .filter(col("m") === 0).select("cell"))
+      .collect().map(r => (r.getLong(0).toString, 1L)).toSeq
+    val annTouched = spark.read.parquet(s"${annIx.root}/ivfpq_codes_delta")
+      .filter(col("m") === 0).select("cell").collect()
+      .map(_.getLong(0).toString).toSet
+    val (annHot, annMax, _) =
+      posture(annAll, annTouched, ops.VectorOps.SplitHotSize)
+    assert(maint("ann")._1 == annHot && maint("ann")._2 == annMax)
+    assert(maint("ann")._3 <= maint("ann")._1,
+      "unremedied can never exceed the hot count")
     assert(reported("hot_buckets") == maint("minhash")._1 &&
-      reported("hot_cells") == maint("ann")._1)
+      reported("hot_cells") == maint("ann")._1 &&
+      reported("unremedied_buckets") == maint("minhash")._3 &&
+      reported("unremedied_cells") == maint("ann")._3)
     // orchestrator retry: byte-stable outputs on identical re-run
     val first = verdicts.collect().map(_.toString).sorted
     jobs.DailyIncrement.main(Array(sf, out))
