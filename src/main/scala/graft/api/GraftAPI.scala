@@ -375,9 +375,24 @@ object GraftAPI {
     Seq("vec_id", "cell").foreach(c => require(liveCols.contains(c),
       s"table at $codesPath has no '$c' column — not a cell-partitioned " +
         "ANN code table (buildAnnIndex's ivfpq_codes layout)"))
-    withRetiredMarker(graft.ops.IndexFs.parent(codesPath)) {
+    val root = graft.ops.IndexFs.parent(codesPath)
+    withRetiredMarker(root) {
       graft.ops.VectorOps.deleteFromCodes(spark, codesPath,
         deleteIds.select(col(id).as("vec_id")))
+      // A committed cell split reflects the PRE-delete membership
+      // (ADVICE r12, the mirror of the bands_fine rewrite above): the
+      // split-aware probe computes its pool >= k floor from cells_split
+      // rows before joining the live corpus, so stale split rows inflate
+      // the pool with deleted vec_ids — the probe can pass the floor yet
+      // return fewer than k results, and an unpurged corpus keeps serving
+      // deleted vectors through the split pool. Retire the split marker
+      // (the same move [[graft.ops.IvfPqIndex.buildAt]] makes on a
+      // rebuild) so probes fall back to whole-cell scans until the next
+      // annIndexSplit against this root.
+      val split = graft.ops.IndexFs.child(root, "_split_SUCCESS")
+      if (graft.ops.IndexFs.isFile(split))
+        require(graft.ops.IndexFs.delete(split),
+          s"could not retire the stale split marker under $root after the delete")
     }
   }
 

@@ -734,8 +734,15 @@ object Relational {
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       col("o_totalprice"))
     jdbcScanSeeded.synchronized {
-      if (jdbcScanSeeded.add(s"${System.identityHashCode(s)}:$root") &&
-          !new java.io.File(root, "_SUCCESS").isFile) {
+      // Membership is recorded only AFTER the seed (or a pre-existing
+      // marker) is confirmed (ADVICE r12): adding the key up front meant
+      // a thrown seed (transient Derby error, disk full) left the key in
+      // the set with no _SUCCESS on disk, so every later call in the JVM
+      // skipped re-seeding and failed against the absent/partial db.jar
+      // until restart.
+      val seedKey = s"${System.identityHashCode(s)}:$root"
+      if (!jdbcScanSeeded.contains(seedKey)) {
+        if (!new java.io.File(root, "_SUCCESS").isFile) {
         JdbcSink.dropIfExists(url, "orders_t")
         JdbcSink.ensureTable(url, "orders_t",
           """"o_orderkey" BIGINT, "o_custkey" BIGINT,
@@ -766,6 +773,9 @@ object Relational {
         require(new java.io.File(root, "_SUCCESS").createNewFile() ||
           new java.io.File(root, "_SUCCESS").isFile,
           s"could not commit the derby seed marker under $root")
+        }
+        jdbcScanSeeded.add(seedKey)
+        ()
       }
     }
     val bounds = src.agg(min("o_orderkey"), max("o_orderkey")).head()

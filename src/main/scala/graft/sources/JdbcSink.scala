@@ -394,11 +394,15 @@ object JdbcSink {
                       upperBound: Long, numPartitions: Int,
                       driver: String = DerbyDriver): DataFrame = {
     derbyHome
+    // ident()-validated like append's table name (ADVICE r12): dbtable
+    // and partitionColumn are both interpolated into the generated
+    // partition queries server-side, so they are the same
+    // statement-smuggling surface the write path already closed.
     s.read.format("jdbc")
       .option("url", url)
       .option("driver", driver)
-      .option("dbtable", table)
-      .option("partitionColumn", partitionColumn)
+      .option("dbtable", ident(table))
+      .option("partitionColumn", ident(partitionColumn))
       .option("lowerBound", lowerBound)
       .option("upperBound", upperBound)
       .option("numPartitions", numPartitions)

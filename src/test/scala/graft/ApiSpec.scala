@@ -819,6 +819,70 @@ class ApiSpec extends AnyFunSuite {
       "post-delete codes must be the exact survivor multiset")
   }
 
+  test("annIndexDelete retires the cell split: the probe falls back to whole-cell pools instead of serving a stale split (ADVICE r12)") {
+    import org.apache.spark.sql.functions._
+    val sq = spark; import sq.implicits._
+    // the r12 split test's planted corpus: a 201-vector cluster in one
+    // coarse cell + scattered mass
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(16)(rnd.nextGaussian() * 0.1 + 0.5)
+    def jitter(s: Double) = base.map(v => (v + rnd.nextGaussian() * s).toFloat)
+    def scattered() = Array.fill(16)((rnd.nextGaussian() * 2.0).toFloat)
+    val rows =
+      Seq((0L, base.map(_.toFloat))) ++
+      (1L to 15L).map(id => (id, scattered())) ++
+      (16L to 215L).map(id => (id, jitter(0.05))) ++
+      (216L to 315L).map(id => (id, scattered()))
+    val dir = java.nio.file.Files.createTempDirectory("graft_anndel_split").toString
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft_anndel_split_ix").toString
+    GraftAPI.buildAnnIndex(emb, "vec_id", "embedding", root,
+      cells = 16, m = 4, k = 8).collect()
+    GraftAPI.annIndexSplit(emb, "vec_id", "embedding", root,
+      hotSize = 32L, subK = 4).collect()
+    assert(new java.io.File(root, "_split_SUCCESS").isFile)
+    // take down most of the hot cluster (leave a handful), and purge the
+    // caller-side corpus floats the same way a real takedown must
+    val delIds = (26L to 215L).toSet
+    GraftAPI.annIndexDelete(spark, s"$root/ivfpq_codes",
+      delIds.toSeq.toDF("vec_id"), "vec_id")
+    assert(!new java.io.File(root, "_split_SUCCESS").isFile,
+      "takedown must retire the stale split marker (its rows reflect pre-delete membership)")
+    assert(new java.io.File(root, "_SUCCESS").isFile,
+      "successful delete must recommit the root marker")
+    val survivors = rows.filterNot { case (id, _) => delIds.contains(id) }
+    survivors.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/survivors.parquet")
+    // probe a query inside the (ex-)hot cell: with the split retired the
+    // pool is the whole cell, so the result is the exact top-10 over the
+    // SURVIVING cell members — a stale split would count deleted vec_ids
+    // toward the pool >= k floor and come back short
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_anndel_split_probe").toString + "/out"
+    val batch = Seq((0L, rows(0)._2.map(_.toDouble))).toDF("vec_id", "embedding")
+    graft.streaming.StreamingOps.annProbeBatch(s"$dir/survivors.parquet",
+      root, out, "vec_id", "embedding", k = 10)(batch, 0L)
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("corpus_id")).toSet
+    val cellsT = spark.read.parquet(s"$root/cells").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1e6 + 0.5) / 1e6
+    }
+    val vecs = rows.toMap
+    val want = cellsT.collect {
+        case (v, c) if c == cellsT(0L) && !delIds.contains(v) => v }
+      .toSeq.map(v => (v, cos(vecs(v), vecs(0L))))
+      .sortBy { case (v, c) => (-c, v) }.take(10).map(_._1).toSet
+    assert(got == want,
+      s"post-takedown probe must be the exact whole-cell top-10 over survivors (got $got, want $want)")
+    assert(got.intersect(delIds).isEmpty, "no deleted vector may be served")
+  }
+
   test("annIndexStats(facade) == VectorOps.annIndexStats on the stored registry index") {
     val ix = ops.IvfPqIndex.ensure(spark, sf)
     val got = GraftAPI.annIndexStats(
