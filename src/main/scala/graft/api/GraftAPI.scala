@@ -262,6 +262,14 @@ object GraftAPI {
       .repartition(col("pband"))
       .write.mode("overwrite").partitionBy("pband")
       .parquet(s"$path/bands_fine")
+    // Per-DOC sub_keys side table (r13): one (_id, sub_key) row per
+    // document — ~40 bytes/doc, a fraction of the bands table's
+    // numBands rows/doc — so a lifecycle APPEND can refresh bands_fine
+    // for buckets the delta pushes over the hot threshold WITHOUT
+    // re-signing any base text (the per-POSTING width argument for
+    // dropping sub_key from the main table doesn't apply here).
+    bandedSub.select("_id", "sub_key").distinct()
+      .write.mode("overwrite").parquet(s"$path/sub_keys")
     bandedSub.unpersist()
     // batchWidth is recorded so [[minhashIndexDelete]] can refuse an index
     // written WITHOUT a batch axis with a geometry message instead of a
@@ -279,6 +287,104 @@ object GraftAPI {
         countDistinct(col("_id")).as("n_docs"))
       .select(col("band").cast("int").as("band"), col("n_keys"),
         col("n_postings"), col("n_docs"))
+  }
+
+  /** APPEND a day's batch to a stored facade MinHash index (the facade
+    * form of the registry's `dedup_index_append`, r13): the batch
+    * shingles + signs ONLY itself and lands as its own COMMITTED delta
+    * generation `<root>/bands_delta/batch=<batchId>/` — one
+    * subdirectory per append, each with Spark's own `_SUCCESS`
+    * committing last, so a crashed append is invisible to the probe
+    * resolver and a replay of the same `batchId` is an idempotent
+    * overwrite (the foreachBatch replay contract). The streaming probes
+    * ([[graft.streaming.StreamingOps.dedupBatchAgainstIndex]] /
+    * `curationVerdictBatch`) resolve `bands` ∪ committed deltas (or a
+    * committed `bands_compact`), so a document appended today flags the
+    * very next micro-batch's dups of it — no compact required.
+    *
+    * Delta rows KEEP the full-signature `sub_key` (day-scale tables —
+    * the per-posting width argument for dropping it from the main table
+    * doesn't apply), and the build persists a per-DOC `sub_keys` table,
+    * so this append refreshes the `bands_fine` side-table without
+    * re-reading ANY text: new fine = postings of buckets hot at the
+    * RESOLVED sizes (base ∪ all committed deltas), sub-keyed from the
+    * stored tables — including buckets this very append pushes over the
+    * threshold. An index built before the sub_keys table existed
+    * refuses the append with the rebuild remedy instead of silently
+    * serving half-covered hot buckets. The whole append runs under the
+    * retired root marker (the delete legs' discipline): a crash
+    * mid-append reads as an uncommitted index. */
+  def minhashIndexAppend(spark: SparkSession, bandsPath: String,
+                         batch: DataFrame, id: String, text: String,
+                         batchId: Long, numHashes: Int = 128,
+                         bands: Int = 16): DataFrame = {
+    val root = graft.ops.IndexFs.parent(bandsPath)
+    graft.ops.Artifacts.requireGeometry(root,
+      "numHashes" -> numHashes.toString, "bands" -> bands.toString)
+    val meta = graft.ops.Artifacts.readMeta(root)
+    val deltaRoot = graft.ops.IndexFs.child(root, "bands_delta")
+    val deltaDir = graft.ops.IndexFs.child(deltaRoot, s"batch=$batchId")
+    // localCheckpoint: the banded batch feeds the delta write AND the
+    // fine refresh — one signature pass, lineage severed.
+    val banded = minhashBandsWithSub(batch, id, text, numHashes, bands)
+      .withColumnRenamed(id, "_id")
+      .withColumn("pband", col("band"))
+      .localCheckpoint()
+    withRetiredMarker(root) {
+      banded.repartition(col("pband"))
+        .write.mode("overwrite").partitionBy("pband").parquet(deltaDir)
+      meta.get("hotSize").foreach { hs =>
+        val hotSize = hs.toLong
+        require(graft.ops.IndexFs.isFile(graft.ops.IndexFs.child(
+            graft.ops.IndexFs.child(root, "sub_keys"), "_SUCCESS")),
+          s"index at $root predates the per-doc sub_keys table — rebuild " +
+            "via writeMinhashIndex before appending (fine-table refresh " +
+            "for newly-hot buckets needs the stored sub keys)")
+        val committed = graft.ops.IndexFs.listDirs(deltaRoot)
+          .filter(d => graft.ops.IndexFs.isFile(
+            graft.ops.IndexFs.child(d, "_SUCCESS")))
+        val deltaSub = spark.read.option("basePath", deltaRoot)
+          .parquet(committed: _*)
+          .select(col("_id"), col("band"), col("band_key"), col("sub_key"),
+            col("pband"))
+        val basePost = spark.read.parquet(bandsPath)
+          .select("_id", "band", "band_key", "pband")
+        val hot = basePost.select("band", "band_key")
+          .unionByName(deltaSub.select("band", "band_key"))
+          .groupBy("band", "band_key").agg(count(lit(1)).as("sz"))
+          .filter(col("sz") >= hotSize).select("band", "band_key")
+        // The refresh is a pure function of the stored tables: postings
+        // of RESOLVED-hot buckets, sub-keyed from the per-doc sub_keys
+        // table (base) and the delta rows themselves — buckets pushed
+        // over the threshold by THIS append included, no text re-read.
+        // distinct: a replayed batch's rows recompute byte-identically.
+        val subKeys = spark.read
+          .parquet(graft.ops.IndexFs.child(root, "sub_keys"))
+        val newFine = basePost
+          .join(hot, Seq("band", "band_key"), "left_semi")
+          .join(subKeys, "_id")
+          .select("_id", "band", "band_key", "sub_key", "pband")
+          .unionByName(deltaSub.join(hot, Seq("band", "band_key"), "left_semi"))
+          .distinct()
+          .localCheckpoint()
+        newFine.repartition(col("pband"))
+          .write.mode("overwrite").partitionBy("pband")
+          .parquet(graft.ops.IndexFs.child(root, "bands_fine"))
+      }
+    }
+    val nBase = spark.read.parquet(bandsPath)
+      .groupBy("band").agg(count(lit(1)).as("n_base"))
+    val committedNow = graft.ops.IndexFs.listDirs(deltaRoot)
+      .filter(d => graft.ops.IndexFs.isFile(
+        graft.ops.IndexFs.child(d, "_SUCCESS")))
+    val nNew = spark.read.option("basePath", deltaRoot)
+      .parquet(committedNow: _*)
+      .groupBy("band").agg(count(lit(1)).as("n_new"))
+    nBase.join(nNew, Seq("band"), "full_outer")
+      .select(col("band").cast("int").as("band"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .orderBy("band")
   }
 
   /** Partition-pruned takedown on a stored MinHash postings table
@@ -311,6 +417,27 @@ object GraftAPI {
         s"index at $root records batchWidth=$bw — partition-pruned " +
           "deletes need a positive ingest-batch width; rebuild with " +
           "writeMinhashIndex(batchWidth = <ids per ingest batch>)"))
+    // Delta generations ([[minhashIndexAppend]]) are probe-visible through
+    // the resolver, so a takedown that only rewrote `bands` would keep
+    // serving deleted documents out of the deltas. Refuse loudly (before
+    // the marker retirement — a rejected call leaves a valid index valid):
+    // the operator compacts the deltas in first, exactly the real-catalog
+    // flow (OPTIMIZE, then DELETE against one layout).
+    val deltaGens = graft.ops.IndexFs
+      .listDirs(graft.ops.IndexFs.child(root, "bands_delta"))
+      .filter(d => graft.ops.IndexFs.isFile(
+        graft.ops.IndexFs.child(d, "_SUCCESS")))
+    if (deltaGens.nonEmpty) {
+      val hitDelta = spark.read
+        .option("basePath", graft.ops.IndexFs.child(root, "bands_delta"))
+        .parquet(deltaGens: _*)
+        .join(deleteIds.select(col(id).as("_id")), Seq("_id"), "left_semi")
+        .limit(1).count()
+      require(hitDelta == 0L,
+        s"index at $root has committed delta generations containing " +
+          "documents in the deletion list — compact the deltas into the " +
+          "base table first, then re-run the takedown against one layout")
+    }
     withRetiredMarker(root) {
       graft.ops.DedupOps.deleteFromBands(spark, bandsPath,
         deleteIds.select(col(id).as("_id")), idCol = "_id")
@@ -331,6 +458,18 @@ object GraftAPI {
           .localCheckpoint()
         survivors.repartition(col("pband"))
           .write.mode("overwrite").partitionBy("pband").parquet(fineDir)
+      }
+      // The per-doc sub_keys table (r13) holds the same documents' keys:
+      // purge them under the same retired marker — takedown completeness,
+      // and a later append's fine refresh must not resurrect fine rows
+      // for deleted documents.
+      val subDir = graft.ops.IndexFs.child(root, "sub_keys")
+      if (graft.ops.IndexFs.isFile(
+          graft.ops.IndexFs.child(subDir, "_SUCCESS"))) {
+        val keptSub = spark.read.parquet(subDir)
+          .join(deleteIds.select(col(id).as("_id")), Seq("_id"), "left_anti")
+          .localCheckpoint()
+        keptSub.write.mode("overwrite").parquet(subDir)
       }
     }
   }

@@ -532,6 +532,13 @@ object DedupOps {
   private[ops] def bandRowsBelow(s: SparkSession, dir: String, cutoff: Long): DataFrame =
     bandTableFrom(shingleRows(s, dir).filter(col("doc_id") < cutoff))
 
+  /** Band rows for a doc_id range [lo, hi) — the appended-day slice
+    * ([[graft.ops.MinhashIndex.writeDelta]]). Same pre-shingle pushdown. */
+  private[ops] def bandRowsBetween(s: SparkSession, dir: String,
+                                   lo: Long, hi: Long): DataFrame =
+    bandTableFrom(shingleRows(s, dir)
+      .filter(col("doc_id") >= lo && col("doc_id") < hi))
+
   /** L2j: the MinHash-LSH index BUILD as a first-class sink-style job —
     * the dedup counterpart of `build_ivfpq_index`: shingle + sign +
     * band the corpus ONCE and persist the (doc_id, band, band_key)
@@ -591,27 +598,29 @@ object DedupOps {
 
   /** L2k: MinHash index APPEND — the dedup lifecycle's third leg (build →
     * probe → append), mirroring `ann_index_append`: the late-arriving
-    * batch (docs ≥ [[IncrementalCutoff]]) shingles + signs ONLY itself
-    * and lands its band postings as a delta table hive-partitioned by
-    * band next to the base index ([[MinhashIndex.ensureBase]]). No
-    * corpus re-read, no re-hash of stored postings — appending a day's
-    * documents to a 100 TB dedup index costs one map-side signature pass
-    * over the day. MinHash signatures are per-doc (no trained state), so
-    * unlike the ANN append there is nothing to re-encode against: the
-    * determinism contract is just the shared md5/Kirsch–Mitzenmacher
-    * hash recipe, and re-appends byte-match. Output is the merged
-    * per-band manifest (band, n_base, n_new); the oracle recomputes both
-    * sides from scratch, so a dropped/doubled delta row fails the gate. */
+    * day's batch (docs in [[IncrementalCutoff]], [[AppendCutoff]]) — the
+    * slice "today's" probe batch must then see) shingles + signs ONLY
+    * itself and lands its band postings as a delta table
+    * hive-partitioned by band next to the base index
+    * ([[MinhashIndex.ensureBase]], write core
+    * [[MinhashIndex.writeDelta]] — shared with the probes' ensure path,
+    * so the appended content cannot drift from what the resolver
+    * serves). No corpus re-read, no re-hash of stored postings —
+    * appending a day's documents to a 100 TB dedup index costs one
+    * map-side signature pass over the day. MinHash signatures are
+    * per-doc (no trained state), so unlike the ANN append there is
+    * nothing to re-encode against: the determinism contract is just the
+    * shared md5/Kirsch–Mitzenmacher hash recipe, and re-appends
+    * byte-match. Output is the merged per-band manifest (band, n_base,
+    * n_new); the oracle recomputes both sides from scratch, so a
+    * dropped/doubled delta row fails the gate. */
   def dedupIndexAppend(s: SparkSession, dir: String): DataFrame = {
     val ix = MinhashIndex.ensureBase(s, dir)
-    bandTableFrom(shingleRows(s, dir).filter(col("doc_id") >= IncrementalCutoff))
-      .withColumn("pband", col("band"))
-      .repartition(col("pband"))
-      .write.mode("overwrite").partitionBy("pband")
-      .parquet(s"${ix.root}/bands_delta")
+    MinhashIndex.writeDelta(s, dir, ix)
     val base = s.read.parquet(ix.bands)
       .groupBy("band").agg(count(lit(1)).as("n_base"))
-    val fresh = s.read.parquet(s"${ix.root}/bands_delta")
+    // declared schema: an empty delta slice writes a data-file-less table
+    val fresh = s.read.schema(bandsSchema).parquet(ix.delta)
       .groupBy("band").agg(count(lit(1)).as("n_new"))
     base.join(fresh, Seq("band"), "left")
       .select(col("band").cast("int").as("band"), col("n_base"),
@@ -622,12 +631,15 @@ object DedupOps {
   /** L2l: MinHash index COMPACT — base postings + appended delta fold
     * into ONE band-partitioned layout (the lakehouse OPTIMIZE closing
     * the lifecycle, mirroring `ann_index_compact`): the base artifact
-    * stays immutable, the compacted table is a sibling, and after the
-    * (catalog-metadata) swap, probes pay one table scan instead of a
-    * two-table union. Base ∪ batch = the full corpus, so the manifest
-    * read back FROM the compacted table must equal
-    * [[buildMinhashIndex]]'s full-index manifest exactly — the oracle
-    * pins that, making a lost or duplicated row in the merge loud. */
+    * stays immutable, the compacted table is a sibling, and the swap IS
+    * implemented — [[MinhashIndex.resolvedPostings]] serves the
+    * committed compact to every probe, which then pays one table scan
+    * instead of a two-table union (and byte-identical flags either way:
+    * the compact is the deterministic merge of deterministic tables —
+    * DedupSpec pins it). The manifest read back FROM the compacted
+    * table must equal the banding of docs < [[AppendCutoff]] recomputed
+    * from scratch — the oracle pins that, making a lost or duplicated
+    * row in the merge loud. */
   def dedupIndexCompact(s: SparkSession, dir: String): DataFrame = {
     val ix = MinhashIndex.ensureBase(s, dir)
     // Ensure the delta landed WITHOUT re-running the append when its
@@ -636,15 +648,14 @@ object DedupOps {
     // append's work). Spark's own _SUCCESS commits last, so a crashed
     // append re-runs; a committed one is byte-stable (deterministic
     // banding) and is exactly what a re-append would rewrite.
-    if (!new java.io.File(s"${ix.root}/bands_delta/_SUCCESS").isFile)
-      dedupIndexAppend(s, dir).count()
+    MinhashIndex.ensureDelta(s, dir, ix)
     s.read.parquet(ix.bands)
-      .unionByName(s.read.parquet(s"${ix.root}/bands_delta"))
+      .unionByName(s.read.schema(bandsSchema).parquet(ix.delta))
       .withColumn("pband", col("band"))
       .repartition(col("pband"))
       .write.mode("overwrite").partitionBy("pband")
-      .parquet(s"${ix.root}/bands_compact")
-    s.read.parquet(s"${ix.root}/bands_compact")
+      .parquet(ix.compact)
+    s.read.parquet(ix.compact)
       .groupBy("band")
       .agg(countDistinct(col("band_key")).as("n_keys"),
         count(lit(1)).as("n_postings"),
@@ -845,6 +856,21 @@ object DedupOps {
       .withColumn("pband", col("band"))
   }
 
+  /** Declared schema of the stored band-postings tables (base / delta /
+    * compact) — delta read-backs must not rely on inference: a corpus
+    * with an empty [IncrementalCutoff, AppendCutoff) slice writes a
+    * data-file-less partitioned delta, and inference on it throws
+    * (the fineSchema rule, applied to the lifecycle siblings). */
+  private[graft] val bandsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("band_key",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("pband",
+      org.apache.spark.sql.types.IntegerType)))
+
   /** The fine side-table's declared schema — read-backs must not rely
     * on inference (a hot-bucket-free index writes a data-file-less
     * partitioned table, and inference on it throws). */
@@ -897,8 +923,13 @@ object DedupOps {
   private[ops] def fineProbeHits(s: SparkSession, dir: String,
                                  batch: DataFrame): DataFrame = {
     val ix = MinhashIndex.ensureBase(s, dir)
+    // The RESOLVED postings (r13, VERDICT r12 #1): committed compact if
+    // present, else base ∪ ensured delta — so a document appended
+    // yesterday flags today's near-dups of it, without waiting for a
+    // compact, and compact changes nothing but the scan count.
+    val postings = MinhashIndex.resolvedPostings(s, dir, ix)
     val finePath = MinhashIndex.ensureFine(s, dir, ix)
-    val coldKeys = s.read.parquet(ix.bands)
+    val coldKeys = postings
       .groupBy("band", "band_key").agg(count(lit(1)).as("sz"))
       .filter(col("sz") < RebandHotSize).select("band", "band_key")
     val fineKeys = s.read.schema(fineSchema).parquet(finePath)
@@ -913,10 +944,12 @@ object DedupOps {
   /** L14: incremental MinHash dedup of a new batch against the STORED
     * corpus index — the steady-state form of [[simjoinLsh]], now actually
     * reading the persisted artifact (r8: previously the "index" was
-    * recomputed in-query from the full corpus; the corpus side now comes
-    * from [[MinhashIndex.ensureBase]]'s parquet postings, docs <
-    * [[IncrementalCutoff]]): only the incoming batch shingles + signs,
-    * and a batch doc is a dup if ANY of its band keys hits the index.
+    * recomputed in-query from the full corpus; the corpus side comes
+    * from [[MinhashIndex.resolvedPostings]] — committed compact, else
+    * base ∪ ensured delta, i.e. docs < [[AppendCutoff]] either way (r13:
+    * probes see appended documents); the batch is docs ≥ AppendCutoff):
+    * only the incoming batch shingles + signs, and a batch doc is a dup
+    * if ANY of its band keys hits the index.
     *
     * Scale shape: the index is a stored table (bucketed by band_key at
     * scale); the batch's band rows semi-join it co-partitioned (or
@@ -938,7 +971,7 @@ object DedupOps {
     // recomputing the batch's shingle+signature pipeline (the r5→r6
     // lesson at this site, now scoped to the batch only).
     val batch = cache(bandTableWithN(
-      shingleRows(s, dir).filter(col("doc_id") >= IncrementalCutoff)))
+      shingleRows(s, dir).filter(col("doc_id") >= AppendCutoff)))
     batch.count()
     val hits = fineProbeHits(s, dir, batch).withColumn("is_dup", lit(true))
     batch.select("doc_id").distinct()
@@ -947,7 +980,63 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** L14b (r13): the delta-visibility probe — [[dedupIncremental]] with
+    * the delta's marginal contribution made EXPLICIT, the oracle-checked
+    * closure of VERDICT r12 #1 ("a batch doc duplicating an APPENDED doc
+    * flags without a compact"): per batch doc, `is_dup` against the
+    * RESOLVED postings (base ∪ delta) and `via_delta` = flagged there
+    * but NOT against the base alone — i.e. exactly the documents
+    * yesterday's append made visible. The base-only leg reads the SAME
+    * stored tables (base bucket sizes from `bands`; base-hot buckets'
+    * member sub_keys = the fine table restricted to base doc_ids and to
+    * buckets hot at base sizes — base-hot ⇒ resolved-hot, so the
+    * restriction loses nothing), so the comparison costs two fixed-width
+    * probes, never a re-shingle. The DuckDB oracle mirrors both rules;
+    * at sf0.01 doc 452 flips (near-dup of an appended [400,450) doc). */
+  def dedupIncrementalVsdelta(s: SparkSession, dir: String): DataFrame = {
+    val batch = cache(bandTableWithN(
+      shingleRows(s, dir).filter(col("doc_id") >= AppendCutoff)))
+    batch.count()
+    val resolvedHits = fineProbeHits(s, dir, batch)
+      .withColumn("is_dup", lit(true))
+    val ix = MinhashIndex.ensureBase(s, dir)
+    val baseSz = s.read.parquet(ix.bands)
+      .groupBy("band", "band_key").agg(count(lit(1)).as("sz"))
+    val coldKeys0 = baseSz.filter(col("sz") < RebandHotSize)
+      .select("band", "band_key")
+    val baseHot = baseSz.filter(col("sz") >= RebandHotSize)
+      .select("band", "band_key")
+    val fineKeys0 = s.read.schema(fineSchema)
+      .parquet(MinhashIndex.ensureFine(s, dir, ix))
+      .filter(col("doc_id") < IncrementalCutoff)
+      .join(baseHot, Seq("band", "band_key"), "left_semi")
+      .select("band", "band_key", "sub_key").distinct()
+    val baseHits = batch.join(coldKeys0, Seq("band", "band_key"), "left_semi")
+      .select("doc_id")
+      .union(batch.join(fineKeys0, Seq("band", "band_key", "sub_key"),
+        "left_semi").select("doc_id"))
+      .distinct().withColumn("base_dup", lit(true))
+    batch.select("doc_id").distinct()
+      .join(resolvedHits, Seq("doc_id"), "left")
+      .join(baseHits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"),
+        (coalesce(col("is_dup"), lit(false)) &&
+          !coalesce(col("base_dup"), lit(false))).as("via_delta"))
+      .orderBy("doc_id")
+  }
+
   private[graft] val IncrementalCutoff = 400
+
+  /** The delta/batch boundary of the three-slice incremental model (r13):
+    * docs < [[IncrementalCutoff]] are the ingest-time BASE corpus (the
+    * stored base index), docs in [IncrementalCutoff, AppendCutoff) are
+    * "yesterday's" appended batch (the `bands_delta` generation), and
+    * docs ≥ AppendCutoff are "today's" probe batch — so the lifecycle's
+    * core promise (an appended document is probe-visible the next day,
+    * compact or not) is oracle-checkable instead of a two-slice model
+    * where the delta IS the probe batch and self-hits would mask it. */
+  private[graft] val AppendCutoff = 450
 
   private val SimBits = 16
 
@@ -1194,6 +1283,7 @@ object DedupOps {
     "dedup_clusters"      -> dedupClusters _,
     "decontam_ngram"      -> decontamNgram _,
     "dedup_incremental"   -> dedupIncremental _,
+    "dedup_incremental_vsdelta" -> dedupIncrementalVsdelta _,
     "build_minhash_index" -> buildMinhashIndex _,
     "minhash_index_stats" -> minhashIndexStats _,
     "dedup_index_append"  -> dedupIndexAppend _,
@@ -1358,23 +1448,24 @@ object DedupOps {
          |    AS contam_ratio
          |FROM tot t JOIN hit h ON t.doc_id = h.doc_id
          |ORDER BY t.doc_id""".stripMargin,
-    // Mirror of the fine-union probe: cold base buckets (< hot
-    // threshold) hit on (band, band_key); hot buckets hit only on a
-    // full-signature sub_key match against a stored base doc.
+    // Mirror of the fine-union probe against the RESOLVED index (base ∪
+    // delta = docs < AppendCutoff — r13): cold buckets (< hot threshold
+    // at resolved sizes) hit on (band, band_key); hot buckets hit only
+    // on a full-signature sub_key match against a stored doc.
     "dedup_incremental" ->
       s"""WITH $shinglesCte,
          |$bandsCte,
          |idxsz AS (SELECT band, band_key, count(*) AS sz FROM bands
-         |  WHERE doc_id < $IncrementalCutoff GROUP BY band, band_key),
+         |  WHERE doc_id < $AppendCutoff GROUP BY band, band_key),
          |subk AS (SELECT doc_id, $subKeySql AS sub_key FROM sig),
          |bt AS (SELECT b.doc_id, b.band, b.band_key, k.sub_key
          |  FROM bands b JOIN subk k USING (doc_id)
-         |  WHERE b.doc_id >= $IncrementalCutoff),
+         |  WHERE b.doc_id >= $AppendCutoff),
          |finek AS (SELECT DISTINCT b.band, b.band_key, k.sub_key
          |  FROM bands b
          |  JOIN idxsz ON b.band = idxsz.band AND b.band_key = idxsz.band_key
          |  JOIN subk k ON b.doc_id = k.doc_id
-         |  WHERE b.doc_id < $IncrementalCutoff AND idxsz.sz >= $RebandHotSize),
+         |  WHERE b.doc_id < $AppendCutoff AND idxsz.sz >= $RebandHotSize),
          |hit AS (
          |  SELECT DISTINCT bt.doc_id FROM bt
          |    JOIN idxsz USING (band, band_key) WHERE idxsz.sz < $RebandHotSize
@@ -1382,6 +1473,47 @@ object DedupOps {
          |  SELECT DISTINCT bt.doc_id FROM bt
          |    JOIN finek USING (band, band_key, sub_key))
          |SELECT doc_id, (doc_id IN (SELECT doc_id FROM hit)) AS is_dup
+         |FROM (SELECT DISTINCT doc_id FROM bt) ORDER BY doc_id""".stripMargin,
+    // The delta-visibility probe: the same resolved rule PLUS the
+    // base-only rule (bucket sizes and fine keys at the IncrementalCutoff
+    // slice); via_delta = resolved-hit AND NOT base-hit — the flags the
+    // appended [IncrementalCutoff, AppendCutoff) day contributes.
+    "dedup_incremental_vsdelta" ->
+      s"""WITH $shinglesCte,
+         |$bandsCte,
+         |idxsz AS (SELECT band, band_key, count(*) AS sz FROM bands
+         |  WHERE doc_id < $AppendCutoff GROUP BY band, band_key),
+         |subk AS (SELECT doc_id, $subKeySql AS sub_key FROM sig),
+         |bt AS (SELECT b.doc_id, b.band, b.band_key, k.sub_key
+         |  FROM bands b JOIN subk k USING (doc_id)
+         |  WHERE b.doc_id >= $AppendCutoff),
+         |finek AS (SELECT DISTINCT b.band, b.band_key, k.sub_key
+         |  FROM bands b
+         |  JOIN idxsz ON b.band = idxsz.band AND b.band_key = idxsz.band_key
+         |  JOIN subk k ON b.doc_id = k.doc_id
+         |  WHERE b.doc_id < $AppendCutoff AND idxsz.sz >= $RebandHotSize),
+         |hit AS (
+         |  SELECT DISTINCT bt.doc_id FROM bt
+         |    JOIN idxsz USING (band, band_key) WHERE idxsz.sz < $RebandHotSize
+         |  UNION
+         |  SELECT DISTINCT bt.doc_id FROM bt
+         |    JOIN finek USING (band, band_key, sub_key)),
+         |idxsz0 AS (SELECT band, band_key, count(*) AS sz FROM bands
+         |  WHERE doc_id < $IncrementalCutoff GROUP BY band, band_key),
+         |finek0 AS (SELECT DISTINCT b.band, b.band_key, k.sub_key
+         |  FROM bands b
+         |  JOIN idxsz0 ON b.band = idxsz0.band AND b.band_key = idxsz0.band_key
+         |  JOIN subk k ON b.doc_id = k.doc_id
+         |  WHERE b.doc_id < $IncrementalCutoff AND idxsz0.sz >= $RebandHotSize),
+         |hit0 AS (
+         |  SELECT DISTINCT bt.doc_id FROM bt
+         |    JOIN idxsz0 USING (band, band_key) WHERE idxsz0.sz < $RebandHotSize
+         |  UNION
+         |  SELECT DISTINCT bt.doc_id FROM bt
+         |    JOIN finek0 USING (band, band_key, sub_key))
+         |SELECT doc_id, (doc_id IN (SELECT doc_id FROM hit)) AS is_dup,
+         |  ((doc_id IN (SELECT doc_id FROM hit)) AND
+         |   (doc_id NOT IN (SELECT doc_id FROM hit0))) AS via_delta
          |FROM (SELECT DISTINCT doc_id FROM bt) ORDER BY doc_id""".stripMargin,
     "build_minhash_index" ->
       s"""WITH $shinglesCte,
@@ -1409,8 +1541,11 @@ object DedupOps {
          |$bandsCte
          |SELECT CAST(band AS INT) AS band,
          |  count(*) FILTER (WHERE doc_id < $IncrementalCutoff) AS n_base,
-         |  count(*) FILTER (WHERE doc_id >= $IncrementalCutoff) AS n_new
+         |  count(*) FILTER (WHERE doc_id >= $IncrementalCutoff
+         |    AND doc_id < $AppendCutoff) AS n_new
          |FROM bands GROUP BY band ORDER BY band""".stripMargin,
+    // Compact = base ∪ delta = the banding of docs < AppendCutoff,
+    // recomputed from scratch (a lost/doubled row in the merge is loud).
     "dedup_index_compact" ->
       s"""WITH $shinglesCte,
          |$bandsCte
@@ -1418,7 +1553,8 @@ object DedupOps {
          |  count(DISTINCT band_key) AS n_keys,
          |  count(*) AS n_postings,
          |  count(DISTINCT doc_id) AS n_docs
-         |FROM bands GROUP BY band ORDER BY band""".stripMargin,
+         |FROM bands WHERE doc_id < $AppendCutoff
+         |GROUP BY band ORDER BY band""".stripMargin,
     // Post-delete manifest: the full banding minus the takedown slice
     // (the [100, 200) range's doc_id % 3 = 0 documents).
     "dedup_index_delete" ->

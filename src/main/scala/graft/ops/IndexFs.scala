@@ -55,6 +55,15 @@ private[graft] object IndexFs {
       try body(out) finally out.close()
     }
 
+  /** Child DIRECTORIES of `path` (empty when absent) — the delta-batch
+    * listing the facade probe-root resolver uses; sorted by name so the
+    * resolved union is deterministic. */
+  def listDirs(path: String): Seq[String] = withFs(path) { (fs, p) =>
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.toString).sorted
+  }
+
   def readIfExists[T](path: String)(body: java.io.InputStream => T): Option[T] =
     withFs(path) { (fs, p) =>
       if (!fs.exists(p)) None

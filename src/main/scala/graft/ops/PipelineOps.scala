@@ -243,10 +243,11 @@ object PipelineOps {
     * offset in-plan via a broadcast 1-row frame. No re-pack, no
     * re-read of already-packed shards, and shard ids stay globally
     * consistent — exactly how a 100 TB corpus absorbs a daily delta.
-    * Batch = docs ≥ [[DedupOps.IncrementalCutoff]], mirroring the other
-    * incremental legs. */
+    * Batch = docs ≥ [[DedupOps.AppendCutoff]] ("today" in the
+    * three-slice model), mirroring the other incremental legs: the
+    * base-so-far = base + yesterday's already-packed delta. */
   def shardPackIncremental(s: SparkSession, dir: String): DataFrame = {
-    val cut = DedupOps.IncrementalCutoff
+    val cut = DedupOps.AppendCutoff
     val toks = tokenCounts(s, dir)
     val baseTot = toks.filter(col("doc_id") < cut)
       .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("base_tokens"))
@@ -627,21 +628,26 @@ object PipelineOps {
   }
 
   /** L18d (r9): INCREMENTAL curation — the steady-state daily run. A
-    * new batch (docs ≥ [[DedupOps.IncrementalCutoff]]) gets the full
-    * curation verdict against the STORED base-corpus artifacts, without
+    * new batch (docs ≥ [[DedupOps.AppendCutoff]] — "today", in the
+    * three-slice model where [IncrementalCutoff, AppendCutoff) is
+    * "yesterday's" already-absorbed batch) gets the full curation
+    * verdict against the STORED corpus-so-far artifacts, without
     * re-reading the base text:
     *
     *   - quality: the same rule-based filter, pure map-side on the batch;
-    *   - exact dup: batch fingerprints probe the base fingerprint set
-    *     (tiny distinct-md5 table, broadcast);
-    *   - near dup: batch band keys semi-join the PERSISTED base MinHash
-    *     postings ([[MinhashIndex.ensureBase]] — the same stored index
-    *     `dedup_incremental` probes, under the same fine-union scheme:
-    *     hot buckets match only on a stored full-signature sub_key;
-    *     only the batch shingles + signs);
-    *   - decontamination: batch shingles vs the base eval slice's
-    *     shingle set (broadcast), same r6-snapped ≥ 0.3 ratio rule as
-    *     [[DedupOps.decontamNgram]].
+    *   - exact dup: batch fingerprints probe the corpus-so-far
+    *     fingerprint set (tiny distinct-md5 table, broadcast);
+    *   - near dup: batch band keys semi-join the PERSISTED MinHash
+    *     postings through the probe-root resolver
+    *     ([[MinhashIndex.resolvedPostings]] — committed compact, else
+    *     base ∪ ensured delta; the same stored index `dedup_incremental`
+    *     probes, under the same fine-union scheme: hot buckets match
+    *     only on a stored full-signature sub_key; only the batch
+    *     shingles + signs). A document appended yesterday flags today's
+    *     near-dups of it (r13 — the loop VERDICT r12 #1 demanded);
+    *   - decontamination: batch shingles vs the corpus-so-far eval
+    *     slice's shingle set (broadcast), same r6-snapped ≥ 0.3 ratio
+    *     rule as [[DedupOps.decontamNgram]].
     *
     * Output is one row per batch doc with the per-stage signals and the
     * first-failing-stage verdict (quality → exact_dup → near_dup →
@@ -654,7 +660,7 @@ object PipelineOps {
     * share one tokenize+shingle pass. */
   def curationIncremental(s: SparkSession, dir: String): DataFrame = {
     DedupOps.freshGen()
-    val cut = DedupOps.IncrementalCutoff
+    val cut = DedupOps.AppendCutoff
     val docs = documents(s, dir)
     val qOk = qualityOk
     val baseFps = docs.filter(col("doc_id") < cut)
@@ -1099,22 +1105,23 @@ object PipelineOps {
     "curation_pipeline_staged" -> curationOracle,
     "curation_pipeline" -> curationOracle,
     "corpus_dedup_funnel" -> funnelOracle,
-    // incremental: batch docs judged against the base slice only
+    // incremental: batch (>= AppendCutoff) judged against the corpus so far
+    // (< AppendCutoff = base + the appended delta, the resolver content)
     "curation_incremental" ->
       s"""WITH ${DedupOps.shinglesCte},
          |${DedupOps.bandsCte},
          |basefp AS (SELECT DISTINCT md5(text) AS fp FROM documents
-         |           WHERE doc_id < ${DedupOps.IncrementalCutoff}),
+         |           WHERE doc_id < ${DedupOps.AppendCutoff}),
          |idxsz AS (SELECT band, band_key, count(*) AS sz FROM bands
-         |        WHERE doc_id < ${DedupOps.IncrementalCutoff} GROUP BY band, band_key),
+         |        WHERE doc_id < ${DedupOps.AppendCutoff} GROUP BY band, band_key),
          |subk AS (SELECT doc_id, ${DedupOps.subKeySql} AS sub_key FROM sig),
          |bt AS (SELECT b.doc_id, b.band, b.band_key, k.sub_key FROM bands b
          |       JOIN subk k USING (doc_id)
-         |       WHERE b.doc_id >= ${DedupOps.IncrementalCutoff}),
+         |       WHERE b.doc_id >= ${DedupOps.AppendCutoff}),
          |finek AS (SELECT DISTINCT b.band, b.band_key, k.sub_key FROM bands b
          |       JOIN idxsz ON b.band = idxsz.band AND b.band_key = idxsz.band_key
          |       JOIN subk k ON b.doc_id = k.doc_id
-         |       WHERE b.doc_id < ${DedupOps.IncrementalCutoff}
+         |       WHERE b.doc_id < ${DedupOps.AppendCutoff}
          |         AND idxsz.sz >= ${DedupOps.RebandHotSize}),
          |near AS (SELECT DISTINCT bt.doc_id FROM bt
          |           JOIN idxsz USING (band, band_key)
@@ -1124,11 +1131,11 @@ object PipelineOps {
          |           JOIN finek USING (band, band_key, sub_key)),
          |shr AS (SELECT doc_id, unnest(shingles) AS x FROM shf),
          |ev AS (SELECT DISTINCT x FROM shr
-         |       WHERE doc_id % 50 = 0 AND doc_id < ${DedupOps.IncrementalCutoff}),
+         |       WHERE doc_id % 50 = 0 AND doc_id < ${DedupOps.AppendCutoff}),
          |tot AS (SELECT doc_id, count(*) AS n FROM shr
-         |        WHERE doc_id >= ${DedupOps.IncrementalCutoff} GROUP BY doc_id),
+         |        WHERE doc_id >= ${DedupOps.AppendCutoff} GROUP BY doc_id),
          |hit AS (SELECT doc_id, count(*) AS o FROM shr JOIN ev USING (x)
-         |        WHERE doc_id >= ${DedupOps.IncrementalCutoff} GROUP BY doc_id),
+         |        WHERE doc_id >= ${DedupOps.AppendCutoff} GROUP BY doc_id),
          |cont AS (SELECT t.doc_id FROM tot t JOIN hit h USING (doc_id)
          |         WHERE floor(o::DOUBLE / n * 1000000 + 0.5) / 1000000 >= 0.3),
          |b AS (SELECT doc_id,
@@ -1136,7 +1143,7 @@ object PipelineOps {
          |        len(string_split(text, ' '))::DOUBLE /
          |          len(list_distinct(string_split(text, ' '))) <= 2.5 AS q_ok,
          |        md5(text) AS fp
-         |      FROM documents WHERE doc_id >= ${DedupOps.IncrementalCutoff})
+         |      FROM documents WHERE doc_id >= ${DedupOps.AppendCutoff})
          |SELECT b.doc_id, q_ok,
          |  (fp IN (SELECT fp FROM basefp)) AS exact_dup,
          |  (b.doc_id IN (SELECT doc_id FROM near)) AS near_dup,
@@ -1311,12 +1318,12 @@ object PipelineOps {
          |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
          |  FROM documents),
          |base AS (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tot
-         |         FROM toks WHERE doc_id < ${DedupOps.IncrementalCutoff}),
+         |         FROM toks WHERE doc_id < ${DedupOps.AppendCutoff}),
          |c AS (
          |  SELECT doc_id, n_tokens,
          |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
-         |  FROM toks WHERE doc_id >= ${DedupOps.IncrementalCutoff})
+         |  FROM toks WHERE doc_id >= ${DedupOps.AppendCutoff})
          |SELECT doc_id, n_tokens,
          |  CAST(((SELECT tot FROM base) + cum) // 10000 AS BIGINT) AS shard
          |FROM c ORDER BY doc_id""".stripMargin,

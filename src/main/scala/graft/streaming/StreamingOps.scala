@@ -240,6 +240,35 @@ object StreamingOps {
     * grazes it. An index built before the fine table existed (no
     * `hotSize` in its meta) degrades to the coarse raw probe for every
     * bucket — old indexes keep their old semantics until rebuilt. */
+  /** Resolved facade postings KEYS (band, band_key) — the streaming face
+    * of [[graft.ops.MinhashIndex.resolvedPostings]] (r13, VERDICT r12
+    * #1): committed `bands_compact` sibling when present, else `bands` ∪
+    * every COMMITTED `bands_delta/batch=<k>` generation
+    * ([[graft.api.GraftAPI.minhashIndexAppend]]'s layout — each append is
+    * its own subdirectory whose Spark `_SUCCESS` commits last, so a
+    * crashed append is invisible rather than half-read). A facade index
+    * with no lifecycle siblings resolves to `bands` alone, byte-identical
+    * to the pre-r13 probe. Artifacts bind per micro-batch (read inside
+    * foreachBatch), so an append/compact is picked up at the next batch
+    * boundary, not mid-query. */
+  private def resolvedFacadeKeys(s: org.apache.spark.sql.SparkSession,
+                                 indexBandsPath: String): DataFrame = {
+    val root = graft.ops.IndexFs.parent(indexBandsPath)
+    val compact = graft.ops.IndexFs.child(root, "bands_compact")
+    if (graft.ops.IndexFs.isFile(graft.ops.IndexFs.child(compact, "_SUCCESS")))
+      s.read.parquet(compact).select("band", "band_key")
+    else {
+      val base = s.read.parquet(indexBandsPath).select("band", "band_key")
+      val deltas = graft.ops.IndexFs
+        .listDirs(graft.ops.IndexFs.child(root, "bands_delta"))
+        .filter(d => graft.ops.IndexFs.isFile(
+          graft.ops.IndexFs.child(d, "_SUCCESS")))
+      if (deltas.isEmpty) base
+      else base.unionByName(
+        s.read.parquet(deltas: _*).select("band", "band_key"))
+    }
+  }
+
   private def fineUnionHits(indexBandsPath: String, batch: DataFrame,
                             id: String, text: String,
                             numHashes: Int, bands: Int): DataFrame = {
@@ -252,23 +281,28 @@ object StreamingOps {
     // batch's RDD is GC'd — no cross-batch persist leak.
     val bt = graft.api.GraftAPI.minhashBandsWithSub(
       batch, id, text, numHashes, bands).localCheckpoint()
+    // Probe keys come from the RESOLVER, so appended postings flag the
+    // very next micro-batch's dups of them, compact or not (r13).
+    val post = resolvedFacadeKeys(s, indexBandsPath)
     (graft.ops.Artifacts.readMeta(root).get("hotSize") match {
       case Some(hotSize) =>
-        val post = s.read.parquet(indexBandsPath)
+        // Hot/cold sizes on the RESOLVED keys: a bucket pushed over the
+        // threshold by appended postings probes fine (the append refreshes
+        // bands_fine — minhashIndexAppend's invariant — so its keys exist).
         val coldKeys = post
           .groupBy("band", "band_key").agg(count(lit(1)).as("sz"))
           .filter(col("sz") < hotSize.toLong).select("band", "band_key")
         val fineKeys = s.read
-          .schema(graft.ops.MinhashIndex.facadeFineSchema(post.schema))
+          .schema(graft.ops.MinhashIndex.facadeFineSchema(
+            s.read.parquet(indexBandsPath).schema))
           .parquet(graft.ops.IndexFs.child(root, "bands_fine"))
           .select("band", "band_key", "sub_key").distinct()
         bt.join(coldKeys, Seq("band", "band_key"), "left_semi").select(id)
           .union(bt.join(fineKeys, Seq("band", "band_key", "sub_key"),
             "left_semi").select(id))
       case None =>
-        val index = s.read.parquet(indexBandsPath)
-          .select("band", "band_key").distinct()
-        bt.join(index, Seq("band", "band_key"), "left_semi").select(id)
+        bt.join(post.distinct(), Seq("band", "band_key"), "left_semi")
+          .select(id)
     }).distinct()
   }
 

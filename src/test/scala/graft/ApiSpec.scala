@@ -693,6 +693,72 @@ class ApiSpec extends AnyFunSuite {
     assert(!post(402L))
   }
 
+  test("minhashIndexAppend(facade): appended docs flag the next probe, newly-hot buckets go fine via stored sub_keys, replay is idempotent (r13)") {
+    import org.apache.spark.sql.functions._
+    val sq = spark; import sq.implicits._
+    // base: a 3-doc family (one below the hot threshold of 4) + uniques;
+    // the appended batch pushes the family bucket OVER the threshold
+    // (the case that needs the stored per-doc sub_keys — no base text
+    // re-read) and adds one brand-new doc.
+    val fam = (1 to 40).map(i => s"ftok$i").mkString(" ")
+    val base = (0L to 2L).map(id => (id, fam)) ++
+      (10L to 40L).map(id => (id, (1 to 40).map(i => s"u${id}w$i").mkString(" ")))
+    val newDoc = (1 to 40).map(i => s"n99w$i").mkString(" ")
+    val appended = Seq((100L, fam), (101L, newDoc))
+    val root = java.nio.file.Files.createTempDirectory("graft_mh_append").toString
+    GraftAPI.writeMinhashIndex(base.toDF("doc_id", "text"), "doc_id", "text",
+      root, numHashes = 8, bands = 2, batchWidth = 250).collect()
+    assert(new java.io.File(root, "sub_keys").isDirectory,
+      "the build must persist the per-doc sub_keys table")
+    val manifest = GraftAPI.minhashIndexAppend(spark, s"$root/bands",
+      appended.toDF("doc_id", "text"), "doc_id", "text",
+      batchId = 0L, numHashes = 8, bands = 2).collect()
+    assert(new java.io.File(root, "_SUCCESS").isFile,
+      "a successful append must recommit the root marker")
+    assert(manifest.map(_.getAs[Long]("n_new")).sum ==
+      appended.size.toLong * 2, "2 bands per appended doc")
+    // the family bucket is now hot (5 members) and must be fine-covered
+    // for ALL members — including the base docs, via stored sub_keys
+    val fine = spark.read.parquet(s"$root/bands_fine")
+      .select("_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(Set(0L, 1L, 2L, 100L).subsetOf(fine),
+      s"newly-hot bucket must be fine-covered for base AND delta members: $fine")
+    // probe: an exact copy of the family must flag (full-signature match
+    // through the fine leg); a copy of the APPENDED new doc must flag
+    // (cold bucket, delta postings — the resolver at work); fresh text
+    // must not.
+    def probe(out: String): Map[Long, Boolean] = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val batch = Seq((400L, fam), (401L, newDoc),
+        (402L, (1 to 40).map(i => s"z9x$i").mkString(" "))).toDF("doc_id", "text")
+      graft.streaming.StreamingOps.dedupBatchAgainstIndex(
+        s"$root/bands", out, "doc_id", "text", numHashes = 8, bands = 2)(batch, 0L)
+      spark.read.parquet(out).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_dup")).toMap
+    }
+    val flags = probe("/tmp/graft_mh_append_probe")
+    assert(flags(400L), "hot-family copy must flag through the fine keys")
+    assert(flags(401L), "a dup of an APPENDED doc must flag without a compact")
+    assert(!flags(402L), "fresh text must stay clean")
+    // replay of the same batchId is an idempotent overwrite: manifest,
+    // fine table and probe flags unchanged
+    val manifest2 = GraftAPI.minhashIndexAppend(spark, s"$root/bands",
+      appended.toDF("doc_id", "text"), "doc_id", "text",
+      batchId = 0L, numHashes = 8, bands = 2).collect()
+    assert(manifest2.map(_.toString).sorted.sameElements(
+      manifest.map(_.toString).sorted), "replayed append must byte-match")
+    val flags2 = probe("/tmp/graft_mh_append_probe2")
+    assert(flags2 == flags)
+    // a takedown listing a delta-resident doc is refused loudly (compact
+    // first), and the refusal leaves the index committed
+    val e = intercept[IllegalArgumentException](
+      GraftAPI.minhashIndexDelete(spark, s"$root/bands",
+        Seq(100L).toDF("doc_id"), "doc_id"))
+    assert(e.getMessage.contains("delta"), e.getMessage)
+    assert(new java.io.File(root, "_SUCCESS").isFile,
+      "a refused takedown must leave the index committed")
+  }
+
   test("delete-leg marker semantics: success recommits _SUCCESS; a failed delete leaves the index uncommitted") {
     import org.apache.spark.sql.functions._
     val sq = spark

@@ -74,7 +74,7 @@ class CurationSpec extends AnyFunSuite {
     // optimization, never a different packing
     val full = ops.PipelineOps.shardPackTokens(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      .filter(_._1 >= 400)
+      .filter(_._1 >= 450)
     val inc = ops.PipelineOps.shardPackIncremental(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(inc.nonEmpty && inc.sameElements(full),
@@ -82,7 +82,7 @@ class CurationSpec extends AnyFunSuite {
     // and it genuinely continues mid-shard: the first batch doc's shard
     // equals the base total div budget (not shard 0)
     val baseTot = Tables.documents(spark, sf)
-      .filter(org.apache.spark.sql.functions.col("doc_id") < 400)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 450)
       .select(org.apache.spark.sql.functions.expr(
         "cast(sum(size(split(text, ' '))) as long)"))
       .head().getLong(0)

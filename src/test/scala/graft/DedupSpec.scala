@@ -166,14 +166,15 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("incremental dedup flags every batch doc with a verified cross-cutoff near-dup") {
+    // three-slice model (r13): index = docs < 450, batch = docs >= 450
     val flags = DedupOps.dedupIncremental(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-    assert(flags.nonEmpty && flags.keySet.forall(_ >= 400))
+    assert(flags.nonEmpty && flags.keySet.forall(_ >= 450))
     // a verified near-dup pair exists only because its docs shared a band
     // key, so a (corpus, batch) pair forces is_dup on the batch side
     val crossDups = DedupOps.simjoinLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-      .collect { case (a, b) if a < 400 && b >= 400 => b }
+      .collect { case (a, b) if a < 450 && b >= 450 => b }
     assert(crossDups.nonEmpty, "fixture should contain cross-cutoff near-dups")
     crossDups.foreach(b => assert(flags(b), s"doc $b has a corpus near-dup but is not flagged"))
   }
@@ -394,10 +395,13 @@ class DedupSpec extends AnyFunSuite {
   test("fine-union wiring: PRODUCTION candidate scan and incremental probe consume the fine scheme (VERDICT r11 #2)") {
     import org.apache.spark.sql.functions._
     // Planted corpus, reband-spec shape: a 5-doc exact family + 150
-    // chaff variants in the BASE slice (ids < 400); the BATCH (ids >=
-    // 400) holds two exact copies of the family text (full-signature
-    // dups — must stay flagged) and 30 fresh chaff variants (hot-bucket
-    // grazers — must no longer be flagged on a raw bucket hit alone).
+    // chaff variants in the BASE slice (ids < 400); the PROBE BATCH
+    // (ids >= 450 in the r13 three-slice model) holds two exact copies
+    // of the family text (full-signature dups — must stay flagged) and
+    // 30 fresh chaff variants (hot-bucket grazers — must no longer be
+    // flagged on a raw bucket hit alone). The delta slice [400, 450) is
+    // left EMPTY here (the delta-visibility test below plants it) —
+    // the resolver must handle a data-file-less delta table.
     val rnd = new scala.util.Random(43)
     val boiler = (1 to 60).map(i => s"tok$i")
     def variant(id: Long, tag: String): (Long, String) = {
@@ -408,8 +412,8 @@ class DedupSpec extends AnyFunSuite {
     val docs =
       (0L to 4L).map(id => (id, boiler.mkString(" "))) ++
       (10L until 160L).map(variant(_, "u")) ++
-      (400L to 401L).map(id => (id, boiler.mkString(" "))) ++
-      (410L until 440L).map(variant(_, "v"))
+      (450L to 451L).map(id => (id, boiler.mkString(" "))) ++
+      (460L until 490L).map(variant(_, "v"))
     val dir = java.nio.file.Files.createTempDirectory("graft_finewire").toString
     val sq = spark; import sq.implicits._
     docs.toDF("doc_id", "text")
@@ -463,10 +467,10 @@ class DedupSpec extends AnyFunSuite {
     // stay flagged; raw grazers of hot base buckets do not.
     val inc = DedupOps.dedupIncremental(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-    assert(inc(400L) && inc(401L),
+    assert(inc(450L) && inc(451L),
       "exact copies of a hot family must still flag through the fine keys")
-    val baseBuckets = buckets.view.mapValues(_.count(_._1 < 400)).toMap
-    val rawFlag = raw.filter(_._1 >= 400).groupBy(_._1).map { case (id, rows) =>
+    val baseBuckets = buckets.view.mapValues(_.count(_._1 < 450)).toMap
+    val rawFlag = raw.filter(_._1 >= 450).groupBy(_._1).map { case (id, rows) =>
       id -> rows.exists(r => baseBuckets.getOrElse((r._2, r._3), 0) > 0)
     }
     assert(inc.keySet == rawFlag.keySet)
@@ -488,7 +492,7 @@ class DedupSpec extends AnyFunSuite {
     // pattern): _fine_SUCCESS gone + one partition missing must read as
     // "no fine table" and the next probe must rebuild to pristine
     // content, never serve the partial side-table.
-    val baseRoot = ops.Artifacts.root("mhix_v1", dir, "documents.parquet") + "_base"
+    val baseRoot = ops.Artifacts.root("mhix_v2_base", dir, "documents.parquet").toString
     val pristineFine = spark.read.parquet(s"$baseRoot/bands_fine")
       .collect().map(_.toString).sorted
     assert(pristineFine.nonEmpty)
@@ -507,5 +511,56 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(rebuiltFine.sameElements(pristineFine),
       "deterministic banding: the rebuilt fine table must equal the pristine one")
+  }
+
+  test("probe-root resolver: an APPENDED doc's dup flags without a compact; compact serves byte-identical flags (VERDICT r12 #1)") {
+    import org.apache.spark.sql.functions._
+    val sq = spark; import sq.implicits._
+    // three-slice planted corpus: unique base docs (< 400); ONE delta doc
+    // (410) whose text X returns in the probe batch (460) — the
+    // cross-delta dup that was invisible before the resolver existed;
+    // and a fresh batch doc (470) that must stay clean.
+    val rnd = new scala.util.Random(7)
+    def fresh(id: Long) =
+      (id, (1 to 50).map(i => s"d${id}w$i${rnd.nextInt(9)}").mkString(" "))
+    val dupText = (1 to 50).map(i => s"xtok$i").mkString(" ")
+    val docs =
+      (0L until 40L).map(fresh) ++
+      Seq((410L, dupText)) ++
+      Seq((460L, dupText), fresh(470L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_vsdelta").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // 1. NO maintenance op has run: the probe alone must see the delta
+    // (the resolver ensures it deterministically) — doc 460's only
+    // near-dup in the corpus-so-far is the APPENDED doc 410.
+    val inc1 = DedupOps.dedupIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSeq.sorted
+    assert(inc1 == Seq((460L, true), (470L, false)),
+      s"cross-delta dup must flag without a compact: $inc1")
+    val vs = DedupOps.dedupIncrementalVsdelta(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSeq.sorted
+    assert(vs == Seq((460L, true, true), (470L, false, false)),
+      s"460's flag must be attributed to the delta: $vs")
+
+    // 2. compact, then re-probe: byte-identical flags...
+    DedupOps.dedupIndexCompact(spark, dir).count()
+    val inc2 = DedupOps.dedupIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSeq.sorted
+    assert(inc2 == inc1, "flags must be byte-identical before/after compact")
+
+    // 3. ...and genuinely SERVED FROM the compact: with the delta table
+    // gone entirely, the committed compact must still carry the appended
+    // doc's postings to the probe.
+    val ix = ops.MinhashIndex.ensureBase(spark, dir)
+    ops.Artifacts.rmrf(new java.io.File(ix.delta))
+    assert(!new java.io.File(ix.delta).exists())
+    val inc3 = DedupOps.dedupIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSeq.sorted
+    assert(inc3 == inc1,
+      "a committed compact must serve the probe on its own (the catalog swap)")
   }
 }

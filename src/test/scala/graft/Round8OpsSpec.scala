@@ -43,31 +43,40 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(new java.io.File(ix.bands).listFiles().map(_.getName).toSet == files0)
   }
 
-  test("dedup_index_append: delta postings == in-memory batch bands; manifest splits at the cutoff") {
+  test("dedup_index_append: delta postings == in-memory batch bands; manifest splits at the cutoffs") {
     val manifest = DedupOps.dedupIndexAppend(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     val mem = DedupOps.dedupMinhash(spark, sf)
       .select("doc_id", "band", "band_key").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // three-slice model (r13): base < 400, delta = [400, 450)
     manifest.foreach { case (b, nBase, nNew) =>
       assert(nBase == mem.count(r => r._2 == b && r._1 < 400))
-      assert(nNew == mem.count(r => r._2 == b && r._1 >= 400))
+      assert(nNew == mem.count(r => r._2 == b && r._1 >= 400 && r._1 < 450))
       assert(nBase > 0 && nNew > 0)
     }
     val ix = graft.ops.MinhashIndex.ensureBase(spark, sf)
-    val delta = spark.read.parquet(s"${ix.root}/bands_delta")
+    val delta = spark.read.parquet(ix.delta)
       .select("doc_id", "band", "band_key").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
-    assert(delta.sameElements(mem.filter(_._1 >= 400).sorted))
+    assert(delta.sameElements(mem.filter(r => r._1 >= 400 && r._1 < 450).sorted))
   }
 
-  test("dedup_index_compact: compacted manifest == full-index build manifest, one file per band") {
-    val got = DedupOps.dedupIndexCompact(spark, sf).collect().map(_.toSeq)
-    val want = DedupOps.buildMinhashIndex(spark, sf).collect().map(_.toSeq)
-    assert(got.nonEmpty && got.sameElements(want),
-      "base ∪ delta must reproduce the full-corpus index manifest exactly")
+  test("dedup_index_compact: compacted manifest == recomputed banding of docs < AppendCutoff, one file per band") {
+    val got = DedupOps.dedupIndexCompact(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val mem = DedupOps.dedupMinhash(spark, sf)
+      .select("doc_id", "band", "band_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .filter(_._1 < 450)
+    val want = mem.groupBy(_._2).map { case (b, rows) =>
+      (b, rows.map(_._3).distinct.length.toLong, rows.length.toLong,
+        rows.map(_._1).distinct.length.toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got.nonEmpty && got.toSeq == want,
+      "base ∪ delta must reproduce the banding of docs < AppendCutoff exactly")
     val ix = graft.ops.MinhashIndex.ensureBase(spark, sf)
-    new java.io.File(s"${ix.root}/bands_compact").listFiles()
+    new java.io.File(ix.compact).listFiles()
       .filter(_.getName.startsWith("pband=")).foreach { d =>
         assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
           s"${d.getName}: expected exactly one file after compaction")
@@ -75,11 +84,17 @@ class Round8OpsSpec extends AnyFunSuite {
   }
 
   test("dedup_incremental (stored index) == the in-memory formulation") {
-    // the pre-r8 in-memory form, recomputed from the public band table
+    // The raw-hit in-memory form, recomputed from the public band table.
+    // (At this fixture the raw and fine-union rules agree — every batch
+    // doc that raw-hits a hot bucket also matches on sub_key or hits a
+    // cold bucket, verified externally; the planted-corpus DedupSpec
+    // test is where the two rules diverge and the fine rule is pinned.)
+    // Three-slice model (r13): index = docs < 450 (base ∪ delta — the
+    // resolver content), batch = docs >= 450.
     val bands = DedupOps.dedupMinhash(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
-    val idx = bands.collect { case (d, b, k) if d < 400 => (b, k) }.toSet
-    val batch = bands.filter(_._1 >= 400)
+    val idx = bands.collect { case (d, b, k) if d < 450 => (b, k) }.toSet
+    val batch = bands.filter(_._1 >= 450)
     val expected = batch.map(_._1).distinct.sorted
       .map(d => d -> batch.exists(r => r._1 == d && idx((r._2, r._3)))).toMap
     val got = DedupOps.dedupIncremental(spark, sf).collect()
@@ -87,6 +102,19 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.values.exists(identity), "fixture should flag at least one dup")
     assert(got.values.exists(!_), "fixture should keep at least one non-dup")
+    // the vsdelta probe agrees on is_dup and its base-only leg is sound:
+    // via_delta rows are exactly those whose every hit lies in [400, 450)
+    val idx0 = bands.collect { case (d, b, k) if d < 400 => (b, k) }.toSet
+    val expected0 = batch.map(_._1).distinct.sorted
+      .map(d => d -> batch.exists(r => r._1 == d && idx0((r._2, r._3)))).toMap
+    val vs = DedupOps.dedupIncrementalVsdelta(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(vs.view.mapValues(_._1).toMap == got,
+      "vsdelta must agree with dedup_incremental on is_dup")
+    vs.foreach { case (d, (dup, via)) =>
+      assert(via == (dup && !expected0(d)),
+        s"doc $d: via_delta $via vs dup=$dup baseOnly=${expected0(d)}")
+    }
   }
 
   test("text_token_entropy matches a local snapped recompute; bounds hold") {

@@ -450,11 +450,15 @@ class StreamingSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
-  test("streaming dedup against the stored MinHash index == batch incremental dedup") {
+  test("streaming dedup against the stored MinHash index (base + APPENDED delta) == batch incremental dedup") {
     val sq = spark; import sq.implicits._
     implicit val ctx = spark.sqlContext
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    // corpus index: docs < 400 (the dedup_incremental protocol), stored
+    // three-slice protocol (r13): base index = docs < 400; yesterday's
+    // batch [400, 450) lands via the facade APPEND (its own committed
+    // delta generation); the stream probes docs >= 450 — so this twin
+    // exercises the probe-root resolver end-to-end and must equal the
+    // registry probe, which resolves base ∪ delta the same way.
     val ixRoot = "/tmp/graft_stream_mhix"
     val out = "/tmp/graft_stream_dedup_out"
     Seq(ixRoot, out).foreach(p =>
@@ -462,8 +466,11 @@ class StreamingSpec extends AnyFunSuite {
     graft.api.GraftAPI.writeMinhashIndex(
       docs.filter($"doc_id" < 400), "doc_id", "text", ixRoot,
       numHashes = 8, bands = 2)
-    // stream the batch side (docs >= 400) in 3 micro-batches
-    val batchDocs = docs.filter($"doc_id" >= 400)
+    graft.api.GraftAPI.minhashIndexAppend(spark, s"$ixRoot/bands",
+      docs.filter($"doc_id" >= 400 && $"doc_id" < 450), "doc_id", "text",
+      batchId = 0L, numHashes = 8, bands = 2)
+    // stream the probe side (docs >= 450) in 3 micro-batches
+    val batchDocs = docs.filter($"doc_id" >= 450)
       .select("doc_id", "text").as[streaming.DocRow]
       .collect().sortBy(_.doc_id).toSeq
     val ms = MemoryStream[streaming.DocRow]
@@ -484,6 +491,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch,
       "per-batch probe flags must equal the one-shot incremental dedup")
     assert(streamed.values.exists(identity) && streamed.values.exists(!_))
+    // the delta is load-bearing: the delta-only flip the registry probe
+    // flags (a doc whose only near-dup is an APPENDED doc) must flag in
+    // the stream too — on the sf0.01 fixture that is doc 452
+    val vs = graft.ops.DedupOps.dedupIncrementalVsdelta(spark, sf).collect()
+      .filter(r => r.getBoolean(2)).map(_.getLong(0))
+    vs.foreach(d => assert(streamed(d),
+      s"doc $d flags only via the appended delta and must flag in the stream"))
   }
 
   test("streaming curation verdict against stored base artifacts == curation_incremental") {
@@ -491,7 +505,10 @@ class StreamingSpec extends AnyFunSuite {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val base = docs.filter($"doc_id" < 400)
+    // "corpus so far" = docs < 450 in the r13 three-slice model (base +
+    // yesterday's absorbed delta — a monolithic facade build of that
+    // slice equals what the registry resolver serves)
+    val base = docs.filter($"doc_id" < 450)
     val ixRoot = "/tmp/graft_stream_cur_mhix"
     val fpsPath = "/tmp/graft_stream_cur_fps"
     val evPath = "/tmp/graft_stream_cur_eval"
@@ -506,8 +523,8 @@ class StreamingSpec extends AnyFunSuite {
     graft.api.GraftAPI.shingleRows(base.filter($"doc_id" % 50 === 0),
         "doc_id", "text")
       .select("x").distinct().write.parquet(evPath)
-    // stream the batch side (docs >= 400) in 3 micro-batches
-    val batchDocs = docs.filter($"doc_id" >= 400)
+    // stream the batch side (docs >= 450) in 3 micro-batches
+    val batchDocs = docs.filter($"doc_id" >= 450)
       .select("doc_id", "text", "n_chars").as[streaming.CurDocRow]
       .collect().sortBy(_.doc_id).toSeq
     val ms = MemoryStream[streaming.CurDocRow]

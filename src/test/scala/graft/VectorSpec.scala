@@ -524,4 +524,45 @@ class VectorSpec extends AnyFunSuite {
     assert(rebuilt.sameElements(pristine),
       "deterministic Lloyd: the rebuilt split must equal the pristine one")
   }
+
+  test("knn_ivf_pq_delta: an APPENDED vector is findable without a compact; compact serves byte-identical results (VERDICT r12 #1)") {
+    import org.apache.spark.sql.functions._
+    val sq = spark; import sq.implicits._
+    // planted corpus (dim 64 = PqM*PqSub): vec 0 = the query; vec 7
+    // (7 % 10 == 7 → the held-out APPEND slice) = a near-duplicate of
+    // the query; the rest scattered. Before the resolver existed, 7 was
+    // in no stored code table a base-family probe read.
+    val rnd = new scala.util.Random(19)
+    val q = Array.fill(64)(rnd.nextGaussian() * 0.2 + 1.0)
+    val rows =
+      Seq((0L, 0L, q.map(_.toFloat))) ++
+      Seq((7L, 7L, q.map(v => (v + rnd.nextGaussian() * 0.01).toFloat))) ++
+      (1L to 60L).filter(i => i != 7L).map(id =>
+        (id, id % 10, Array.fill(64)((rnd.nextGaussian() * 2.0).toFloat)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annvsdelta").toString
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // 1. NO maintenance op has run: the probe resolves base ∪ ensured
+    // delta, so the appended near-duplicate must rank first.
+    val got1 = VectorOps.knnIvfPqDelta(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got1.nonEmpty && got1.head._1 == 7L,
+      s"the appended near-duplicate must top the rerank: ${got1.toSeq}")
+
+    // 2. compact → byte-identical, and genuinely served FROM the compact
+    // (delta table removed entirely).
+    VectorOps.annIndexCompact(spark, dir).count()
+    val got2 = VectorOps.knnIvfPqDelta(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got2.sameElements(got1),
+      "probe results must be byte-identical before/after compact")
+    val ix = ops.IvfPqIndex.ensureBase(spark, dir)
+    ops.Artifacts.rmrf(new java.io.File(ix.ivfCodesDelta))
+    assert(!new java.io.File(ix.ivfCodesDelta).exists())
+    val got3 = VectorOps.knnIvfPqDelta(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got3.sameElements(got1),
+      "a committed compact must serve the probe on its own (the catalog swap)")
+  }
 }
