@@ -834,8 +834,8 @@ object DedupOps {
     * by [[dedupIndexReband]] (full index) and
     * [[MinhashIndex.ensureFine]] (the base index's probe side) so both
     * families key identically. */
-  private[ops] def fineRowsFor(s: SparkSession, dir: String,
-                               bands: DataFrame): DataFrame = {
+  private[graft] def fineRowsFor(s: SparkSession, dir: String,
+                                 bands: DataFrame): DataFrame = {
     val hot = bands.groupBy("band", "band_key")
       .agg(count(lit(1)).as("sz")).filter(col("sz") >= RebandHotSize)
       .select("band", "band_key")

@@ -1420,8 +1420,14 @@ object VectorOps {
     * path. */
   private[graft] def splitRowsOf(s: SparkSession, e: DataFrame,
                                  ix: IvfPqIndex.Ix, hotSize: Long,
-                                 subK: Int): (DataFrame, DataFrame, DataFrame) = {
-    val cells = s.read.parquet(ix.cells)
+                                 subK: Int,
+                                 cellsOpt: Option[DataFrame] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
+    // cellsOpt: the MEMBERSHIP the split refreshes over — the stored
+    // cells table by default; the maintenance job passes the RESOLVED
+    // membership (base ∪ appended delta) so a cell pushed over the hot
+    // threshold by appends splits with all its members (r13).
+    val cells = cellsOpt.getOrElse(s.read.parquet(ix.cells))
     val hot = cells.groupBy("cell").agg(count(lit(1)).as("n"))
       .filter(col("n") >= hotSize).select("cell")
     val coarse = s.read.parquet(ix.coarse)

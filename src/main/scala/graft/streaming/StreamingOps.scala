@@ -375,7 +375,26 @@ object StreamingOps {
                     k: Int = 10)(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     val coarse = s.read.parquet(s"$indexRoot/coarse")
-    val cells = s.read.parquet(s"$indexRoot/cells")
+    // Pool membership through the probe-root resolver (r13, the ANN
+    // mirror of the dedup twins' resolution): a committed codes compact
+    // (one (vec_id, cell) row per vector at m = 0), else the cells table
+    // ∪ any committed codes delta — so a vector appended against the
+    // stored codebooks is servable from the very next micro-batch. An
+    // append into a SPLIT cell is served through the whole-cell/fallback
+    // paths after the next split refresh (the maintenance job); unsplit
+    // cells serve appends immediately.
+    val cells = {
+      def m0(path: String) = s.read.parquet(path)
+        .filter(col("m") === 0).select("vec_id", "cell")
+      val compact = graft.ops.IndexFs.child(indexRoot, "ivfpq_codes_compact")
+      val delta = graft.ops.IndexFs.child(indexRoot, "ivfpq_codes_delta")
+      if (graft.ops.IndexFs.isFile(
+          graft.ops.IndexFs.child(compact, "_SUCCESS"))) m0(compact)
+      else if (graft.ops.IndexFs.isFile(
+          graft.ops.IndexFs.child(delta, "_SUCCESS")))
+        s.read.parquet(s"$indexRoot/cells").unionByName(m0(delta))
+      else s.read.parquet(s"$indexRoot/cells")
+    }
     def dot2(a: Column, b: Column) = graft.functions.VectorFunctions.graftDot(a, b)
     val q = batch.select(col(qId).as("query_id"),
       col(qVec).cast("array<double>").as("qx"))

@@ -39,6 +39,7 @@ class JobsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](jobs.ExtractBooks.main(Array.empty))
     intercept[IllegalArgumentException](jobs.RunBooksPipeline.main(Array("only-one")))
     intercept[IllegalArgumentException](jobs.DailyIncrement.main(Array("only-one")))
+    intercept[IllegalArgumentException](jobs.MaintenanceRun.main(Array("only-one")))
   }
 
   test("DailyIncrement main absorbs the batch; outputs consistent and idempotent") {
@@ -86,7 +87,7 @@ class JobsSpec extends AnyFunSuite {
     val dayTokens = spark.read.parquet(s"$out/shards")
       .agg(sum("n_tokens")).head().getLong(0)
     val baseTokens0 = Tables.documents(spark, sf)
-      .filter(col("doc_id") < ops.DedupOps.IncrementalCutoff)
+      .filter(col("doc_id") < ops.DedupOps.AppendCutoff)
       .selectExpr("cast(sum(size(split(text, ' '))) as long)")
       .head().getLong(0)
     assert(reported("packed_tokens_day") == dayTokens)
@@ -101,8 +102,9 @@ class JobsSpec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
       .toMap
     assert(maint.keySet == Set("minhash", "ann"))
-    assert(maint("minhash")._4.contains("dedup_index_reband") &&
-      maint("ann")._4.contains("ann_index_split"))
+    assert(maint("minhash")._4.contains("MaintenanceRun") &&
+      maint("ann")._4.contains("MaintenanceRun"),
+      "the remedy_job must name the executor that closes the loop")
     def posture(all: Seq[(String, Long)], touched: Set[String],
                 thr: Long): (Long, Long, Seq[String]) = {
       val sizes = all.groupBy(_._1).view
@@ -156,7 +158,7 @@ class JobsSpec extends AnyFunSuite {
     assert(first.sameElements(second), "re-run changed the verdicts")
     // explicit state arg: passing the derived base total byte-matches
     val baseTot = Tables.documents(spark, sf)
-      .filter(col("doc_id") < 400)
+      .filter(col("doc_id") < 450)
       .selectExpr("cast(sum(size(split(text, ' '))) as long)")
       .head().getLong(0)
     val out2 = "/tmp/graft_jobs_daily2"
@@ -167,14 +169,111 @@ class JobsSpec extends AnyFunSuite {
     assert(a.sameElements(b), "explicit packing state diverged from derived")
   }
 
+  test("MaintenanceRun converges the detect→remedy loop: planted hot cell → daily reports unremedied>0 → remedy → re-audit 0, probes unchanged (r13)") {
+    import org.apache.spark.sql.functions._
+    val sq = spark; import sq.implicits._
+    // Planted corpus: the ANN side gets a coarse cell that is hot ONLY
+    // with the appended delta counted — 31 base members (< SplitHotSize
+    // = 32) + 3 delta members (%10 == 7) = 34 resolved — so the daily
+    // audit must report it unremedied, and only the maintenance run's
+    // resolved-membership split can cover it. Scattered low-id vectors
+    // (0..20, minus the %10==7 holdouts) provide the 16 coarse seeds so
+    // the cluster lands in ONE learned cell.
+    val rnd = new scala.util.Random(23)
+    val center = Array.fill(64)(rnd.nextGaussian() * 0.1 + 2.0)
+    def near() = center.map(v => (v + rnd.nextGaussian() * 0.02).toFloat)
+    def far() = Array.fill(64)((rnd.nextGaussian() * 3.0).toFloat)
+    val clusterIds = (100L to 133L)
+    val emb =
+      (0L to 20L).map(id => (id, id % 10, far())) ++
+      clusterIds.map(id => (id, id % 10, near()))
+    val dir = java.nio.file.Files.createTempDirectory("graft_maint").toString
+    emb.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // documents: unique base docs + one keeper batch doc (>= 450); the
+    // [400, 450) delta slice is EMPTY — the minhash family must audit
+    // clean and the empty-delta path must not trip any stage.
+    val docs = (0L until 40L).map(id =>
+        (id, (1 to 40).map(i => s"b${id}w$i").mkString(" "))) ++
+      Seq((460L, (1 to 40).map(i => s"t460w$i").mkString(" ")))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = "/tmp/graft_jobs_maint"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    def reported(text: String, k: String): Long =
+      s"$k=(-?\\d+)".r.findFirstMatchIn(text)
+        .getOrElse(fail(s"report missing $k: $text")).group(1).toLong
+    def runMain(body: => Unit): String = {
+      val captured = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(captured, true, "UTF-8"))(body)
+      captured.toString("UTF-8")
+    }
+    // 1. DETECT: the daily run reports the delta-hot cell unremedied
+    val daily = runMain(jobs.DailyIncrement.main(Array(dir, out)))
+      .linesIterator.find(_.startsWith("[daily-increment]"))
+      .getOrElse(fail("no daily report line"))
+    assert(reported(daily, "unremedied_cells") >= 1L,
+      s"the planted delta-hot cell must be detected: $daily")
+    assert(reported(daily, "unremedied_buckets") == 0L,
+      s"the dedup family must audit clean here: $daily")
+    // probes BEFORE the remedy (pure-function contract)
+    val probePre = ops.VectorOps.knnIvfPqDelta(spark, dir)
+      .collect().map(_.toString).toSeq
+    val incPre = ops.DedupOps.dedupIncremental(spark, dir)
+      .collect().map(_.toString).toSeq
+    // 2. REMEDY + RE-AUDIT: the maintenance run converges to 0
+    val maint = runMain(jobs.MaintenanceRun.main(Array(dir, out)))
+      .linesIterator.find(_.startsWith("[maintenance-run]"))
+      .getOrElse(fail("no maintenance report line"))
+    assert(maint.contains("remedied=ann"), maint)
+    assert(reported(maint, "unremedied_cells_pre") >= 1L, maint)
+    assert(reported(maint, "unremedied_cells") == 0L,
+      s"the remedy must converge the audit to 0: $maint")
+    assert(reported(maint, "unremedied_buckets") == 0L, maint)
+    val posted = spark.read.parquet(s"$out/maintenance").collect()
+      .map(r => r.getAs[String]("family") -> r.getAs[Long]("unremedied")).toMap
+    assert(posted.values.forall(_ == 0L),
+      s"post-remedy posture must be clean: $posted")
+    // the remedy wrote real artifacts: a committed split covering the
+    // hot cell, and the codes compact the resolver now serves
+    val annIx = ops.IvfPqIndex.ensureBase(spark, dir)
+    assert(new java.io.File(annIx.root, "_split_SUCCESS").isFile)
+    assert(new java.io.File(annIx.ivfCodesCompact, "_SUCCESS").isFile)
+    val splitMembers = spark.read.schema(ops.VectorOps.splitCellsSchema)
+      .parquet(s"${annIx.root}/cells_split")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(Set(107L, 117L, 127L).subsetOf(splitMembers),
+      "the resolved-membership split must cover the APPENDED members too")
+    // 3. PURITY: probe outputs are byte-identical across the remedy
+    val probePost = ops.VectorOps.knnIvfPqDelta(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(probePost == probePre, "the remedy must not change probe output")
+    val incPost = ops.DedupOps.dedupIncremental(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(incPost == incPre)
+    // 4. IDEMPOTENT: a second maintenance run finds nothing to do
+    val maint2 = runMain(jobs.MaintenanceRun.main(Array(dir, out)))
+      .linesIterator.find(_.startsWith("[maintenance-run]"))
+      .getOrElse(fail("no second maintenance report line"))
+    assert(maint2.contains("remedied=none"), maint2)
+    assert(reported(maint2, "unremedied_cells") == 0L, maint2)
+  }
+
   test("daily-increment DAG example parses and submits exactly the tested main") {
     val f = new java.io.File("examples/airflow_daily_increment_dag.py")
     assert(f.exists(), s"DAG example missing at ${f.getAbsolutePath}")
     val src = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
     val mains = """main="([\w.]+)"""".r.findAllMatchIn(src).map(_.group(1)).toSet
-    assert(mains == Set("graft.jobs.DailyIncrement"),
+    assert(mains == Set("graft.jobs.DailyIncrement", "graft.jobs.MaintenanceRun"),
       s"DAG submits unexpected mains: $mains")
     assert(src.contains("with DAG(") && src.contains("\"retries\""))
+    // the absorption precedes the remedy executor
+    assert(src.indexOf("task_id=\"absorb_daily_batch\"") <
+      src.indexOf("task_id=\"run_maintenance\""))
+    assert(src.contains("daily >> maintain"))
     val py = Seq("/usr/bin/python3", "/usr/local/bin/python3")
       .find(p => new java.io.File(p).canExecute)
     assume(py.isDefined, "no python3 on PATH — structural checks above still ran")
