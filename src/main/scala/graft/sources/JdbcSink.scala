@@ -388,7 +388,14 @@ object JdbcSink {
     * table over N concurrent connections instead of serializing through
     * one. Bounds only steer the SPLIT (rows outside them still arrive,
     * in the unbounded edge partitions — Spark's documented contract);
-    * pass the true min/max so the stride is even. */
+    * pass the true min/max so the stride is even.
+    *
+    * ASSUMES a near-UNIFORM key distribution (ADVICE r12): the stride is
+    * `(upper - lower) / numPartitions` of KEY SPACE, so a skewed key — a
+    * real `books.id` after years of deletes/backfills — lands most ROWS
+    * in one partition and the fan-out degrades to a serial read with
+    * idle peers. For skewed keys use [[readByQuantiles]], which seeds
+    * the split points from the table's own rank statistics. */
   def readPartitioned(s: SparkSession, url: String, table: String,
                       partitionColumn: String, lowerBound: Long,
                       upperBound: Long, numPartitions: Int,
@@ -407,5 +414,55 @@ object JdbcSink {
       .option("upperBound", upperBound)
       .option("numPartitions", numPartitions)
       .load()
+  }
+
+  /** SKEW-SAFE partitioned JDBC read (VERDICT r12 #4): the fan-out's
+    * split points come from the table's own RANK statistics instead of a
+    * uniform key-space stride, so each of the `numPartitions` concurrent
+    * bounded queries carries ~rowcount/numPartitions ROWS no matter how
+    * the keys are distributed (a uniform stride over a 90/10-skewed key
+    * serializes 90% of the table through one reader). Seeding costs one
+    * COUNT plus `numPartitions - 1` single-row rank probes (`ORDER BY
+    * key OFFSET k FETCH FIRST 1 ROWS ONLY` — an indexed key makes each a
+    * range-scan seek, the same index the bounded queries themselves
+    * need); against a real warehouse the same cut points usually come
+    * free from catalog histograms. NULL keys ride the first predicate,
+    * so the read is lossless (JdbcSinkSpec pins totals and per-partition
+    * balance on a planted 90/10 table). Duplicate cut points (heavy
+    * single key) collapse — fewer, still-disjoint partitions rather than
+    * overlapping reads. */
+  def readByQuantiles(s: SparkSession, url: String, table: String,
+                      column: String, numPartitions: Int,
+                      driver: String = DerbyDriver): DataFrame = {
+    derbyHome
+    require(numPartitions >= 1, s"numPartitions must be >= 1: $numPartitions")
+    val t = ident(table)
+    val c = ident(column)
+    val cuts = withConnection(url, driver) { conn =>
+      val st = conn.createStatement()
+      val cnt = st.executeQuery(s"SELECT COUNT(*) FROM $t")
+      cnt.next()
+      val n = cnt.getLong(1)
+      (1 until numPartitions).map { i =>
+        val k = i * n / numPartitions
+        val rs = st.executeQuery(
+          s"""SELECT "$c" FROM $t ORDER BY "$c" """ +
+            s"OFFSET $k ROWS FETCH FIRST 1 ROWS ONLY")
+        rs.next()
+        rs.getLong(1)
+      }.distinct.sorted
+    }
+    val preds: Array[String] =
+      if (cuts.isEmpty) Array("1=1")
+      else {
+        val first = s""""$c" < ${cuts.head} OR "$c" IS NULL"""
+        val mids = cuts.sliding(2).collect { case Seq(a, b) =>
+          s""""$c" >= $a AND "$c" < $b""" }.toSeq
+        val last = s""""$c" >= ${cuts.last}"""
+        (first +: mids :+ last).toArray
+      }
+    val props = new Properties()
+    props.setProperty("driver", driver)
+    s.read.jdbc(url, t, preds, props)
   }
 }

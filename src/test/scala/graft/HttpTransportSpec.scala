@@ -273,6 +273,76 @@ class HttpTransportSpec extends AnyFunSuite {
     }
   }
 
+  test("HttpHubClient over https+gzip+chunked == the deterministic formula client, incl. 503 backoff + bearer auth (S5, VERDICT r12 #5)") {
+    import graft.sources.HubModelsSource
+    // hub catalog endpoint: one GET ?limit=N, the whole listing in one
+    // JSON array — serialize the FORMULA registry so equality against
+    // the no-network client is exact, field for field
+    def catalogJson(limit: Int): String =
+      HubModelsSource.DeterministicHub.listModels(limit).map { m =>
+        val tags = m.tags.map(t => s""""$t"""").mkString("[", ",", "]")
+        s"""{"model_id":"${m.model_id}","author":"${m.author}",""" +
+          s""""pipeline_tag":"${m.pipeline_tag}","tags":$tags,""" +
+          s""""downloads":${m.downloads},""" +
+          s""""last_modified":"${m.last_modified.toInstant.toString}"}"""
+      }.mkString("[", ",", "]")
+    val attempts = new AtomicInteger()
+    val bearers = ConcurrentHashMap.newKeySet[String]()
+    // TLS server (suite keystore), gzip bodies, chunked framing; first
+    // attempt answers 503 so the driver-side capped backoff must retry
+    val (ksPath, ksPass) = keystore
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val ksIn = new java.io.FileInputStream(ksPath)
+    try ks.load(ksIn, ksPass.toCharArray) finally ksIn.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, ksPass.toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    val srv = com.sun.net.httpserver.HttpsServer
+      .create(new InetSocketAddress("127.0.0.1", 0), 0)
+    srv.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(ctx))
+    srv.createContext("/models", ex => try {
+      Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .foreach(bearers.add)
+      val limit = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        .split("&").collectFirst { case p if p.startsWith("limit=") =>
+          p.stripPrefix("limit=").toInt }.getOrElse(0)
+      if (attempts.incrementAndGet() == 1) {
+        ex.sendResponseHeaders(503, -1)
+      } else {
+        val plain = catalogJson(limit).getBytes(StandardCharsets.UTF_8)
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(plain); gz.close()
+        ex.getResponseHeaders.add("Content-Encoding", "gzip")
+        ex.sendResponseHeaders(200, 0) // chunked
+        ex.getResponseBody.write(bos.toByteArray)
+      }
+    } finally ex.close())
+    srv.start()
+    try {
+      val url = s"https://127.0.0.1:${srv.getAddress.getPort}/models"
+      val client = new HubModelsSource.HttpHubClient(url,
+        bearerToken = "hub-token", trustStore = ksPath,
+        trustStorePass = ksPass, backoffMs = 10L)
+      val got = client.listModels(50)
+      val want = HubModelsSource.DeterministicHub.listModels(50)
+      assert(got == want,
+        "the HTTPS client must reproduce the formula client exactly")
+      assert(attempts.get() >= 2, "the 503 must have been retried")
+      assert(bearers.contains("Bearer hub-token"),
+        "the bearer token must reach the server")
+      // and the DataFrame face rides the same client unchanged
+      val viaHttp = HubModelsSource.read(spark, client, limit = 50)
+        .collect().map(_.toString).sorted
+      val viaFormula = HubModelsSource
+        .read(spark, HubModelsSource.DeterministicHub, limit = 50)
+        .collect().map(_.toString).sorted
+      assert(viaHttp.sameElements(viaFormula))
+    } finally srv.stop(0)
+  }
+
   test("an untrusted HTTPS endpoint fails the TLS handshake loudly (no silent fallback)") {
     // same TLS server, but the client keeps the JDK default trust: the
     // self-signed cert must be REJECTED — proving the trustStore option
