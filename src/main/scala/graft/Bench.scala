@@ -57,15 +57,26 @@ object Bench {
     private val read = new java.util.concurrent.atomic.AtomicLong
     private val written = new java.util.concurrent.atomic.AtomicLong
     private val peak = new java.util.concurrent.atomic.AtomicLong
+    private val memSp = new java.util.concurrent.atomic.AtomicLong
+    private val diskSp = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {
         read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         peak.accumulateAndGet(m.peakExecutionMemory, math.max(_, _))
+        // Spill counters (r13, VERDICT r12 #6/#7): at memory-constrained
+        // geometry (the 1 GiB-executor spill proof) non-zero spill with a
+        // completed run is the SUCCESS signal — the aggregation paths
+        // degrade to disk instead of OOMing — and at comfortable geometry
+        // a spill regression is a memory-blowup early warning the
+        // wall-seconds noise band can hide.
+        memSp.addAndGet(m.memoryBytesSpilled)
+        diskSp.addAndGet(m.diskBytesSpilled)
       }
     }
     def bytes: (Long, Long) = (read.get, written.get)
+    def spills: (Long, Long) = (memSp.get, diskSp.get)
     def peakAndReset(): Long = peak.getAndSet(0L)
   }
 
@@ -152,7 +163,8 @@ object Bench {
     spark.sparkContext.addSparkListener(metrics)
     metrics.peakAndReset() // discard warm-up pressure
     final case class Tl(name: String, minSec: Double, maxSec: Double,
-                        shr: Long, shw: Long, peak: Long, err: Option[String])
+                        shr: Long, shw: Long, peak: Long,
+                        memSp: Long, diskSp: Long, err: Option[String])
     val timeline = scala.collection.mutable.ArrayBuffer.empty[Tl]
     // Per query: full execution at the target SF, twice; report the min —
     // standard noise control against transient GC/compilation/IO spikes
@@ -160,6 +172,7 @@ object Bench {
     // that throws is recorded as FAILED, never as a (fast) time.
     val results: Map[String, Either[String, Double]] = selected.map { case (name, fn) =>
       val bytes0 = metrics.bytes
+      val spills0 = metrics.spills
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val r = try { fn(spark, sfDir).count(); None }
@@ -184,14 +197,17 @@ object Bench {
       // Snapshot AFTER the hygiene barrier above (clearCache + GC give
       // the async listener bus time to drain the query's task events).
       val bytes1 = metrics.bytes
+      val spills1 = metrics.spills
       val (shr, shw) = (bytes1._1 - bytes0._1, bytes1._2 - bytes0._2)
+      val (memSp, diskSp) = (spills1._1 - spills0._1, spills1._2 - spills0._2)
       val peak = metrics.peakAndReset()
       System.err.println(
         f"[bench] $name%-24s ${runs.map(_._2).min}%8.3f min  ${runs.map(_._2).max}%8.3f max" +
           f"  shr=${shr / 1048576.0}%.1fMB shw=${shw / 1048576.0}%.1fMB" +
+          (if (memSp > 0) f" spill=${memSp / 1048576.0}%.1fMB" else "") +
           firstErr.fold("")(e => s"  FAILED:$e"))
       timeline += Tl(name, runs.map(_._2).min, runs.map(_._2).max,
-        shr, shw, peak, firstErr)
+        shr, shw, peak, memSp, diskSp, firstErr)
       name -> firstErr.toLeft(runs.map(_._2).min)
     }
     val wallSec = (System.nanoTime() - sweepT0) / 1e9
@@ -210,6 +226,7 @@ object Bench {
       s"""{"q":"${t.name}","min":${f3(t.minSec)},"max":${f3(t.maxSec)}""" +
         s""","shuffle_read":${t.shr},"shuffle_write":${t.shw}""" +
         s""","peak_mem":${t.peak}""" +
+        s""","mem_spilled":${t.memSp},"disk_spilled":${t.diskSp}""" +
         t.err.fold("")(err => s""","err":"$err"""") + "}"
     }.mkString("[\n  ", ",\n  ", "\n]")
     // The file write must NOT be able to discard the sweep (review r6):
@@ -252,8 +269,10 @@ object Bench {
     val shrTot = timeline.map(_.shr).sum
     val shwTot = timeline.map(_.shw).sum
     val peakMax = if (timeline.isEmpty) 0L else timeline.map(_.peak).max
+    val memSpTot = timeline.map(_.memSp).sum
+    val diskSpTot = timeline.map(_.diskSp).sum
     // Full per-query map — earlier line, human/log consumption only.
-    println(s"""{"metric":"total_full","value":${f3(total)},"unit":"sec","shuffle_read":$shrTot,"shuffle_write":$shwTot,"peak_mem_max":$peakMax,"subtotals":$famJson,"queries":${qmap(ok.toSeq.sortBy(_._1))},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_full","value":${f3(total)},"unit":"sec","shuffle_read":$shrTot,"shuffle_write":$shwTot,"peak_mem_max":$peakMax,"mem_spilled":$memSpTot,"disk_spilled":$diskSpTot,"subtotals":$famJson,"queries":${qmap(ok.toSeq.sortBy(_._1))},"failed":$failedJson,"sf":"$sfDir"}""")
     // Compact line LAST: grand total + counts + headline subset. `wall` /
     // `warm` carry the sweep + warm-up wall seconds so the artifact shows
     // how much of the driver's observed runtime was measured queries vs

@@ -119,7 +119,17 @@ object Explain {
                   // range-partitioned JDBC scan (JDBCRelation with 4
                   // partition predicates)
                   "knn_ivf_split", "ann_index_split",
-                  "scan_jdbc_partitioned")) {
+                  "scan_jdbc_partitioned",
+                  // round 13: the probe-root-resolver consumers — the
+                  // delta-visibility dedup probe (both probe legs must
+                  // read the resolved postings: base scan ∪ delta scan
+                  // unioned below the bucket-size aggregate, fine keys
+                  // from the stored side-table) and the IVFADC probe
+                  // through the resolver (base + delta code scans both
+                  // pruned to the query's pcell before the broadcast ADC
+                  // join). dedup_incremental's re-capture above picks up
+                  // the same resolved-postings subtree.
+                  "dedup_incremental_vsdelta", "knn_ivf_pq_delta")) {
       println(s"===== $q =====")
       // Cap per-query output: cached-frame-heavy composites nest their
       // InMemoryRelation child plans repeatedly and can print 50k+ lines
