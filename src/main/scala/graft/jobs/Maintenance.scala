@@ -95,7 +95,8 @@ object Maintenance {
       graft.ops.DedupOps.RebandHotSize, mhFineCovered)
     val annIx = graft.ops.IvfPqIndex.ensureBase(spark, sfDir)
     graft.ops.IvfPqIndex.ensureDelta(spark, sfDir, annIx)
-    val annDelta = spark.read.parquet(annIx.ivfCodesDelta)
+    val annDelta = spark.read.schema(graft.ops.VectorOps.codesSchema)
+      .parquet(annIx.ivfCodesDelta)
       .filter(col("m") === 0).select("cell")
     val annSplitCovered =
       if (graft.ops.IndexFs.isFile(

@@ -104,12 +104,17 @@ object IvfPqIndex {
     * the scan count (VectorSpec pins byte-identical probe results). */
   def resolvedCodes(s: SparkSession, dir: String, ix: Ix): DataFrame = {
     val cols = Seq("vec_id", "cell", "m", "code", "pcell")
+    // Declared schema on the sibling reads (not inference): an empty
+    // held-out slice writes a data-file-less delta — it must resolve to
+    // "base alone", not crash the probe (the bandsSchema rule).
     if (new java.io.File(ix.ivfCodesCompact, "_SUCCESS").isFile)
-      s.read.parquet(ix.ivfCodesCompact).select(cols.map(col): _*)
+      s.read.schema(VectorOps.codesSchema).parquet(ix.ivfCodesCompact)
+        .select(cols.map(col): _*)
     else {
       val delta = ensureDelta(s, dir, ix)
       s.read.parquet(ix.ivfCodes).select(cols.map(col): _*)
-        .unionByName(s.read.parquet(delta).select(cols.map(col): _*))
+        .unionByName(s.read.schema(VectorOps.codesSchema).parquet(delta)
+          .select(cols.map(col): _*))
     }
   }
 

@@ -1316,7 +1316,8 @@ object VectorOps {
     // the just-landed delta
     val base = s.read.parquet(ix.cells)
       .groupBy("cell").agg(count(lit(1)).as("n_base"))
-    val fresh = s.read.parquet(ix.ivfCodesDelta)
+    // declared schema: an empty held-out slice writes a data-file-less table
+    val fresh = s.read.schema(codesSchema).parquet(ix.ivfCodesDelta)
       .filter(col("m") === 0)
       .groupBy("cell").agg(count(lit(1)).as("n_new"))
     // FULL outer (review r10): a coarse cell empty in the base but
@@ -1352,7 +1353,8 @@ object VectorOps {
     // codebooks) and is exactly what a re-append would rewrite.
     IvfPqIndex.ensureDelta(s, dir, ix)
     val merged = s.read.parquet(ix.ivfCodes)
-      .unionByName(s.read.parquet(ix.ivfCodesDelta))
+      .unionByName(s.read.schema(codesSchema).parquet(ix.ivfCodesDelta)
+        .select("vec_id", "m", "code", "cell", "pcell"))
     merged
       .withColumn("pcell", col("cell"))
       .repartition(col("pcell"))
@@ -1380,6 +1382,23 @@ object VectorOps {
     * can't (degenerate sub-cells), [[knnIvfSplit]] ENFORCES the floor
     * by falling back to the whole-cell scan. */
   private[graft] val SplitProbes = 2
+
+  /** Declared schema of the stored residual-code tables (base / delta /
+    * compact) — DELTA read-backs must not rely on inference: a corpus
+    * with an empty held-out slice (no `vec_id % 10 == 7` rows) writes a
+    * data-file-less partitioned delta, and inference on it throws; the
+    * resolver must serve "base alone", not crash the probe. */
+  private[graft] val codesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("m",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("code",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("pcell",
+      org.apache.spark.sql.types.LongType)))
 
   /** Declared schemas for the split side-table read-backs — a corpus
     * with no hot cell writes data-file-less tables, and inference on
