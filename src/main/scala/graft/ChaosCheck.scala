@@ -122,13 +122,24 @@ object ChaosCheck {
     spark.sparkContext.addSparkListener(killer)
     val results = scala.collection.mutable.ArrayBuffer[String]()
 
+    // Counter snapshots at each arm(): the FailureLog counters are
+    // running totals since listener registration, so a per-scenario line
+    // must report the DELTA over its own window (review r13) — otherwise
+    // scenario 2's line carries scenario 1's kill fallout and the
+    // artifact can't attribute failures to the scenario that caused them.
+    var failed0 = 0L
+    var removed0 = 0L
+    def armWindow(): Unit = {
+      failed0 = log.failedTasks.get; removed0 = log.removedExecutors.get
+      killer.arm()
+    }
+
     def record(name: String, killedPid: Long, cleanMs: Long, chaosMs: Long,
                pristine: Boolean): Unit = {
-      val removed = log.removedExecutors.get
       val line = s"""{"scenario":"$name","killed_pid":$killedPid,""" +
         s""""clean_ms":$cleanMs,"chaos_ms":$chaosMs,""" +
-        s""""failed_tasks":${log.failedTasks.get},""" +
-        s""""removed_executors":$removed,""" +
+        s""""failed_tasks":${log.failedTasks.get - failed0},""" +
+        s""""removed_executors":${log.removedExecutors.get - removed0},""" +
         s""""pristine":$pristine}"""
       println(s"[chaos] $line")
       require(killedPid > 0,
@@ -170,7 +181,7 @@ object ChaosCheck {
         .select("doc_id", "band", "band_key")
         .collect().map(_.toString).sorted
       awaitExecutors(2)
-      killer.arm()
+      armWindow()
       val t1 = System.nanoTime()
       ops.DedupOps.queries("build_minhash_index")(spark, dir).collect()
       val chaosMs = (System.nanoTime() - t1) / 1000000L
@@ -205,7 +216,7 @@ object ChaosCheck {
           s"$ixRoot/bands", out, "doc_id", "text",
           numHashes = 8, bands = 2) _)
         .start()
-      killer.arm()
+      armWindow()
       val t1 = System.nanoTime()
       try {
         batchDocs.grouped(math.max(1, batchDocs.size / 4)).foreach { chunk =>
@@ -231,7 +242,7 @@ object ChaosCheck {
       val want = ops.PipelineOps.queries("sample_per_group")(spark, dir)
         .collect().map(_.toString)
       val cleanMs = (System.nanoTime() - t0) / 1000000L
-      killer.arm()
+      armWindow()
       val t1 = System.nanoTime()
       val got = ops.PipelineOps.queries("sample_per_group")(spark, dir)
         .collect().map(_.toString)

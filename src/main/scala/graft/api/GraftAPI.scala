@@ -322,33 +322,55 @@ object GraftAPI {
     graft.ops.Artifacts.requireGeometry(root,
       "numHashes" -> numHashes.toString, "bands" -> bands.toString)
     val meta = graft.ops.Artifacts.readMeta(root)
+    // The pre-r13-index refusal runs BEFORE the marker retirement (the
+    // delete legs' discipline, review r13): a rejected append on an
+    // index built before the sub_keys table existed must leave that
+    // valid index valid, not retired-and-never-recommitted.
+    if (meta.contains("hotSize"))
+      require(graft.ops.IndexFs.isFile(graft.ops.IndexFs.child(
+          graft.ops.IndexFs.child(root, "sub_keys"), "_SUCCESS")),
+        s"index at $root predates the per-doc sub_keys table — rebuild " +
+          "via writeMinhashIndex before appending (fine-table refresh " +
+          "for newly-hot buckets needs the stored sub keys)")
     val deltaRoot = graft.ops.IndexFs.child(root, "bands_delta")
     val deltaDir = graft.ops.IndexFs.child(deltaRoot, s"batch=$batchId")
+    // Declared schema for every delta read-back (the bandsSchema rule,
+    // review r13): an appended EMPTY batch commits a data-file-less
+    // generation, and inference on it throws — the layouts of the delta
+    // generations and the fine side-table coincide, so one schema
+    // serves both.
+    val deltaSchema = graft.ops.MinhashIndex.facadeFineSchema(
+      spark.read.parquet(bandsPath).schema)
     // localCheckpoint: the banded batch feeds the delta write AND the
     // fine refresh — one signature pass, lineage severed.
     val banded = minhashBandsWithSub(batch, id, text, numHashes, bands)
       .withColumnRenamed(id, "_id")
       .withColumn("pband", col("band"))
       .localCheckpoint()
-    withRetiredMarker(root) {
+    // One base-postings frame serves the hot-size resolve, the fine
+    // refresh AND the returned manifest (review r13 — this call used to
+    // scan the base table three times); persisted across the fine write,
+    // released before return (the manifest re-reads from disk lazily).
+    val basePost = spark.read.parquet(bandsPath)
+      .select("_id", "band", "band_key", "pband")
+      .persist()
+    // Committed-generation listing is taken ONCE, after this batch's
+    // delta lands, and reused by the fine refresh and the manifest
+    // (review r13 — it was listed and fully re-read twice per append).
+    var committed: Seq[String] = Seq.empty
+    try withRetiredMarker(root) {
       banded.repartition(col("pband"))
         .write.mode("overwrite").partitionBy("pband").parquet(deltaDir)
+      committed = graft.ops.IndexFs.listDirs(deltaRoot)
+        .filter(d => graft.ops.IndexFs.isFile(
+          graft.ops.IndexFs.child(d, "_SUCCESS")))
       meta.get("hotSize").foreach { hs =>
         val hotSize = hs.toLong
-        require(graft.ops.IndexFs.isFile(graft.ops.IndexFs.child(
-            graft.ops.IndexFs.child(root, "sub_keys"), "_SUCCESS")),
-          s"index at $root predates the per-doc sub_keys table — rebuild " +
-            "via writeMinhashIndex before appending (fine-table refresh " +
-            "for newly-hot buckets needs the stored sub keys)")
-        val committed = graft.ops.IndexFs.listDirs(deltaRoot)
-          .filter(d => graft.ops.IndexFs.isFile(
-            graft.ops.IndexFs.child(d, "_SUCCESS")))
-        val deltaSub = spark.read.option("basePath", deltaRoot)
+        val deltaSub = spark.read.schema(deltaSchema)
+          .option("basePath", deltaRoot)
           .parquet(committed: _*)
           .select(col("_id"), col("band"), col("band_key"), col("sub_key"),
             col("pband"))
-        val basePost = spark.read.parquet(bandsPath)
-          .select("_id", "band", "band_key", "pband")
         val hot = basePost.select("band", "band_key")
           .unionByName(deltaSub.select("band", "band_key"))
           .groupBy("band", "band_key").agg(count(lit(1)).as("sz"))
@@ -371,14 +393,12 @@ object GraftAPI {
           .write.mode("overwrite").partitionBy("pband")
           .parquet(graft.ops.IndexFs.child(root, "bands_fine"))
       }
-    }
+    } finally basePost.unpersist()
     val nBase = spark.read.parquet(bandsPath)
       .groupBy("band").agg(count(lit(1)).as("n_base"))
-    val committedNow = graft.ops.IndexFs.listDirs(deltaRoot)
-      .filter(d => graft.ops.IndexFs.isFile(
-        graft.ops.IndexFs.child(d, "_SUCCESS")))
-    val nNew = spark.read.option("basePath", deltaRoot)
-      .parquet(committedNow: _*)
+    val nNew = spark.read.schema(deltaSchema)
+      .option("basePath", deltaRoot)
+      .parquet(committed: _*)
       .groupBy("band").agg(count(lit(1)).as("n_new"))
     nBase.join(nNew, Seq("band"), "full_outer")
       .select(col("band").cast("int").as("band"),
@@ -417,26 +437,44 @@ object GraftAPI {
         s"index at $root records batchWidth=$bw — partition-pruned " +
           "deletes need a positive ingest-batch width; rebuild with " +
           "writeMinhashIndex(batchWidth = <ids per ingest batch>)"))
+    // A committed `bands_compact` sibling is what the probe resolver
+    // serves FIRST ([[graft.streaming.StreamingOps]], review r13): this
+    // takedown rewrites only the bands/bands_delta family, so a compact
+    // left in place would keep serving every deleted document's postings
+    // no matter what the rewrite below does. The facade defines no
+    // compact writer (the sibling is operator-managed, layout unknown
+    // here), so refuse loudly before the marker retirement rather than
+    // guess at rewriting it.
+    require(!graft.ops.IndexFs.isFile(graft.ops.IndexFs.child(
+        graft.ops.IndexFs.child(root, "bands_compact"), "_SUCCESS")),
+      s"index at $root carries a committed bands_compact sibling, which " +
+        "probes serve in preference to the rewritten postings — retire " +
+        "it (or rebuild via writeMinhashIndex over the surviving corpus) " +
+        "before the takedown")
     // Delta generations ([[minhashIndexAppend]]) are probe-visible through
     // the resolver, so a takedown that only rewrote `bands` would keep
     // serving deleted documents out of the deltas. Refuse loudly (before
     // the marker retirement — a rejected call leaves a valid index valid):
-    // the operator compacts the deltas in first, exactly the real-catalog
-    // flow (OPTIMIZE, then DELETE against one layout).
+    // the remedy is a rebuild over the surviving corpus (folding the
+    // appended documents into the base), then one takedown against one
+    // layout.
     val deltaGens = graft.ops.IndexFs
       .listDirs(graft.ops.IndexFs.child(root, "bands_delta"))
       .filter(d => graft.ops.IndexFs.isFile(
         graft.ops.IndexFs.child(d, "_SUCCESS")))
     if (deltaGens.nonEmpty) {
       val hitDelta = spark.read
+        .schema(graft.ops.MinhashIndex.facadeFineSchema(
+          spark.read.parquet(bandsPath).schema))
         .option("basePath", graft.ops.IndexFs.child(root, "bands_delta"))
         .parquet(deltaGens: _*)
         .join(deleteIds.select(col(id).as("_id")), Seq("_id"), "left_semi")
         .limit(1).count()
       require(hitDelta == 0L,
         s"index at $root has committed delta generations containing " +
-          "documents in the deletion list — compact the deltas into the " +
-          "base table first, then re-run the takedown against one layout")
+          "documents in the deletion list — rebuild via writeMinhashIndex " +
+          "over the surviving corpus (folding the deltas into the base), " +
+          "then re-run the takedown against one layout")
     }
     withRetiredMarker(root) {
       graft.ops.DedupOps.deleteFromBands(spark, bandsPath,
@@ -516,8 +554,27 @@ object GraftAPI {
         "ANN code table (buildAnnIndex's ivfpq_codes layout)"))
     val root = graft.ops.IndexFs.parent(codesPath)
     withRetiredMarker(root) {
-      graft.ops.VectorOps.deleteFromCodes(spark, codesPath,
-        deleteIds.select(col(id).as("vec_id")))
+      val del = deleteIds.select(col(id).as("vec_id"))
+      graft.ops.VectorOps.deleteFromCodes(spark, codesPath, del)
+      // Lifecycle siblings (review r13): the probe-root resolver serves a
+      // committed `ivfpq_codes_compact` FIRST and unions any committed
+      // `ivfpq_codes_delta` with the cells table, so a takedown that
+      // rewrote only the base would keep serving deleted vectors out of
+      // both — and a vector that exists ONLY in the delta slice would
+      // survive entirely. Unlike the MinHash facade's operator-managed
+      // bands_compact (where the delete refuses), both ANN siblings are
+      // written by this library against this same root in the SAME
+      // cell-partitioned codes layout, so the takedown rewrites them
+      // under the same retired marker. Declared schema: a data-file-less
+      // delta (empty held-out slice) must read as empty, not crash on
+      // inference.
+      Seq("ivfpq_codes_delta", "ivfpq_codes_compact").foreach { sib =>
+        val p = graft.ops.IndexFs.child(root, sib)
+        if (graft.ops.IndexFs.isFile(graft.ops.IndexFs.child(p, "_SUCCESS")))
+          graft.ops.VectorOps.deleteFromCodes(spark, p, del,
+            source = Some(spark.read
+              .schema(graft.ops.VectorOps.codesSchema).parquet(p)))
+      }
       // A committed cell split reflects the PRE-delete membership
       // (ADVICE r12, the mirror of the bands_fine rewrite above): the
       // split-aware probe computes its pool >= k floor from cells_split

@@ -443,13 +443,18 @@ object JdbcSink {
       val cnt = st.executeQuery(s"SELECT COUNT(*) FROM $t")
       cnt.next()
       val n = cnt.getLong(1)
-      (1 until numPartitions).map { i =>
+      (1 until numPartitions).flatMap { i =>
         val k = i * n / numPartitions
         val rs = st.executeQuery(
           s"""SELECT "$c" FROM $t ORDER BY "$c" """ +
             s"OFFSET $k ROWS FETCH FIRST 1 ROWS ONLY")
-        rs.next()
-        rs.getLong(1)
+        // A rank probe past the end returns an empty result set — an
+        // EMPTY table (n = 0, every k = 0), or rows deleted between the
+        // COUNT and the probe (review r13). Dropping the cut degrades to
+        // fewer, still-disjoint partitions — the same collapse rule as
+        // duplicate cut points — instead of an 'invalid cursor state'
+        // crash where readPartitioned returns an empty frame.
+        if (rs.next()) Some(rs.getLong(1)) else None
       }.distinct.sorted
     }
     val preds: Array[String] =

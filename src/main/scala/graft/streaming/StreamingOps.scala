@@ -264,8 +264,15 @@ object StreamingOps {
         .filter(d => graft.ops.IndexFs.isFile(
           graft.ops.IndexFs.child(d, "_SUCCESS")))
       if (deltas.isEmpty) base
+      // Declared schema (the bandsSchema rule, review r13): an appended
+      // EMPTY batch commits a data-file-less generation, and inference
+      // over a set of generations that are ALL data-file-less throws —
+      // the resolver must serve base alone, not fail the micro-batch.
+      // The delta layout coincides with the fine side-table's.
       else base.unionByName(
-        s.read.parquet(deltas: _*).select("band", "band_key"))
+        s.read.schema(graft.ops.MinhashIndex.facadeFineSchema(
+            s.read.parquet(indexBandsPath).schema))
+          .parquet(deltas: _*).select("band", "band_key"))
     }
   }
 
@@ -384,7 +391,12 @@ object StreamingOps {
     // paths after the next split refresh (the maintenance job); unsplit
     // cells serve appends immediately.
     val cells = {
-      def m0(path: String) = s.read.parquet(path)
+      // Declared schema (review r13, the codesSchema rule): a corpus
+      // whose held-out slice is empty commits a data-file-less delta,
+      // and inference on it would fail every micro-batch — the resolver
+      // must serve the cells table alone, not crash the probe.
+      def m0(path: String) = s.read
+        .schema(graft.ops.VectorOps.codesSchema).parquet(path)
         .filter(col("m") === 0).select("vec_id", "cell")
       val compact = graft.ops.IndexFs.child(indexRoot, "ivfpq_codes_compact")
       val delta = graft.ops.IndexFs.child(indexRoot, "ivfpq_codes_delta")

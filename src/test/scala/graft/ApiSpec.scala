@@ -759,6 +759,172 @@ class ApiSpec extends AnyFunSuite {
       "a refused takedown must leave the index committed")
   }
 
+  test("minhashIndexAppend: a refused append leaves the index committed; an empty batch commits cleanly and probes keep resolving (review r13)") {
+    import org.apache.spark.sql.functions._
+    val sq = spark; import sq.implicits._
+    val fam = (1 to 40).map(i => s"rtok$i").mkString(" ")
+    val base = (0L to 2L).map(id => (id, fam)) ++
+      (10L to 30L).map(id => (id, (1 to 40).map(i => s"r${id}w$i").mkString(" ")))
+    val root = java.nio.file.Files.createTempDirectory("graft_mh_refuse").toString
+    GraftAPI.writeMinhashIndex(base.toDF("doc_id", "text"), "doc_id", "text",
+      root, numHashes = 8, bands = 2, batchWidth = 250).collect()
+    // Simulate a pre-r13 index: retire the sub_keys commit marker. The
+    // append must refuse BEFORE the root marker retirement — a rejected
+    // call leaves a valid index valid (the delete legs' discipline).
+    val subMarker = new java.io.File(s"$root/sub_keys", "_SUCCESS")
+    assert(subMarker.delete())
+    val e = intercept[IllegalArgumentException](
+      GraftAPI.minhashIndexAppend(spark, s"$root/bands",
+        Seq((500L, "some text here")).toDF("doc_id", "text"),
+        "doc_id", "text", batchId = 0L, numHashes = 8, bands = 2))
+    assert(e.getMessage.contains("sub_keys"), e.getMessage)
+    assert(new java.io.File(root, "_SUCCESS").isFile,
+      "a refused append must leave the index committed")
+    assert(subMarker.createNewFile())
+    // An EMPTY batch commits a data-file-less delta generation; the
+    // append itself, its manifest, and every later probe read the delta
+    // set through declared schemas — no inference crash, no stuck index.
+    val manifest = GraftAPI.minhashIndexAppend(spark, s"$root/bands",
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", batchId = 1L, numHashes = 8, bands = 2).collect()
+    assert(new java.io.File(root, "_SUCCESS").isFile,
+      "an empty append must recommit the root marker")
+    assert(manifest.map(_.getAs[Long]("n_new")).sum == 0L)
+    // probe with ONLY the data-file-less generation committed (the
+    // streaming resolver's empty-delta seam): base dups still flag
+    def probe(out: String): Map[Long, Boolean] = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val batch = Seq((400L, fam),
+        (402L, (1 to 40).map(i => s"q8y$i").mkString(" "))).toDF("doc_id", "text")
+      graft.streaming.StreamingOps.dedupBatchAgainstIndex(
+        s"$root/bands", out, "doc_id", "text", numHashes = 8, bands = 2)(batch, 0L)
+      spark.read.parquet(out).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_dup")).toMap
+    }
+    val flags = probe("/tmp/graft_mh_refuse_probe")
+    assert(flags(400L) && !flags(402L),
+      "the probe must serve base postings across an empty delta generation")
+    // and a real append AFTER the empty generation still flags next-probe
+    val newDoc = (1 to 40).map(i => s"nn7w$i").mkString(" ")
+    GraftAPI.minhashIndexAppend(spark, s"$root/bands",
+      Seq((600L, newDoc)).toDF("doc_id", "text"),
+      "doc_id", "text", batchId = 2L, numHashes = 8, bands = 2).collect()
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_mh_refuse_probe2"))
+    val batch2 = Seq((700L, newDoc)).toDF("doc_id", "text")
+    graft.streaming.StreamingOps.dedupBatchAgainstIndex(
+      s"$root/bands", "/tmp/graft_mh_refuse_probe2", "doc_id", "text",
+      numHashes = 8, bands = 2)(batch2, 0L)
+    assert(spark.read.parquet("/tmp/graft_mh_refuse_probe2").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_dup"))
+      .toMap.apply(700L),
+      "a dup of a doc appended after an empty generation must flag")
+  }
+
+  test("minhashIndexDelete refuses while a committed bands_compact sibling exists (review r13)") {
+    import org.apache.spark.sql.functions._
+    val sq = spark; import sq.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mhdel_cpt").toString
+    GraftAPI.writeMinhashIndex(docs, "doc_id", "text", root,
+      numHashes = 8, bands = 2, batchWidth = 100).collect()
+    // a committed compact sibling is what the probe resolver serves
+    // FIRST — a takedown that rewrote only bands would leave deleted
+    // documents served out of it, so the call must refuse loudly and
+    // leave the index committed
+    val compactDir = new java.io.File(root, "bands_compact")
+    assert(compactDir.mkdirs())
+    val compactMarker = new java.io.File(compactDir, "_SUCCESS")
+    assert(compactMarker.createNewFile())
+    val someId = spark.read.parquet(s"$root/bands").select("_id")
+      .filter(col("_id") >= 100 && col("_id") < 200)
+      .distinct().limit(1).collect().head.getLong(0)
+    val e = intercept[IllegalArgumentException](
+      GraftAPI.minhashIndexDelete(spark, s"$root/bands",
+        Seq(someId).toDF("doc_id"), "doc_id"))
+    assert(e.getMessage.contains("bands_compact"), e.getMessage)
+    assert(new java.io.File(root, "_SUCCESS").isFile,
+      "a refused takedown must leave the index committed")
+    // retiring the sibling unblocks the takedown
+    assert(compactMarker.delete())
+    GraftAPI.minhashIndexDelete(spark, s"$root/bands",
+      Seq(someId).toDF("doc_id"), "doc_id")
+    assert(!spark.read.parquet(s"$root/bands")
+      .filter(col("_id") === someId).collect().nonEmpty)
+  }
+
+  test("annIndexDelete rewrites committed delta/compact siblings so probes stop serving deleted vectors (review r13)") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft_anndel_sib").toString
+    GraftAPI.buildAnnIndex(emb, "vec_id", "embedding", root,
+      cells = 8, m = 4, k = 8).collect()
+    val codes = s"$root/ivfpq_codes"
+    // Plant the lifecycle siblings in the codes layout: a delta of
+    // remapped vectors (vec_id + 100000 — delta-ONLY ids) and a compact
+    // = base ∪ delta, both cell-partitioned with their own _SUCCESS.
+    val baseCodes = spark.read.parquet(codes)
+      .select("vec_id", "m", "code", "cell")
+    val deltaCodes = baseCodes.withColumn("vec_id", col("vec_id") + 100000L)
+    deltaCodes.withColumn("pcell", col("cell"))
+      .repartition(col("pcell"))
+      .write.mode("overwrite").partitionBy("pcell")
+      .parquet(s"$root/ivfpq_codes_delta")
+    baseCodes.unionByName(deltaCodes)
+      .withColumn("pcell", col("cell"))
+      .repartition(col("pcell"))
+      .write.mode("overwrite").partitionBy("pcell")
+      .parquet(s"$root/ivfpq_codes_compact")
+    val baseId = baseCodes.select("vec_id").distinct()
+      .limit(1).collect().head.getLong(0)
+    val deltaId = baseId + 100000L
+    val sq = spark; import sq.implicits._
+    GraftAPI.annIndexDelete(spark, codes,
+      Seq(baseId, deltaId).toDF("vec_id"), "vec_id")
+    assert(new java.io.File(root, "_SUCCESS").isFile,
+      "the takedown must recommit the root marker")
+    def ids(path: String): Set[Long] = spark.read
+      .schema(ops.VectorOps.codesSchema).parquet(path)
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!ids(codes).contains(baseId), "base codes must drop the base id")
+    val dIds = ids(s"$root/ivfpq_codes_delta")
+    assert(!dIds.contains(deltaId),
+      "the delta sibling must drop the delta-only id — it is the ONLY " +
+        "table serving that vector")
+    assert(dIds.nonEmpty, "surviving delta vectors must remain")
+    val cIds = ids(s"$root/ivfpq_codes_compact")
+    assert(!cIds.contains(baseId) && !cIds.contains(deltaId),
+      "the compact sibling (served FIRST by the resolver) must drop both")
+    assert(cIds.nonEmpty)
+  }
+
+  test("annProbeBatch serves across a committed data-file-less codes delta (review r13)") {
+    import org.apache.spark.sql.functions._
+    val sq = spark; import sq.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft_annix_mt").toString
+    GraftAPI.buildAnnIndex(emb, "vec_id", "embedding", root,
+      cells = 8, m = 4, k = 8).collect()
+    val q = emb.limit(1).select(
+      col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    def probe(out: String): Array[String] = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      graft.streaming.StreamingOps.annProbeBatch(s"$sf/embeddings.parquet",
+        root, out, "vec_id", "embedding", k = 5)(q.toDF(), 0L)
+      spark.read.parquet(out).select("query_id", "corpus_id", "cosine")
+        .collect().map(_.toString).sorted
+    }
+    val clean = probe("/tmp/graft_annix_mt_p1")
+    // a corpus with an empty held-out slice commits a delta with Spark's
+    // _SUCCESS and zero data files; the pool resolver must serve the
+    // cells table alone — identical results, no inference crash
+    val deltaDir = new java.io.File(root, "ivfpq_codes_delta")
+    assert(deltaDir.mkdirs())
+    assert(new java.io.File(deltaDir, "_SUCCESS").createNewFile())
+    val withEmptyDelta = probe("/tmp/graft_annix_mt_p2")
+    assert(withEmptyDelta.sameElements(clean),
+      "an empty committed delta must not change or crash the probe")
+  }
+
   test("delete-leg marker semantics: success recommits _SUCCESS; a failed delete leaves the index uncommitted") {
     import org.apache.spark.sql.functions._
     val sq = spark

@@ -357,6 +357,13 @@ class JdbcSinkSpec extends AnyFunSuite {
     // degenerate geometry: 1 partition = the plain full read
     assert(JdbcSink.readByQuantiles(spark, url, "skew_t", "k", 1)
       .count() == keys.length.toLong)
+    // an EMPTY table returns an empty frame like readPartitioned does
+    // (review r13): every rank probe lands past the end, the cuts
+    // collapse away, and the read degrades to one full (empty) scan —
+    // no 'invalid cursor state' from an unchecked ResultSet cursor
+    JdbcSink.ensureTable(url, "empty_t", """"k" BIGINT, "v" VARCHAR(16)""")
+    assert(JdbcSink.readByQuantiles(spark, url, "empty_t", "k", 4)
+      .count() == 0L)
   }
 
   test("Derby profile rejects array columns with a pointer at the Postgres mapping") {
