@@ -407,6 +407,116 @@ object GraftAPI {
       .orderBy("band")
   }
 
+  /** COMPACT a stored facade MinHash index in place (r13, the facade
+    * form of the registry's `dedup_index_compact`): folds every
+    * committed `bands_delta/batch=<k>/` generation into the `bands`
+    * table, extends the per-doc `sub_keys` table with the appended
+    * documents' keys, refreshes `bands_fine` at the compacted bucket
+    * sizes, and REMOVES the folded generations — afterwards the index
+    * is single-layout again, exactly as [[writeMinhashIndex]] leaves
+    * it, so every refusal that points here ("compact first") has a
+    * one-call remedy that costs O(index), never a corpus re-read.
+    *
+    * Unlike the registry op (which writes a `bands_compact` SIBLING and
+    * leaves the swap to a catalog), the facade compacts IN PLACE: the
+    * facade owns its root and its probes resolve per call, so the
+    * single-layout invariant is simpler and makes the partition-pruned
+    * takedown legal again for formerly-delta-resident documents
+    * (appended rows gain the `pbatch` ingest-batch axis from the
+    * recorded `batchWidth` during the fold). Probe flags are
+    * byte-identical before/after (the resolver already served base ∪
+    * deltas — ApiSpec pins it). Runs under the retired root marker;
+    * a crash mid-compact reads as an uncommitted index. No-op (beyond
+    * the manifest) when no committed delta generations exist. Returns
+    * the per-band manifest of the compacted table with the build's
+    * n_postings = n_docs invariant. */
+  def minhashIndexCompact(spark: SparkSession, bandsPath: String): DataFrame = {
+    val root = graft.ops.IndexFs.parent(bandsPath)
+    val meta = graft.ops.Artifacts.readMeta(root)
+    val deltaRoot = graft.ops.IndexFs.child(root, "bands_delta")
+    val committed = graft.ops.IndexFs.listDirs(deltaRoot)
+      .filter(d => graft.ops.IndexFs.isFile(
+        graft.ops.IndexFs.child(d, "_SUCCESS")))
+    // The same operator-managed-sibling refusal as the takedown: an
+    // external `bands_compact` would shadow whatever this fold writes.
+    require(!graft.ops.IndexFs.isFile(graft.ops.IndexFs.child(
+        graft.ops.IndexFs.child(root, "bands_compact"), "_SUCCESS")),
+      s"index at $root carries a committed bands_compact sibling — " +
+        "retire it before compacting in place")
+    if (committed.nonEmpty) {
+      val baseSchema = spark.read.parquet(bandsPath).schema
+      val hasBatchAxis = baseSchema.fieldNames.contains("pbatch")
+      val batchWidth = meta.get("batchWidth").map(_.toLong).getOrElse(0L)
+      if (hasBatchAxis) require(batchWidth > 0,
+        s"index at $root has a pbatch axis but records batchWidth=" +
+          s"${meta.get("batchWidth").orNull} — cannot derive the " +
+          "appended rows' ingest-batch partitions")
+      val deltaSub = spark.read
+        .schema(graft.ops.MinhashIndex.facadeFineSchema(baseSchema))
+        .option("basePath", deltaRoot)
+        .parquet(committed: _*)
+        .select("_id", "band", "band_key", "sub_key", "pband")
+      // distinct on the posting key: replayed/overlapping generations
+      // must fold to one row, the idempotent-append contract extended
+      // to the compacted layout.
+      val deltaPost = {
+        val p = deltaSub.drop("sub_key").distinct()
+        if (hasBatchAxis) p.withColumn("pbatch", expr(s"_id div $batchWidth"))
+        else p
+      }
+      // distinct across base ∪ deltas: a batch REPLAYED after a prior
+      // compact re-lands docs the base already holds — the fold must
+      // collapse them to one posting per (doc, band), not double bucket
+      // sizes. O(index) shuffle, which an in-place compact already is.
+      val merged = spark.read.parquet(bandsPath)
+        .unionByName(deltaPost)
+        .distinct()
+        .localCheckpoint() // severs the read from the overwrite below
+      val subKeys = spark.read
+        .parquet(graft.ops.IndexFs.child(root, "sub_keys"))
+        .unionByName(deltaSub.select("_id", "sub_key").distinct())
+        .distinct()
+        .localCheckpoint()
+      withRetiredMarker(root) {
+        val partCols = if (hasBatchAxis) Seq("pband", "pbatch") else Seq("pband")
+        merged.repartition(partCols.map(col): _*)
+          .write.mode("overwrite").partitionBy(partCols: _*).parquet(bandsPath)
+        subKeys.write.mode("overwrite")
+          .parquet(graft.ops.IndexFs.child(root, "sub_keys"))
+        // bands_fine at the COMPACTED bucket sizes — same pure function
+        // of the stored tables the append maintains, now over one layout.
+        meta.get("hotSize").foreach { hs =>
+          val post = merged.select("_id", "band", "band_key", "pband")
+          val hot = post.groupBy("band", "band_key")
+            .agg(count(lit(1)).as("sz"))
+            .filter(col("sz") >= hs.toLong).select("band", "band_key")
+          val newFine = post
+            .join(hot, Seq("band", "band_key"), "left_semi")
+            .join(subKeys, "_id")
+            .select("_id", "band", "band_key", "sub_key", "pband")
+            .distinct()
+            .localCheckpoint()
+          newFine.repartition(col("pband"))
+            .write.mode("overwrite").partitionBy("pband")
+            .parquet(graft.ops.IndexFs.child(root, "bands_fine"))
+        }
+        // the folded generations retire with the marker still down: a
+        // crash between fold and removal re-reads them as committed,
+        // which the distinct() fold above makes idempotent.
+        require(graft.ops.IndexFs.deleteRecursive(deltaRoot),
+          s"could not remove the folded delta generations under $root")
+      }
+    }
+    spark.read.parquet(bandsPath)
+      .groupBy("band")
+      .agg(countDistinct(col("band_key")).as("n_keys"),
+        count(lit(1)).as("n_postings"),
+        countDistinct(col("_id")).as("n_docs"))
+      .select(col("band").cast("int").as("band"), col("n_keys"),
+        col("n_postings"), col("n_docs"))
+      .orderBy("band")
+  }
+
   /** Partition-pruned takedown on a stored MinHash postings table
     * written by [[writeMinhashIndex]] WITH a `batchWidth` (the facade
     * form of the registry's `dedup_index_delete`): anti-joins
@@ -455,9 +565,9 @@ object GraftAPI {
     // the resolver, so a takedown that only rewrote `bands` would keep
     // serving deleted documents out of the deltas. Refuse loudly (before
     // the marker retirement — a rejected call leaves a valid index valid):
-    // the remedy is a rebuild over the surviving corpus (folding the
-    // appended documents into the base), then one takedown against one
-    // layout.
+    // the remedy is [[minhashIndexCompact]] — an O(index) in-place fold
+    // that restores the single layout (and the pbatch axis for the
+    // appended rows), after which this takedown is legal again.
     val deltaGens = graft.ops.IndexFs
       .listDirs(graft.ops.IndexFs.child(root, "bands_delta"))
       .filter(d => graft.ops.IndexFs.isFile(
@@ -472,9 +582,9 @@ object GraftAPI {
         .limit(1).count()
       require(hitDelta == 0L,
         s"index at $root has committed delta generations containing " +
-          "documents in the deletion list — rebuild via writeMinhashIndex " +
-          "over the surviving corpus (folding the deltas into the base), " +
-          "then re-run the takedown against one layout")
+          "documents in the deletion list — run minhashIndexCompact to " +
+          "fold the deltas into the base (O(index), no corpus re-read), " +
+          "then re-run the takedown against the single layout")
     }
     withRetiredMarker(root) {
       graft.ops.DedupOps.deleteFromBands(spark, bandsPath,

@@ -45,6 +45,12 @@ private[graft] object IndexFs {
 
   def delete(path: String): Boolean = withFs(path)((fs, p) => fs.delete(p, false))
 
+  /** Recursive delete of a retired index SIBLING (delta generations a
+    * compact has folded in). Only lifecycle code that has already
+    * retired the root commit marker may call this. */
+  def deleteRecursive(path: String): Boolean =
+    withFs(path)((fs, p) => !fs.exists(p) || fs.delete(p, true))
+
   def parent(path: String): String = new Path(path).getParent.toString
 
   def child(root: String, name: String): String = new Path(root, name).toString

@@ -821,6 +821,75 @@ class ApiSpec extends AnyFunSuite {
       "a dup of a doc appended after an empty generation must flag")
   }
 
+  test("minhashIndexCompact: in-place fold closes the facade lifecycle — flags byte-identical, takedown of appended docs legal, replay idempotent (r13)") {
+    import org.apache.spark.sql.functions._
+    val sq = spark; import sq.implicits._
+    val fam = (1 to 40).map(i => s"ctok$i").mkString(" ")
+    val base = (0L to 2L).map(id => (id, fam)) ++
+      (10L to 40L).map(id => (id, (1 to 40).map(i => s"c${id}w$i").mkString(" ")))
+    val newDoc = (1 to 40).map(i => s"cd9w$i").mkString(" ")
+    // appended ids land in ingest batch 2 (batchWidth 250) so the fold's
+    // derived pbatch is exercised on a non-zero batch
+    val appended = Seq((500L, fam), (501L, newDoc))
+    val root = java.nio.file.Files.createTempDirectory("graft_mh_cpt").toString
+    GraftAPI.writeMinhashIndex(base.toDF("doc_id", "text"), "doc_id", "text",
+      root, numHashes = 8, bands = 2, batchWidth = 250).collect()
+    GraftAPI.minhashIndexAppend(spark, s"$root/bands",
+      appended.toDF("doc_id", "text"), "doc_id", "text",
+      batchId = 0L, numHashes = 8, bands = 2).collect()
+    def probe(out: String): Map[Long, Boolean] = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val batch = Seq((800L, fam), (801L, newDoc),
+        (802L, (1 to 40).map(i => s"f2q$i").mkString(" "))).toDF("doc_id", "text")
+      graft.streaming.StreamingOps.dedupBatchAgainstIndex(
+        s"$root/bands", out, "doc_id", "text", numHashes = 8, bands = 2)(batch, 0L)
+      spark.read.parquet(out).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_dup")).toMap
+    }
+    val pre = probe("/tmp/graft_mh_cpt_pre")
+    assert(pre(800L) && pre(801L) && !pre(802L))
+    val manifest = GraftAPI.minhashIndexCompact(spark, s"$root/bands").collect()
+    assert(new java.io.File(root, "_SUCCESS").isFile,
+      "compact must recommit the root marker")
+    assert(!new java.io.File(root, "bands_delta").exists(),
+      "folded delta generations must be removed")
+    manifest.foreach { r =>
+      assert(r.getAs[Long]("n_postings") == r.getAs[Long]("n_docs"),
+        "the build's one-posting-per-(doc,band) invariant must survive the fold")
+    }
+    // appended rows carry the DERIVED ingest-batch axis: the takedown's
+    // partition pruning works on them like build-time rows
+    val pb = spark.read.parquet(s"$root/bands")
+      .filter(col("_id") === 500L).select("pbatch").distinct().collect()
+    assert(pb.length == 1 && pb.head.get(0).toString == "2",
+      s"appended doc must gain pbatch = id div batchWidth, got ${pb.toSeq}")
+    val post = probe("/tmp/graft_mh_cpt_post")
+    assert(post == pre, "probe flags must be byte-identical across the compact")
+    // the takedown that REFUSED while the doc was delta-resident now runs
+    GraftAPI.minhashIndexDelete(spark, s"$root/bands",
+      Seq(501L).toDF("doc_id"), "doc_id")
+    val afterDel = probe("/tmp/graft_mh_cpt_del")
+    assert(!afterDel(801L), "takedown of a formerly-appended doc must stop its dups flagging")
+    assert(afterDel(800L), "the surviving hot family must keep flagging")
+    // replay of the same append AFTER a compact, then a second compact:
+    // the fold's distinct makes it idempotent — no doubled postings
+    GraftAPI.minhashIndexAppend(spark, s"$root/bands",
+      Seq((500L, fam)).toDF("doc_id", "text"), "doc_id", "text",
+      batchId = 0L, numHashes = 8, bands = 2).collect()
+    val manifest2 = GraftAPI.minhashIndexCompact(spark, s"$root/bands").collect()
+    manifest2.foreach { r =>
+      assert(r.getAs[Long]("n_postings") == r.getAs[Long]("n_docs"),
+        "a replayed-then-compacted batch must not double postings")
+    }
+    assert(spark.read.parquet(s"$root/bands")
+      .filter(col("_id") === 500L).count() == 2L,
+      "the replayed doc folds back to one posting per band")
+    // compact with no deltas = manifest only, marker untouched
+    val manifest3 = GraftAPI.minhashIndexCompact(spark, s"$root/bands").collect()
+    assert(manifest3.map(_.toString).sorted.sameElements(
+      manifest2.map(_.toString).sorted))
+  }
+
   test("minhashIndexDelete refuses while a committed bands_compact sibling exists (review r13)") {
     import org.apache.spark.sql.functions._
     val sq = spark; import sq.implicits._
