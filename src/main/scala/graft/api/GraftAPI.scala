@@ -1453,6 +1453,148 @@ object GraftAPI {
     graft.ops.VectorOps.splitManifest(s, ix)
   }
 
+  /** APPEND a batch of vectors to a stored [[buildAnnIndex]] layout —
+    * the facade form of the registry's `ann_index_append` (r13, the ANN
+    * mirror of [[minhashIndexAppend]]): the batch coarse-assigns
+    * against the STORED centroids and residual-encodes against the
+    * STORED codebooks — NO retraining, so a re-encode of the same batch
+    * is byte-identical — and folds into the single committed
+    * `ivfpq_codes_delta` sibling (distinct per (vec_id, m): a replayed
+    * batch folds to the same rows, the foreachBatch replay contract).
+    * The probe resolvers ([[graft.ops.IvfPqIndex.resolvedCodes]], the
+    * split-aware [[graft.streaming.StreamingOps.annProbeBatch]] pool)
+    * serve base ∪ committed delta, so an appended vector is servable
+    * the very next probe with no compact. Rows whose `vec_id` the base
+    * `cells` table already holds are SKIPPED (already indexed — this is
+    * what makes a replay AFTER [[annIndexCompact]] a clean no-op
+    * instead of double-serving the id through base and delta). The
+    * delta rewrite runs under the retired root marker: overwrite drops
+    * the old generation first, so a crash mid-write must read as an
+    * uncommitted index, not a valid index silently missing its
+    * appended vectors. Returns the merged per-cell manifest
+    * (cell, n_base, n_new). At 100 TB this is the daily vector
+    * arrival job: two broadcast-argmin map passes over the batch plus
+    * one delta-sized write — the corpus and the stored codes are never
+    * rescanned. */
+  def annIndexAppend(batch: DataFrame, id: String, vec: String,
+                     path: String): DataFrame = {
+    val s = batch.sparkSession
+    val ix = graft.ops.IvfPqIndex.Ix(path)
+    val meta = graft.ops.Artifacts.readMeta(path)
+    // Geometry refusals BEFORE the marker retirement (the lifecycle
+    // discipline): a rejected call leaves a valid index valid.
+    Seq("m", "dim").foreach(k => require(meta.contains(k),
+      s"index at $path records no '$k' geometry — rebuild via buildAnnIndex"))
+    val mM = meta("m").toInt
+    val dim = meta("dim").toInt
+    val sub = dim / mM
+    val e = batch.select(col(id).as("vec_id"),
+      col(vec).cast("array<double>").as("x"))
+    val got = validatedDim(e, vec, mM)
+    require(got == dim,
+      s"batch vectors are $got-dimensional; the index at $path was " +
+        s"trained at dim=$dim")
+    val fresh = e.join(s.read.parquet(ix.cells).select("vec_id"),
+      Seq("vec_id"), "left_anti")
+    val coarse = s.read.parquet(ix.coarse)
+    val bCells = graft.ops.VectorOps.assignCells(fresh, coarse)
+    val remLong = fresh.join(bCells, "vec_id")
+      .join(broadcast(coarse), col("cell") === col("cid"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("x"), col("cv"), (a, b) => r6(a - b)).as("rx"))
+      .select(col("vec_id"), col("cell"), posexplode(array((0 until mM).map(i =>
+        slice(col("rx"), i * sub + 1, sub)): _*)))
+      .select(col("vec_id"), col("cell"), col("pos").cast("int").as("m"),
+        col("col").as("x"))
+    val newCodes = graft.ops.VectorOps.assignCellsLong(
+        remLong.select("m", "vec_id", "x"), s.read.parquet(ix.ivfCodebooks))
+      .select(col("vec_id"), col("m"), col("cell").as("code"))
+      .join(bCells, "vec_id")
+      .select("vec_id", "m", "code", "cell")
+    // Fold into the single delta generation. Declared schema on the
+    // prior read: a previous empty append commits a data-file-less
+    // table. localCheckpoint severs the read from the overwrite.
+    val merged = (if (graft.ops.IndexFs.isFile(graft.ops.IndexFs.child(
+        ix.ivfCodesDelta, "_SUCCESS")))
+      s.read.schema(graft.ops.VectorOps.codesSchema)
+        .parquet(ix.ivfCodesDelta)
+        .select("vec_id", "m", "code", "cell")
+        .unionByName(newCodes)
+    else newCodes).distinct().localCheckpoint()
+    withRetiredMarker(path) {
+      merged.withColumn("pcell", col("cell"))
+        .repartition(col("pcell"))
+        .write.mode("overwrite").partitionBy("pcell")
+        .parquet(ix.ivfCodesDelta)
+    }
+    val nBase = s.read.parquet(ix.cells)
+      .groupBy("cell").agg(count(lit(1)).as("n_base"))
+    val nNew = s.read.schema(graft.ops.VectorOps.codesSchema)
+      .parquet(ix.ivfCodesDelta)
+      .filter(col("m") === 0)
+      .groupBy("cell").agg(count(lit(1)).as("n_new"))
+    nBase.join(nNew, Seq("cell"), "full_outer")
+      .select(col("cell"), coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .orderBy("cell")
+  }
+
+  /** COMPACT a stored [[buildAnnIndex]] layout in place (r13, the ANN
+    * mirror of [[minhashIndexCompact]]): folds the committed
+    * `ivfpq_codes_delta` into the `ivfpq_codes` table and the appended
+    * (vec_id, cell) memberships into `cells`, removes the folded delta,
+    * and retires any `_split_SUCCESS` (the split side-tables reflect
+    * PRE-compact cell membership — probes fall back to whole-cell pools
+    * until the next [[annIndexSplit]], the same rule the takedown
+    * applies). Single layout afterwards; probes resolve base alone and
+    * return exactly what base ∪ delta returned (the fold is a set
+    * union, distinct per (vec_id, m) row — replay-idempotent). Runs
+    * under the retired root marker; refuses while a committed
+    * operator-managed `ivfpq_codes_compact` sibling would shadow the
+    * folded base. Returns the per-cell manifest (cell, n_vecs,
+    * n_codes) of the compacted table. */
+  def annIndexCompact(spark: SparkSession, path: String): DataFrame = {
+    val ix = graft.ops.IvfPqIndex.Ix(path)
+    require(!graft.ops.IndexFs.isFile(graft.ops.IndexFs.child(
+        ix.ivfCodesCompact, "_SUCCESS")),
+      s"index at $path carries a committed ivfpq_codes_compact sibling " +
+        "(served FIRST by the probe resolver) — retire it before " +
+        "compacting in place")
+    if (graft.ops.IndexFs.isFile(graft.ops.IndexFs.child(
+        ix.ivfCodesDelta, "_SUCCESS"))) {
+      val delta = spark.read.schema(graft.ops.VectorOps.codesSchema)
+        .parquet(ix.ivfCodesDelta)
+        .select("vec_id", "m", "code", "cell")
+      val merged = spark.read.parquet(ix.ivfCodes)
+        .select("vec_id", "m", "code", "cell")
+        .unionByName(delta)
+        .distinct()
+        .localCheckpoint()
+      val newCells = spark.read.parquet(ix.cells)
+        .unionByName(delta.filter(col("m") === 0).select("vec_id", "cell"))
+        .distinct()
+        .localCheckpoint()
+      withRetiredMarker(path) {
+        merged.withColumn("pcell", col("cell"))
+          .repartition(col("pcell"))
+          .write.mode("overwrite").partitionBy("pcell")
+          .parquet(ix.ivfCodes)
+        newCells.write.mode("overwrite").parquet(ix.cells)
+        require(graft.ops.IndexFs.deleteRecursive(ix.ivfCodesDelta),
+          s"could not remove the folded delta under $path")
+        val split = graft.ops.IndexFs.child(path, "_split_SUCCESS")
+        if (graft.ops.IndexFs.isFile(split))
+          require(graft.ops.IndexFs.delete(split),
+            s"could not retire the stale split marker under $path")
+      }
+    }
+    spark.read.parquet(ix.ivfCodes)
+      .groupBy("cell")
+      .agg(countDistinct(col("vec_id")).as("n_vecs"),
+        count(lit(1)).as("n_codes"))
+      .orderBy("cell")
+  }
+
   /** Health audit of a stored ANN index ([[buildAnnIndex]] layout) — the
     * one-row dashboard an operator reads before deciding to re-train:
     * cell coverage vs the quantizer's `quantizerCells` capacity, size

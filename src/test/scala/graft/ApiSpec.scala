@@ -966,6 +966,83 @@ class ApiSpec extends AnyFunSuite {
     assert(cIds.nonEmpty)
   }
 
+  test("annIndexAppend/annIndexCompact: facade ANN lifecycle — appended vectors servable next probe, fold idempotent, replay-after-compact a no-op (r13)") {
+    import org.apache.spark.sql.functions._
+    val sq = spark; import sq.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 10 =!= 7)
+    val heldOut = emb.filter(col("vec_id") % 10 === 7)
+    val nHeld = heldOut.count()
+    assert(nHeld > 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_annlc").toString
+    GraftAPI.buildAnnIndex(base, "vec_id", "embedding", root,
+      cells = 8, m = 4, k = 8).collect()
+    // dim refusal BEFORE any marker/write churn: a rejected call leaves
+    // the index committed
+    val bad = Seq((9999L, Array.fill(8)(0.1))).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException](
+      GraftAPI.annIndexAppend(bad, "vec_id", "embedding", root))
+    assert(e1.getMessage.contains("dim"), e1.getMessage)
+    assert(new java.io.File(root, "_SUCCESS").isFile)
+    // the append: encodes ONLY against stored codebooks, lands the delta
+    val manifest = GraftAPI.annIndexAppend(heldOut, "vec_id", "embedding", root)
+      .collect()
+    assert(new java.io.File(root, "_SUCCESS").isFile,
+      "a successful append must recommit the root marker")
+    assert(manifest.map(_.getAs[Long]("n_new")).sum == nHeld,
+      "every held-out vector must land in the delta manifest")
+    val deltaRows = spark.read.parquet(s"$root/ivfpq_codes_delta")
+      .select("vec_id", "m", "code", "cell").collect().map(_.toString).sorted
+    assert(deltaRows.length == 4 * nHeld, "m=4 code rows per appended vector")
+    // replay is byte-identical (deterministic encode + distinct fold)
+    val manifest2 = GraftAPI.annIndexAppend(heldOut, "vec_id", "embedding", root)
+      .collect()
+    assert(manifest2.map(_.toString).sorted.sameElements(
+      manifest.map(_.toString).sorted))
+    assert(spark.read.parquet(s"$root/ivfpq_codes_delta")
+      .select("vec_id", "m", "code", "cell").collect().map(_.toString).sorted
+      .sameElements(deltaRows), "replayed append must byte-match the delta")
+    // an appended vector is servable the very next probe, no compact:
+    // its own embedding as the query returns itself at cosine 1.0
+    val qid = heldOut.select("vec_id").orderBy("vec_id")
+      .limit(1).collect().head.getLong(0)
+    def probe(out: String): Map[Long, Set[Long]] = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val q = emb.filter(col("vec_id") === qid).select(
+        col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      graft.streaming.StreamingOps.annProbeBatch(s"$sf/embeddings.parquet",
+        root, out, "vec_id", "embedding", k = 5)(q.toDF(), 0L)
+      spark.read.parquet(out).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("corpus_id")).toSet).toMap
+    }
+    val served = probe("/tmp/graft_annlc_p1")
+    assert(served(qid).contains(qid),
+      "an appended vector must be served from the delta pool pre-compact")
+    // compact: single layout, delta gone, probe results identical
+    val cManifest = GraftAPI.annIndexCompact(spark, root).collect()
+    assert(new java.io.File(root, "_SUCCESS").isFile)
+    assert(!new java.io.File(root, "ivfpq_codes_delta").exists(),
+      "the folded delta must be removed")
+    assert(cManifest.map(_.getAs[Long]("n_vecs")).sum == emb.count(),
+      "compacted codes must cover base + appended vectors")
+    cManifest.foreach(r => assert(
+      r.getAs[Long]("n_codes") == 4 * r.getAs[Long]("n_vecs")))
+    val cellsIds = spark.read.parquet(s"$root/cells")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(cellsIds.contains(qid),
+      "compaction must fold appended memberships into the cells table")
+    assert(probe("/tmp/graft_annlc_p2") == served,
+      "probe results must be identical across the compact")
+    // replay AFTER the compact: ids are base-resident now, the append
+    // skips them — a clean no-op, nothing double-served
+    val manifest3 = GraftAPI.annIndexAppend(heldOut, "vec_id", "embedding", root)
+      .collect()
+    assert(manifest3.map(_.getAs[Long]("n_new")).sum == 0L,
+      "replay after compact must skip already-indexed vectors")
+    assert(probe("/tmp/graft_annlc_p3") == served)
+  }
+
   test("annProbeBatch serves across a committed data-file-less codes delta (review r13)") {
     import org.apache.spark.sql.functions._
     val sq = spark; import sq.implicits._
