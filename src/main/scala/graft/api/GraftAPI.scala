@@ -332,6 +332,20 @@ object GraftAPI {
         s"index at $root predates the per-doc sub_keys table — rebuild " +
           "via writeMinhashIndex before appending (fine-table refresh " +
           "for newly-hot buckets needs the stored sub keys)")
+    // A committed operator-managed bands_compact sibling SHADOWS the
+    // deltas in every probe resolver (served first) — this append would
+    // commit a generation no probe serves, silently (review r13).
+    require(!graft.ops.IndexFs.isFile(graft.ops.IndexFs.child(
+        graft.ops.IndexFs.child(root, "bands_compact"), "_SUCCESS")),
+      s"index at $root carries a committed bands_compact sibling, which " +
+        "probes serve in preference to the delta generation this append " +
+        "would write — retire it before appending")
+    // A crashed prior lifecycle op leaves the root marker retired; an
+    // append on top would extend a possibly half-rewritten index.
+    require(graft.ops.IndexFs.isFile(
+        graft.ops.IndexFs.child(root, "_SUCCESS")),
+      s"index at $root is not committed (a crashed lifecycle op?) — " +
+        "rebuild via writeMinhashIndex before appending")
     val deltaRoot = graft.ops.IndexFs.child(root, "bands_delta")
     val deltaDir = graft.ops.IndexFs.child(deltaRoot, s"batch=$batchId")
     // Declared schema for every delta read-back (the bandsSchema rule,
@@ -443,6 +457,18 @@ object GraftAPI {
         graft.ops.IndexFs.child(root, "bands_compact"), "_SUCCESS")),
       s"index at $root carries a committed bands_compact sibling — " +
         "retire it before compacting in place")
+    // The fold overwrites the base table from a localCheckpoint whose
+    // blocks die with the JVM, so a crash mid-overwrite loses postings
+    // with no intact copy — which is exactly what the retired marker
+    // signals. Refuse to run ON TOP of an already-uncommitted index
+    // (review r13): compacting a half-rewritten base and then removing
+    // the deltas would destroy the only recoverable copy of the
+    // appended rows. The remedy for a crashed lifecycle op is a rebuild
+    // via writeMinhashIndex.
+    require(graft.ops.IndexFs.isFile(
+        graft.ops.IndexFs.child(root, "_SUCCESS")),
+      s"index at $root is not committed (a crashed lifecycle op?) — " +
+        "rebuild via writeMinhashIndex instead of compacting")
     if (committed.nonEmpty) {
       val baseSchema = spark.read.parquet(bandsPath).schema
       val hasBatchAxis = baseSchema.fieldNames.contains("pbatch")
@@ -500,9 +526,13 @@ object GraftAPI {
             .write.mode("overwrite").partitionBy("pband")
             .parquet(graft.ops.IndexFs.child(root, "bands_fine"))
         }
-        // the folded generations retire with the marker still down: a
-        // crash between fold and removal re-reads them as committed,
-        // which the distinct() fold above makes idempotent.
+        // The folded generations retire with the marker still down. A
+        // crash ANYWHERE in this block — mid-overwrite included — reads
+        // as an uncommitted index, and the committed-marker precondition
+        // above refuses further lifecycle ops on it: the honest remedy
+        // for a crashed in-place fold is a rebuild, not a re-run over a
+        // possibly partial base (the facade's documented crash
+        // semantics for every in-place mutation).
         require(graft.ops.IndexFs.deleteRecursive(deltaRoot),
           s"could not remove the folded delta generations under $root")
       }
@@ -644,14 +674,20 @@ object GraftAPI {
   /** Partition-pruned takedown on a stored ANN code table
     * ([[buildAnnIndex]]'s `<path>/ivfpq_codes` layout; the facade form
     * of the registry's `ann_index_delete`): rewrites only the cell
-    * partitions containing deleted vectors, leaving every other cell
-    * directory byte-identical; a fully-emptied cell throws toward a
-    * catalog DROP PARTITION. Mutates `codesPath` in place. The code
-    * table is the SERVING path (every ADC probe scores from it), so
-    * this is the takedown that stops deleted vectors being returned;
-    * the `cells` assignment table only feeds audits/manifests (refresh
-    * it on the next compact), and the corpus float column is the
-    * caller's own table to purge. */
+    * partitions containing deleted vectors — in the base, in any
+    * committed `ivfpq_codes_compact` sibling (the layout probes serve
+    * FIRST), in the committed `ivfpq_codes_delta` (a delta-only vector
+    * must not survive its own takedown), AND in the `cells` membership
+    * table (the streaming pool resolves membership from cells ∪ delta,
+    * so a stale row would keep serving the id whenever the caller's
+    * corpus purge lags) — all under one retired root marker, with
+    * `_split_SUCCESS` retired (split side-tables reflect pre-delete
+    * membership). A delete that would fully EMPTY a base or compact
+    * cell is REFUSED before the marker retirement (toward a catalog
+    * DROP PARTITION — and so a rejected call leaves a committed index
+    * committed); an emptied DELTA cell is fine — the day-scale delta is
+    * library-managed and simply loses the partition. Mutates in place;
+    * the corpus float column remains the caller's own table to purge. */
   def annIndexDelete(spark: SparkSession, codesPath: String,
                      deleteIds: DataFrame, id: String): Unit = {
     // Schema validation BEFORE the marker retirement (review r10, the
@@ -663,38 +699,71 @@ object GraftAPI {
       s"table at $codesPath has no '$c' column — not a cell-partitioned " +
         "ANN code table (buildAnnIndex's ivfpq_codes layout)"))
     val root = graft.ops.IndexFs.parent(codesPath)
+    val del = deleteIds.select(col(id).as("vec_id")).localCheckpoint()
+    val compactP = graft.ops.IndexFs.child(root, "ivfpq_codes_compact")
+    val deltaP = graft.ops.IndexFs.child(root, "ivfpq_codes_delta")
+    val hasCompact = graft.ops.IndexFs.isFile(
+      graft.ops.IndexFs.child(compactP, "_SUCCESS"))
+    val hasDelta = graft.ops.IndexFs.isFile(
+      graft.ops.IndexFs.child(deltaP, "_SUCCESS"))
+    // Emptied-cell REFUSALS run before the marker retirement (review
+    // r13: deleteFromCodes' internal guard throwing mid-lifecycle left
+    // the base rewritten and the index permanently uncommitted).
+    def refuseEmptied(table: String, live: org.apache.spark.sql.DataFrame): Unit = {
+      val emptied = graft.ops.VectorOps.emptiedCells(live, del)
+      require(emptied.isEmpty,
+        s"cells ${emptied.mkString(",")} of $table would be emptied by " +
+          "this delete; drop those partitions via the catalog instead of " +
+          "a data rewrite")
+    }
+    refuseEmptied(codesPath, spark.read.parquet(codesPath))
+    if (hasCompact) refuseEmptied(compactP, spark.read
+      .schema(graft.ops.VectorOps.codesSchema).parquet(compactP))
     withRetiredMarker(root) {
-      val del = deleteIds.select(col(id).as("vec_id"))
       graft.ops.VectorOps.deleteFromCodes(spark, codesPath, del)
       // Lifecycle siblings (review r13): the probe-root resolver serves a
-      // committed `ivfpq_codes_compact` FIRST and unions any committed
-      // `ivfpq_codes_delta` with the cells table, so a takedown that
-      // rewrote only the base would keep serving deleted vectors out of
-      // both — and a vector that exists ONLY in the delta slice would
-      // survive entirely. Unlike the MinHash facade's operator-managed
-      // bands_compact (where the delete refuses), both ANN siblings are
-      // written by this library against this same root in the SAME
-      // cell-partitioned codes layout, so the takedown rewrites them
-      // under the same retired marker. Declared schema: a data-file-less
-      // delta (empty held-out slice) must read as empty, not crash on
-      // inference.
-      Seq("ivfpq_codes_delta", "ivfpq_codes_compact").foreach { sib =>
-        val p = graft.ops.IndexFs.child(root, sib)
-        if (graft.ops.IndexFs.isFile(graft.ops.IndexFs.child(p, "_SUCCESS")))
-          graft.ops.VectorOps.deleteFromCodes(spark, p, del,
-            source = Some(spark.read
-              .schema(graft.ops.VectorOps.codesSchema).parquet(p)))
+      // committed compact FIRST and unions the committed delta with the
+      // cells table, so a takedown that rewrote only the base would keep
+      // serving deleted vectors out of both — and a vector that exists
+      // ONLY in the delta slice would survive entirely. Declared schema:
+      // a data-file-less delta must read as empty, not crash inference.
+      if (hasCompact)
+        graft.ops.VectorOps.deleteFromCodes(spark, compactP, del,
+          source = Some(spark.read
+            .schema(graft.ops.VectorOps.codesSchema).parquet(compactP)))
+      // The delta takes a guard-FREE full rewrite: it is day-scale and
+      // library-managed, so an emptied cell has no catalog partition to
+      // drop — the directory just goes.
+      if (hasDelta) {
+        val survivors = spark.read
+          .schema(graft.ops.VectorOps.codesSchema).parquet(deltaP)
+          .select("vec_id", "m", "code", "cell")
+          .join(del, Seq("vec_id"), "left_anti")
+          .localCheckpoint()
+        survivors.withColumn("pcell", col("cell"))
+          .repartition(col("pcell"))
+          .write.mode("overwrite").partitionBy("pcell").parquet(deltaP)
+      }
+      // cells purge (review r13): the split-aware streaming probe builds
+      // its no-compact pool from cells ∪ delta, so a stale membership
+      // row serves a deleted id whenever the caller's corpus purge lags
+      // — and the facade compact would fold the stale row forward. One
+      // scalar-column rewrite; deletes are rare.
+      val cellsP = graft.ops.IndexFs.child(root, "cells")
+      if (graft.ops.IndexFs.isFile(
+          graft.ops.IndexFs.child(cellsP, "_SUCCESS"))) {
+        val kept = spark.read.parquet(cellsP)
+          .join(del, Seq("vec_id"), "left_anti")
+          .localCheckpoint()
+        kept.write.mode("overwrite").parquet(cellsP)
       }
       // A committed cell split reflects the PRE-delete membership
-      // (ADVICE r12, the mirror of the bands_fine rewrite above): the
-      // split-aware probe computes its pool >= k floor from cells_split
-      // rows before joining the live corpus, so stale split rows inflate
-      // the pool with deleted vec_ids — the probe can pass the floor yet
-      // return fewer than k results, and an unpurged corpus keeps serving
-      // deleted vectors through the split pool. Retire the split marker
-      // (the same move [[graft.ops.IvfPqIndex.buildAt]] makes on a
-      // rebuild) so probes fall back to whole-cell scans until the next
-      // annIndexSplit against this root.
+      // (ADVICE r12): the split-aware probe computes its pool >= k floor
+      // from cells_split rows before joining the live corpus, so stale
+      // split rows inflate the pool with deleted vec_ids. Retire the
+      // split marker (the same move [[graft.ops.IvfPqIndex.buildAt]]
+      // makes on a rebuild) so probes fall back to whole-cell scans
+      // until the next annIndexSplit against this root.
       val split = graft.ops.IndexFs.child(root, "_split_SUCCESS")
       if (graft.ops.IndexFs.isFile(split))
         require(graft.ops.IndexFs.delete(split),
@@ -1488,29 +1557,45 @@ object GraftAPI {
     val mM = meta("m").toInt
     val dim = meta("dim").toInt
     val sub = dim / mM
+    // A committed operator-managed compact sibling SHADOWS the delta in
+    // every probe resolver (served first, deltas ignored) — an append
+    // would commit rows no probe serves and the facade compact refuses
+    // while the sibling exists, so refuse HERE, loudly (review r13).
+    require(!graft.ops.IndexFs.isFile(graft.ops.IndexFs.child(
+        ix.ivfCodesCompact, "_SUCCESS")),
+      s"index at $path carries a committed ivfpq_codes_compact sibling, " +
+        "which probes serve in preference to the delta this append " +
+        "would write — retire it (or fold it in) before appending")
+    // A crashed prior lifecycle op leaves the root marker retired; an
+    // append on top would mutate a possibly half-rewritten index.
+    require(graft.ops.IndexFs.isFile(
+        graft.ops.IndexFs.child(path, "_SUCCESS")),
+      s"index at $path is not committed (a crashed lifecycle op?) — " +
+        "rebuild via buildAnnIndex before appending")
     val e = batch.select(col(id).as("vec_id"),
       col(vec).cast("array<double>").as("x"))
-    val got = validatedDim(e, vec, mM)
-    require(got == dim,
-      s"batch vectors are $got-dimensional; the index at $path was " +
-        s"trained at dim=$dim")
-    val fresh = e.join(s.read.parquet(ix.cells).select("vec_id"),
-      Seq("vec_id"), "left_anti")
-    val coarse = s.read.parquet(ix.coarse)
-    val bCells = graft.ops.VectorOps.assignCells(fresh, coarse)
-    val remLong = fresh.join(bCells, "vec_id")
-      .join(broadcast(coarse), col("cell") === col("cid"))
-      .select(col("vec_id"), col("cell"),
-        zip_with(col("x"), col("cv"), (a, b) => r6(a - b)).as("rx"))
-      .select(col("vec_id"), col("cell"), posexplode(array((0 until mM).map(i =>
-        slice(col("rx"), i * sub + 1, sub)): _*)))
-      .select(col("vec_id"), col("cell"), col("pos").cast("int").as("m"),
-        col("col").as("x"))
-    val newCodes = graft.ops.VectorOps.assignCellsLong(
-        remLong.select("m", "vec_id", "x"), s.read.parquet(ix.ivfCodebooks))
-      .select(col("vec_id"), col("m"), col("cell").as("code"))
-      .join(bCells, "vec_id")
-      .select("vec_id", "m", "code", "cell")
+    // An EMPTY day commits a no-op cleanly (the minhashIndexAppend
+    // contract): dim is known from the stored meta, so there is nothing
+    // to validate or encode — the fold below just rewrites the prior
+    // delta (or lands a data-file-less one).
+    val newCodes =
+      if (e.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(
+            graft.ops.VectorOps.codesSchema.fields.filter(_.name != "pcell")))
+      else {
+        val got = validatedDim(e, vec, mM)
+        require(got == dim,
+          s"batch vectors are $got-dimensional; the index at $path was " +
+            s"trained at dim=$dim")
+        val fresh = e.join(s.read.parquet(ix.cells).select("vec_id"),
+          Seq("vec_id"), "left_anti")
+        // ONE shared stored-codebook encode path with the registry append
+        // (review r13): byte-stable replay must not be able to drift.
+        graft.ops.VectorOps.encodeAgainstStored(fresh,
+          s.read.parquet(ix.coarse), s.read.parquet(ix.ivfCodebooks),
+          mM, sub)
+      }
     // Fold into the single delta generation. Declared schema on the
     // prior read: a previous empty append commits a data-file-less
     // table. localCheckpoint severs the read from the overwrite.
@@ -1560,6 +1645,12 @@ object GraftAPI {
       s"index at $path carries a committed ivfpq_codes_compact sibling " +
         "(served FIRST by the probe resolver) — retire it before " +
         "compacting in place")
+    // Same rationale as minhashIndexCompact (review r13): the in-place
+    // fold must not run on top of a crashed lifecycle op's partial base.
+    require(graft.ops.IndexFs.isFile(
+        graft.ops.IndexFs.child(path, "_SUCCESS")),
+      s"index at $path is not committed (a crashed lifecycle op?) — " +
+        "rebuild via buildAnnIndex instead of compacting")
     if (graft.ops.IndexFs.isFile(graft.ops.IndexFs.child(
         ix.ivfCodesDelta, "_SUCCESS"))) {
       val delta = spark.read.schema(graft.ops.VectorOps.codesSchema)

@@ -1284,29 +1284,57 @@ object VectorOps {
     * via the STORED codebooks — no retraining, byte-stable re-runs. */
   private[ops] def writeAnnDelta(s: SparkSession, dir: String,
                                  ix: IvfPqIndex.Ix): Unit = {
-    val coarse = s.read.parquet(ix.coarse)
     val batch = embeddings(s, dir)
       .filter(col("vec_id") % 10 === 7)
       .select(col("vec_id"), asD(col("embedding")).as("x"))
-    // coarse-assign the batch against the STORED centroids
-    val bCells = assignCells(batch, coarse)
-    // residual-encode against the STORED residual codebooks
-    val remLong = batch.join(bCells, "vec_id")
-      .join(broadcast(coarse), col("cell") === col("cid"))
-      .select(col("vec_id"), col("cell"),
-        zip_with(col("x"), col("cv"), (a, b) => r6(a - b)).as("rx"))
-      .select(col("vec_id"), col("cell"), posexplode(array((0 until PqM).map(m =>
-        slice(col("rx"), m * PqSub + 1, PqSub)): _*)))
-      .select(col("vec_id"), col("cell"), col("pos").cast("int").as("m"),
-        col("col").as("x"))
-    assignCellsLong(remLong.select("m", "vec_id", "x"),
-        s.read.parquet(ix.ivfCodebooks))
-      .select(col("vec_id"), col("m"), col("cell").as("code"))
-      .join(bCells, "vec_id")
+    encodeAgainstStored(batch, s.read.parquet(ix.coarse),
+        s.read.parquet(ix.ivfCodebooks), PqM, PqSub)
       .withColumn("pcell", col("cell"))
       .repartition(col("pcell"))
       .write.mode("overwrite").partitionBy("pcell")
       .parquet(ix.ivfCodesDelta)
+  }
+
+  /** The ONE stored-codebook encode path (review r13): coarse-assign a
+    * (vec_id, x) batch against the stored centroids, residual-encode
+    * against the stored long-form codebooks — no retraining. Shared by
+    * the registry append ([[writeAnnDelta]]) and the facade append
+    * ([[graft.api.GraftAPI.annIndexAppend]]) so the byte-stable-replay
+    * contract cannot drift between them: same r6 residual snap, same
+    * slice bounds, same argmin tie-breaks. Returns
+    * (vec_id, m, code, cell). */
+  private[graft] def encodeAgainstStored(e: DataFrame, coarse: DataFrame,
+                                         codebooks: DataFrame, m: Int,
+                                         sub: Int): DataFrame = {
+    val bCells = assignCells(e, coarse)
+    val remLong = e.join(bCells, "vec_id")
+      .join(broadcast(coarse), col("cell") === col("cid"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("x"), col("cv"), (a, b) => r6(a - b)).as("rx"))
+      .select(col("vec_id"), col("cell"), posexplode(array((0 until m).map(i =>
+        slice(col("rx"), i * sub + 1, sub)): _*)))
+      .select(col("vec_id"), col("cell"), col("pos").cast("int").as("m"),
+        col("col").as("x"))
+    assignCellsLong(remLong.select("m", "vec_id", "x"), codebooks)
+      .select(col("vec_id"), col("m"), col("cell").as("code"))
+      .join(bCells, "vec_id")
+      .select("vec_id", "m", "code", "cell")
+  }
+
+  /** Cells a `del` id-list would fully empty in `live` — the catalog-
+    * DROP-PARTITION precheck [[deleteFromCodes]] enforces, exposed so
+    * lifecycle callers can run the REFUSAL before retiring their root
+    * marker (review r13: a rejection must leave a committed index
+    * committed, not half-rewritten-and-uncommitted). */
+  private[graft] def emptiedCells(live: DataFrame, del: DataFrame): Array[Long] = {
+    val affected = live.join(del, "vec_id")
+      .select(col("cell").as("acell")).distinct()
+    val survivors = live
+      .join(broadcast(affected), col("cell") === col("acell"))
+      .join(del, Seq("vec_id"), "left_anti")
+    affected.join(survivors.select(col("cell").as("scell")).distinct(),
+        col("acell") === col("scell"), "left_anti")
+      .collect().map(_.getLong(0))
   }
 
   def annIndexAppend(s: SparkSession, dir: String): DataFrame = {

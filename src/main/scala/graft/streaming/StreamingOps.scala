@@ -252,13 +252,17 @@ object StreamingOps {
     * foreachBatch), so an append/compact is picked up at the next batch
     * boundary, not mid-query. */
   private def resolvedFacadeKeys(s: org.apache.spark.sql.SparkSession,
-                                 indexBandsPath: String): DataFrame = {
+                                 indexBandsPath: String,
+                                 baseDf: DataFrame): DataFrame = {
     val root = graft.ops.IndexFs.parent(indexBandsPath)
     val compact = graft.ops.IndexFs.child(root, "bands_compact")
     if (graft.ops.IndexFs.isFile(graft.ops.IndexFs.child(compact, "_SUCCESS")))
       s.read.parquet(compact).select("band", "band_key")
     else {
-      val base = s.read.parquet(indexBandsPath).select("band", "band_key")
+      // `baseDf` arrives from the caller, which already opened the base
+      // table — one footer-listing pass per micro-batch, not three
+      // (review r13; object-store roots pay a LIST + footer fetch each).
+      val base = baseDf.select("band", "band_key")
       val deltas = graft.ops.IndexFs
         .listDirs(graft.ops.IndexFs.child(root, "bands_delta"))
         .filter(d => graft.ops.IndexFs.isFile(
@@ -270,8 +274,7 @@ object StreamingOps {
       // the resolver must serve base alone, not fail the micro-batch.
       // The delta layout coincides with the fine side-table's.
       else base.unionByName(
-        s.read.schema(graft.ops.MinhashIndex.facadeFineSchema(
-            s.read.parquet(indexBandsPath).schema))
+        s.read.schema(graft.ops.MinhashIndex.facadeFineSchema(baseDf.schema))
           .parquet(deltas: _*).select("band", "band_key"))
     }
   }
@@ -288,9 +291,12 @@ object StreamingOps {
     // batch's RDD is GC'd — no cross-batch persist leak.
     val bt = graft.api.GraftAPI.minhashBandsWithSub(
       batch, id, text, numHashes, bands).localCheckpoint()
+    // ONE base-table open per micro-batch (review r13): the frame feeds
+    // the resolver's base branch AND both declared-schema sibling reads.
+    val baseDf = s.read.parquet(indexBandsPath)
     // Probe keys come from the RESOLVER, so appended postings flag the
     // very next micro-batch's dups of them, compact or not (r13).
-    val post = resolvedFacadeKeys(s, indexBandsPath)
+    val post = resolvedFacadeKeys(s, indexBandsPath, baseDf)
     (graft.ops.Artifacts.readMeta(root).get("hotSize") match {
       case Some(hotSize) =>
         // Hot/cold sizes on the RESOLVED keys: a bucket pushed over the
@@ -300,8 +306,7 @@ object StreamingOps {
           .groupBy("band", "band_key").agg(count(lit(1)).as("sz"))
           .filter(col("sz") < hotSize.toLong).select("band", "band_key")
         val fineKeys = s.read
-          .schema(graft.ops.MinhashIndex.facadeFineSchema(
-            s.read.parquet(indexBandsPath).schema))
+          .schema(graft.ops.MinhashIndex.facadeFineSchema(baseDf.schema))
           .parquet(graft.ops.IndexFs.child(root, "bands_fine"))
           .select("band", "band_key", "sub_key").distinct()
         bt.join(coldKeys, Seq("band", "band_key"), "left_semi").select(id)

@@ -804,6 +804,31 @@ class ApiSpec extends AnyFunSuite {
     val flags = probe("/tmp/graft_mh_refuse_probe")
     assert(flags(400L) && !flags(402L),
       "the probe must serve base postings across an empty delta generation")
+    // a committed bands_compact sibling shadows every delta generation in
+    // the probe resolver — the append must refuse rather than commit
+    // rows no probe serves (review r13 round 2)
+    val compactDir = new java.io.File(root, "bands_compact")
+    assert(compactDir.mkdirs())
+    val cm = new java.io.File(compactDir, "_SUCCESS")
+    assert(cm.createNewFile())
+    val eShadow = intercept[IllegalArgumentException](
+      GraftAPI.minhashIndexAppend(spark, s"$root/bands",
+        Seq((700L, "shadowed text")).toDF("doc_id", "text"),
+        "doc_id", "text", batchId = 9L, numHashes = 8, bands = 2))
+    assert(eShadow.getMessage.contains("bands_compact"), eShadow.getMessage)
+    assert(new java.io.File(root, "_SUCCESS").isFile)
+    assert(cm.delete() && compactDir.delete())
+    // an uncommitted (crashed) index refuses both append and compact
+    assert(new java.io.File(root, "_SUCCESS").delete())
+    val eCrash = intercept[IllegalArgumentException](
+      GraftAPI.minhashIndexAppend(spark, s"$root/bands",
+        Seq((701L, "post crash")).toDF("doc_id", "text"),
+        "doc_id", "text", batchId = 10L, numHashes = 8, bands = 2))
+    assert(eCrash.getMessage.contains("not committed"), eCrash.getMessage)
+    val eCrash2 = intercept[IllegalArgumentException](
+      GraftAPI.minhashIndexCompact(spark, s"$root/bands"))
+    assert(eCrash2.getMessage.contains("not committed"), eCrash2.getMessage)
+    assert(new java.io.File(root, "_SUCCESS").createNewFile())
     // and a real append AFTER the empty generation still flags next-probe
     val newDoc = (1 to 40).map(i => s"nn7w$i").mkString(" ")
     GraftAPI.minhashIndexAppend(spark, s"$root/bands",
@@ -964,6 +989,94 @@ class ApiSpec extends AnyFunSuite {
     assert(!cIds.contains(baseId) && !cIds.contains(deltaId),
       "the compact sibling (served FIRST by the resolver) must drop both")
     assert(cIds.nonEmpty)
+    // the cells membership table is purged too (review r13): the
+    // streaming pool resolves membership from cells ∪ delta, so a stale
+    // row would keep serving the deleted id through the corpus join
+    val cellIds = spark.read.parquet(s"$root/cells")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!cellIds.contains(baseId),
+      "the cells table must not retain deleted memberships")
+  }
+
+  test("ANN lifecycle refusals leave the index committed; emptying a delta cell is legal (review r13 round 2)") {
+    import org.apache.spark.sql.functions._
+    val sq = spark; import sq.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft_annref").toString
+    GraftAPI.buildAnnIndex(emb.filter(col("vec_id") % 10 =!= 7),
+      "vec_id", "embedding", root, cells = 8, m = 4, k = 8).collect()
+    val marker = new java.io.File(root, "_SUCCESS")
+    // (a) a base-cell-emptying delete REFUSES before the marker
+    // retirement: the index stays committed and NOTHING is rewritten
+    // (the old behavior rewrote the base, then threw on the sibling,
+    // stranding the index uncommitted)
+    val smallCell = spark.read.parquet(s"$root/cells")
+      .groupBy("cell").agg(count(lit(1)).as("n"), collect_list("vec_id").as("ids"))
+      .orderBy("n").limit(1).collect().head
+    val cellIds = smallCell.getSeq[Long](2)
+    val before = spark.read.parquet(s"$root/ivfpq_codes")
+      .collect().map(_.toString).sorted
+    val e1 = intercept[IllegalArgumentException](
+      GraftAPI.annIndexDelete(spark, s"$root/ivfpq_codes",
+        cellIds.toDF("vec_id"), "vec_id"))
+    assert(e1.getMessage.contains("emptied"), e1.getMessage)
+    assert(marker.isFile, "a refused takedown must leave the index committed")
+    assert(spark.read.parquet(s"$root/ivfpq_codes")
+      .collect().map(_.toString).sorted.sameElements(before),
+      "a refused takedown must not have touched the base codes")
+    // (b) deleting the ONLY delta resident of a cell succeeds — the
+    // day-scale delta is library-managed, the emptied cell just goes
+    val held = emb.filter(col("vec_id") % 10 === 7)
+    GraftAPI.annIndexAppend(held, "vec_id", "embedding", root).collect()
+    val loneId = spark.read.parquet(s"$root/ivfpq_codes_delta")
+      .filter(col("m") === 0)
+      .groupBy("cell").agg(count(lit(1)).as("n"), min("vec_id").as("v"))
+      .orderBy("n").limit(1).collect().head
+    // make the chosen cell single-resident by deleting down to one, or
+    // use it directly when it already is
+    val delTarget = loneId.getLong(2)
+    val cellOfTarget = loneId.getLong(0)
+    val residents = spark.read.parquet(s"$root/ivfpq_codes_delta")
+      .filter(col("m") === 0 && col("cell") === cellOfTarget)
+      .select("vec_id").collect().map(_.getLong(0))
+    GraftAPI.annIndexDelete(spark, s"$root/ivfpq_codes",
+      residents.toSeq.toDF("vec_id"), "vec_id")
+    assert(marker.isFile, "emptying a delta cell must recommit the marker")
+    assert(spark.read.schema(ops.VectorOps.codesSchema)
+      .parquet(s"$root/ivfpq_codes_delta")
+      .filter(col("cell") === cellOfTarget).count() == 0L,
+      s"the emptied delta cell $cellOfTarget must be gone")
+    // (c) appends refuse while a committed compact sibling would shadow
+    // them, and refuse on an uncommitted (crashed) index — both leave
+    // the index exactly as found
+    val compactDir = new java.io.File(root, "ivfpq_codes_compact")
+    assert(compactDir.mkdirs())
+    val cm = new java.io.File(compactDir, "_SUCCESS")
+    assert(cm.createNewFile())
+    val e2 = intercept[IllegalArgumentException](
+      GraftAPI.annIndexAppend(held, "vec_id", "embedding", root))
+    assert(e2.getMessage.contains("ivfpq_codes_compact"), e2.getMessage)
+    assert(marker.isFile)
+    assert(cm.delete() && compactDir.delete())
+    assert(marker.delete()) // simulate a crashed lifecycle op
+    val e3 = intercept[IllegalArgumentException](
+      GraftAPI.annIndexAppend(held, "vec_id", "embedding", root))
+    assert(e3.getMessage.contains("not committed"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](
+      GraftAPI.annIndexCompact(spark, root))
+    assert(e4.getMessage.contains("not committed"), e4.getMessage)
+    assert(marker.createNewFile())
+    // (d) an EMPTY batch commits a clean no-op (the minhash contract)
+    val n0 = spark.read.schema(ops.VectorOps.codesSchema)
+      .parquet(s"$root/ivfpq_codes_delta").count()
+    val mEmpty = GraftAPI.annIndexAppend(
+      held.filter(col("vec_id") < 0), "vec_id", "embedding", root).collect()
+    assert(marker.isFile, "an empty append must recommit the marker")
+    assert(spark.read.schema(ops.VectorOps.codesSchema)
+      .parquet(s"$root/ivfpq_codes_delta").count() == n0,
+      "an empty append must leave the delta content unchanged")
+    assert(mEmpty.map(_.getAs[Long]("n_new")).sum == n0 / 4,
+      "the manifest keeps counting the prior delta residents")
   }
 
   test("annIndexAppend/annIndexCompact: facade ANN lifecycle — appended vectors servable next probe, fold idempotent, replay-after-compact a no-op (r13)") {
