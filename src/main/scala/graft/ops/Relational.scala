@@ -330,7 +330,20 @@ object Relational {
       .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(Salts)))
     val ord = orders(s, dir)
       .withColumn("salt", explode(sequence(lit(0), lit(Salts - 1))))
-    li.join(ord,
+    // SHUFFLE_HASH pin (optimization r13, guide §3.1): unpinned, the
+    // planner's post-explode size estimate still sat under the broadcast
+    // threshold and the ×8-exploded orders side became a BROADCAST build
+    // — a single-threaded hashed-relation construction over 1.2M rows
+    // that was this query's entire cost (0 shuffle bytes in the sweep
+    // telemetry), and the opposite of what salting demonstrates: at
+    // 100 TB the exploded side cannot broadcast, and spreading a hot key
+    // over (key, salt) partitions only happens in a SHUFFLED join. The
+    // pin makes the executed plan the salting plan — both sides exchange
+    // on (key, salt), per-partition hash build. The build hint sits on
+    // the UN-exploded side (fewer rows to hash; isolated A/B: 1.58 s vs
+    // 3.56 s building the ×8 side, == the broadcast form's seconds with
+    // the honest exchange in place).
+    li.hint("shuffle_hash").join(ord,
         col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
@@ -1458,9 +1471,21 @@ object Relational {
     * bucket-local i<j pair fan-out → support ≥ 2 filter. Returns
     * (part_a, part_b, pair_n). */
   private def coOccurrencePairs(s: SparkSession, dir: String): DataFrame =
+    pairsFromBaskets(basketsOf(s, dir))
+
+  /** Sorted per-order basket arrays (ALL orders, single-item ones
+    * included — [[basketPairs]]' n_orders denominator counts them). */
+  private def basketsOf(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
+
+  /** Bucket-local i<j pair fan-out + support filter over a basket table
+    * — split from [[coOccurrencePairs]] (optimization r13) so
+    * [[basketPairs]] can derive pairs from its own PINNED basket frame
+    * instead of re-deriving the distinct+collect_set subtree. */
+  private def pairsFromBaskets(baskets: DataFrame): DataFrame =
+    baskets
       .filter(size(col("ids")) > 1)
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "part_a")))
       .select(col("part_a"),
@@ -1470,11 +1495,19 @@ object Relational {
       .filter(col("pair_n") >= 2)
 
   def basketPairs(s: SparkSession, dir: String): DataFrame = {
-    val items = lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
-    val baskets = items.groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
-    val pairs = coOccurrencePairs(s, dir)
-    val freq = items.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    // ONE pinned basket frame feeds all four consumers (optimization
+    // r13): the captured before-plan re-derived the lineitem
+    // distinct+collect_set subtree FOUR times (pairs, freq ×2, total —
+    // 4 lineitem scans, 33 MB shuffle). The basket table is
+    // order-cardinality scalars+arrays (≪ the pair fan-out), item
+    // frequency falls out of it by exploding the distinct per-order
+    // arrays (identical to the distinct-item groupBy by construction),
+    // and n_orders is its row count. At cluster scale this pin is the
+    // staged basket intermediate the 100 TB job would write anyway.
+    val baskets = basketsOf(s, dir).localCheckpoint()
+    val pairs = pairsFromBaskets(baskets)
+    val freq = baskets.select(explode(col("ids")).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
     val total = baskets.agg(count(lit(1)).as("n_orders"))
     pairs
       .join(broadcast(freq.select(col("l_partkey").as("part_a"), col("n").as("n_a"))), "part_a")
@@ -2179,8 +2212,16 @@ object Relational {
     * same algorithm, provably O(m^1.5) candidate pairs — and the two-path
     * join would pre-bucket both edge copies on the pivot vertex. */
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    // Pinned (optimization r13): the 3-way self-join re-derived the
+    // whole co-occurrence subtree once per branch — 3 lineitem scans,
+    // 3 ObjectHashAggregate+pair-fan-out chains, 80 MB of sweep shuffle
+    // for a query whose edge set is pair-cardinality. One eager
+    // materialization; the three join branches read the pinned blocks.
+    // (The ordersRfm counter-lesson doesn't apply: these branches are
+    // multi-shuffle aggregation chains, not pruned scans.)
     val edges = coOccurrencePairs(s, dir)
       .select(col("part_a").as("a"), col("part_b").as("b"))
+      .localCheckpoint()
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e1.b") === col("e2.a"))
       .join(edges.as("e3"),
