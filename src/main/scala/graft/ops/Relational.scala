@@ -2186,11 +2186,18 @@ object Relational {
     * needs for reproducible convergence checks. k steps = k such passes;
     * the edge list is the reusable (cacheable) invariant. */
   def graphPagerankStep(s: SparkSession, dir: String): DataFrame = {
+    // Pinned (optimization r13): deg and the contribution join are two
+    // consumers of the same edge list — unpinned, the before-plan
+    // derived the orders⋈lineitem distinct TWICE (2 scans of each
+    // table, two join+distinct chains). The scaladoc above already
+    // calls the edge list "the reusable (cacheable) invariant"; now it
+    // actually is. Isolated A/B at sf0.1: 1.42 → 0.83 s.
     val edges = orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .distinct()
+      .localCheckpoint()
     val deg = edges.groupBy("c").agg(count(lit(1)).as("d"))
     edges.join(deg, "c")
       .groupBy(col("s").as("s_suppkey"))
