@@ -18,11 +18,22 @@ object PlanDump {
     require(args.length >= 3,
       "usage: PlanDump <outDir> <tag> <q1,q2,...> [sfDir]")
     val (outDir, tag, names) = (args(0), args(1), args(2).split(",").map(_.trim))
-    val dir = if (args.length > 3) args(3) else "/root/testdata/sf0.01"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Fail BEFORE the session spins up, naming the bad entries (ADVICE r13):
+    // SparkEntry.queries(q) would otherwise throw a bare
+    // NoSuchElementException mid-run with no hint what names are valid.
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — valid names are " +
+        s"SparkEntry.queries keys, e.g. ${SparkEntry.queries.keys.take(5).mkString(", ")} …")
+    // Same env vars, same defaults as Bench (ADVICE r13): a bare invocation
+    // must capture exactly the plan the bench executes — cpus default 4,
+    // sfDir from SPARK_GRAFT_SF_DIR, master overridable by SPARK_GRAFT_MASTER.
+    val dir = if (args.length > 3) args(3)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .withExtensions(new functions.GraftExtensions)
-      .master(s"local[$cpus]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -294,12 +294,21 @@ object DedupOps {
     // would catch it).
     val sh = cache(shRows.groupBy("doc_id")
       .agg(collect_list(xxhash64(col("x"))).as("shingles")))
-    cand
+    // SHUFFLE_HASH on the verify joins (optimization r14, guide §3.1):
+    // sort-merge sorted the array-payload side twice for joins whose
+    // build side (the candidate-pair table: 2 longs/row) hashes
+    // trivially; sorting heavy opaque payloads bought nothing at any
+    // scale. Set sizes come from the arrays themselves (size == n_sh by
+    // construction — collect_list over distinct rows), so the candidate
+    // table stays 2 columns through its exchange.
+    cand.hint("shuffle_hash")
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .hint("shuffle_hash")
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
       // |A u B| = na + nb - |A n B| (shingle rows are distinct per doc):
       // one hash-set intersection per pair, no union array materialized.
-      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+      .select(col("doc_a"), col("doc_b"),
+        size(col("sa.shingles")).as("na"), size(col("sb.shingles")).as("nb"),
         size(array_intersect(col("sa.shingles"), col("sb.shingles"))).as("inter"))
       .select(col("doc_a"), col("doc_b"),
         r6(col("inter").cast("double") /
@@ -354,9 +363,19 @@ object DedupOps {
       .agg(sort_array(collect_list(
         struct(col("d.doc_id").as("doc_id"), col("d.n_sh").as("n_sh")))).as("ids"))
       .filter(size(col("ids")) > 1))
+    // Narrow to the id pair BEFORE the distinct (optimization r14, guide
+    // §2.3): na/nb are functions of the ids, and the verify stage now
+    // reads set sizes off the shingle arrays — carrying them through the
+    // dedup exchange doubled its row width for nothing. The explicit
+    // repartition on doc_a makes ONE exchange serve both the distinct
+    // (HashPartitioning(doc_a) co-locates equal (doc_a, doc_b) tuples)
+    // and the verify join on doc_a, which reuses the partitioning
+    // instead of adding its own exchange+sort.
     cold.unionByName(hot)
       .filter(lit(4000000L) * least(col("na"), col("nb")) >=
         lit(3199998L) * greatest(col("na"), col("nb")))
+      .select("doc_a", "doc_b")
+      .repartition(col("doc_a"))
       .distinct()
   }
 
@@ -394,8 +413,15 @@ object DedupOps {
     // branches race into recomputing the band-bucket + Jaccard-verify
     // subtree. One action; every subsequent round reads cached pairs.
     timed("pairs.count")(pairs.count())
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
+    // Symmetrize by a map-side explode instead of a union of two scans
+    // (optimization r14): the union form put TWO InMemoryTableScans of
+    // the pair cache into every propagation round's plan; the explode
+    // reads the cache once and fans out in place.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     propagateMinLabels(edges)
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
@@ -426,8 +452,12 @@ object DedupOps {
     while (!converged && rounds < maxRounds) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy("src").agg(min(col("lbl")).as("nbr_lbl"))
+      // `old` (the round's starting label) RIDES the row instead of
+      // re-joining `labels` at the end of the round (optimization r14):
+      // every row here descends from exactly one labels row, so the
+      // change flag needs no fourth join — 3 joins per round, not 4.
       val half = labels.join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
       // POINTER JUMPING (r6): also shortcut to the label's own label
       // (lbl ← min(lbl, lbl(lbl))) — the label-of-label hop halves
@@ -435,16 +465,12 @@ object DedupOps {
       // O(diameter) to O(log diameter) rounds. The b-side re-reads
       // `half`'s plan over this round's cached inputs (AQE reuses the
       // exchange when it can); the round stays ONE action.
-      val jump = half.as("a")
+      val jumped = least(col("a.lbl"), coalesce(col("jlbl"), col("a.lbl")))
+      val step = half.as("a")
         .join(half.select(col("id").as("jid"), col("lbl").as("jlbl")).as("b"),
           col("a.lbl") === col("jid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.lbl"), coalesce(col("jlbl"), col("a.lbl"))).as("lbl"))
-      // change flag vs the round's starting labels — one action per round
-      // (materialize + convergence count together)
-      val step = labels.select(col("id"), col("lbl").as("old"))
-        .join(jump, "id")
-        .select(col("id"), col("lbl"), (col("lbl") < col("old")).as("changed"))
+        .select(col("a.id").as("id"), jumped.as("lbl"),
+          (jumped < col("a.old")).as("changed"))
       // Lineage truncation every 3rd round (r6 — cadence found by the
       // path-graph spec + sweep A/B): the pointer-jumping self-join puts
       // `half` into the round plan TWICE, so an untruncated chain grows
@@ -1102,24 +1128,24 @@ object DedupOps {
     * so the audit joins 16-byte rows and never re-reads text — exact
     * Jaccard is computed here only for the audited pair sample. */
   def dedupMinhashEst(s: SparkSession, dir: String): DataFrame = {
-    // Both self-joined frames pin via the generation cache (review r10):
-    // sig and sh are each consumed TWICE (the a/b sides), and sig's
-    // shingle source is additionally shared with the rest of the dedup
-    // family — unpinned, one invocation re-derived the corpus
-    // tokenize+shingle pipeline up to four times.
-    val sig = cache(signaturesFrom(pinnedShingles(s, dir)))
-    val sh = cache(shingled(s, dir))
+    // ONE pinned (signature ⊕ shingle-array) frame and ONE self-join
+    // (optimization r14): the previous form self-joined `sig` and `sh`
+    // separately on the same doc_id+1 predicate and re-joined the two
+    // results — three shuffle joins where one suffices. The pre-join on
+    // doc_id rides the shingle pipeline's existing doc_id partitioning,
+    // and both the estimate and the exact Jaccard now come off the same
+    // consecutive-pair row. (Pinned via the generation cache, review
+    // r10: the a/b sides are two consumers.)
+    val both = cache(signaturesFrom(pinnedShingles(s, dir))
+      .join(shingled(s, dir), "doc_id"))
     val agree = (1 to NumHashes)
       .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
-    val est = sig.as("a").join(sig.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+    both.as("a").join(both.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (agree.cast("double") / NumHashes).as("e"))
-    val exact = sh.as("x").join(sh.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
-      .select(col("x.doc_id").as("doc_a"),
-        (size(array_intersect(col("x.shingles"), col("y.shingles"))).cast("double") /
-          size(array_union(col("x.shingles"), col("y.shingles")))).as("x"))
-    est.join(exact, "doc_a")
+        (agree.cast("double") / NumHashes).as("e"),
+        (size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+          size(array_union(col("a.shingles"), col("b.shingles")))).as("x"))
       .select(col("doc_a"), col("doc_b"), r6(col("e")).as("est_jaccard"),
         r6(col("x")).as("exact_jaccard"),
         r6(abs(col("e") - col("x"))).as("abs_err"))

@@ -934,7 +934,13 @@ object PipelineOps {
     // deliberately fragmented layout (the "after a week of micro-batches"
     // state), then the compaction rewrite
     cols.repartition(64).write.mode("overwrite").parquet(frag)
-    s.read.parquet(frag).repartition(4)
+    // coalesce, not repartition (optimization r14, guide §2.4/§2.5): a
+    // compaction that only merges small files needs NO re-clustering, so
+    // the keyless repartition paid a full shuffle of the table PLUS the
+    // sort-before-repartition pass for nothing. coalesce folds the 64
+    // fragments into 4 writers shuffle-free — the standard
+    // rewriteDataFiles bin-pack shape.
+    s.read.parquet(frag).coalesce(4)
       .write.mode("overwrite").option("maxRecordsPerFile", 500000)
       .parquet(tidy)
     s.read.parquet(tidy)

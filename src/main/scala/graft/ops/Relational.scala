@@ -19,6 +19,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object Relational {
 
+  // Pin mechanism note (optimization r14): an eager-persist variant of
+  // the basket/graph pins (generation-scoped cache, partitioning
+  // preserved for downstream reuse) was A/B'd against the checkpoint
+  // pins and REJECTED on wall time despite halving pagerank's shuffle
+  // bytes (20.7 → 10.9 MB): paired isolated draws measured 1.47-1.51 s
+  // (checkpoint) vs 2.05-3.21 s (persist) — at these frame sizes the
+  // per-consumer cached-plan overhead under AQE costs more than the
+  // saved exchanges. DedupOps.truncate (reliable checkpoint when a dir
+  // is configured, ADVICE r13) remains the pin for all three sites.
+
   // ---------------------------------------------------------------- scans
 
   /** S3: plain parquet scan with projection — pruned at the reader
@@ -1476,7 +1486,15 @@ object Relational {
   /** Sorted per-order basket arrays (ALL orders, single-item ones
     * included — [[basketPairs]]' n_orders denominator counts them). */
   private def basketsOf(s: SparkSession, dir: String): DataFrame =
-    lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
+    // ONE exchange on l_orderkey serves both the distinct and the basket
+    // groupBy (optimization r14, guide §2.4): hash-partitioning on the
+    // orderkey already co-locates equal (orderkey, partkey) tuples, so
+    // the distinct aggregates in place and the collect_set reuses the
+    // same partitioning — the unkeyed form paid a second fact-scale
+    // exchange between them.
+    lineitem(s, dir).select("l_orderkey", "l_partkey")
+      .repartition(col("l_orderkey"))
+      .distinct()
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
 
@@ -1504,7 +1522,16 @@ object Relational {
     // arrays (identical to the distinct-item groupBy by construction),
     // and n_orders is its row count. At cluster scale this pin is the
     // staged basket intermediate the 100 TB job would write anyway.
-    val baskets = basketsOf(s, dir).localCheckpoint()
+    // Pin via DedupOps.truncate (ADVICE r13): reliable checkpoint() when
+    // a checkpoint dir is configured — under a multi-JVM master an
+    // executor loss must not leave the pinned frame unrecoverable (bare
+    // localCheckpoint blocks die with their executor). No downstream
+    // consumer joins/groups on the basket key (freq keys on
+    // part, pairs on (a, b)), so partitioning preservation buys nothing,
+    // and the A/B showed the checkpointed form's identical freq
+    // broadcast subtrees runtime-reuse better (35.8 vs 45.1 MB sweep
+    // shuffle under the rejected persist pin).
+    val baskets = DedupOps.truncate(basketsOf(s, dir))
     val pairs = pairsFromBaskets(baskets)
     val freq = baskets.select(explode(col("ids")).as("l_partkey"))
       .groupBy("l_partkey").agg(count(lit(1)).as("n"))
@@ -1850,11 +1877,16 @@ object Relational {
         |ORDER BY custdist DESC, c_count DESC""".stripMargin)
   }
 
-  /** SQL-12 (TPC-H Q15 shape): the quarter's top revenue supplier(s) via a
-    * scalar MAX subquery over a shared CTE. Revenue totals go through
-    * DECIMAL so the `= max` equality is bit-exact on both engines (a
-    * double-summed total could differ in the last ulp and drop the row).
-    * Supplier dim broadcasts; the CTE is output-scale (one row/supplier). */
+  /** SQL-12 (TPC-H Q15 shape): the quarter's top revenue supplier(s).
+    * Revenue totals go through DECIMAL so the `= max` equality is
+    * bit-exact on both engines (a double-summed total could differ in the
+    * last ulp and drop the row). The maximum is a window MAX OVER () on
+    * the rev table (optimization r14): the scalar-subquery form planned
+    * the `rev` CTE twice — two full lineitem scans and two fact-scale
+    * suppkey aggregations — where the window form pays one single-task
+    * pass over the SUPPLIER-cardinality rev table (dim-scale even at
+    * 100 TB; output proven identical against the oracle). Supplier dim
+    * broadcasts; the CTE is output-scale (one row/supplier). */
   def sqlTopSupplier(s: SparkSession, dir: String): DataFrame = {
     registerViews(s, dir)
     s.sql(
@@ -1867,8 +1899,11 @@ object Relational {
         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         |  GROUP BY l_suppkey)
         |SELECT s.s_suppkey, s.s_name, r.total_rev
-        |FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
-        |WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+        |FROM supplier s
+        |JOIN (SELECT l_suppkey, total_rev,
+        |        MAX(total_rev) OVER () AS max_rev FROM rev) r
+        |  ON s.s_suppkey = r.l_suppkey
+        |WHERE r.total_rev = r.max_rev
         |ORDER BY s.s_suppkey""".stripMargin)
   }
 
@@ -1877,10 +1912,17 @@ object Relational {
     * equals the part's regional minimum. The reference schema has no
     * `partsupp`, so per-(part, supplier) cost derives from lineitem:
     * `MIN(l_extendedprice)` — a pure MIN, never a ratio, so the
-    * correlated-equality join compares a stored double against itself and
-    * cannot straddle an FP edge. Catalyst decorrelates the scalar subquery
-    * into one per-part aggregate joined back (the same plan TPC-H Q2 gets
-    * from partsupp); the supplier→nation→region dim path broadcasts. */
+    * per-part-minimum equality compares a stored double against itself and
+    * cannot straddle an FP edge. The regional minimum is a window MIN
+    * PARTITION BY p_partkey over the filtered candidate table
+    * (optimization r14): the correlated-subquery form made Catalyst plan
+    * the `c` CTE TWICE — two full lineitem scans and two fact-scale
+    * (l_partkey, l_suppkey) aggregate shuffles (~38 MB at sf0.1, the
+    * whole cost of the query) — where the window form computes `c` once
+    * and compares within its own partitions; output proven identical
+    * against the oracle. (The correlated-subquery SQL surface itself
+    * stays covered by [[subqueryCorrelated]]/[[sqlSmallQtyRevenue]].)
+    * The supplier→nation→region dim path broadcasts. */
   def sqlMinCostSupplier(s: SparkSession, dir: String): DataFrame = {
     registerViews(s, dir)
     s.sql(
@@ -1897,8 +1939,9 @@ object Relational {
         |    JOIN region r ON n.n_regionkey = r.r_regionkey
         |  WHERE r.r_name = 'EUROPE' AND p.p_size = 15)
         |SELECT p_partkey, p_type, s_name, n_name, s_acctbal, cost
-        |FROM c
-        |WHERE cost = (SELECT MIN(cost) FROM c c2 WHERE c2.p_partkey = c.p_partkey)
+        |FROM (SELECT c.*, MIN(cost) OVER (PARTITION BY p_partkey) AS min_cost
+        |      FROM c)
+        |WHERE cost = min_cost
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         |LIMIT 100""".stripMargin)
   }
@@ -1927,24 +1970,30 @@ object Relational {
   }
 
   /** SQL-14 (TPC-H Q18 shape): large-volume orders — group-HAVING subquery
-    * names the qualifying orderkeys (sum qty > 250), outer join re-attaches
-    * customer + order detail. The IN-subquery plans as a LEFT SEMI join fed
-    * by a partial+final hash-agg on orderkey; quantity sums are DECIMAL so
-    * the HAVING threshold is partition-order-independent. */
+    * names the qualifying orderkeys (sum qty > 250) AND carries their
+    * quantity sums (optimization r14): the IN-subquery form aggregated
+    * lineitem by orderkey twice — once for the semi-join membership and
+    * once for the displayed sum — i.e. two full lineitem scans and two
+    * fact-scale orderkey shuffles. One HAVING-filtered aggregate now
+    * feeds the (tiny, output-scale) join to orders + customer; each
+    * order is one orders row with one customer, so re-summing after the
+    * join was the identity. Output proven identical against the oracle.
+    * Quantity sums are DECIMAL so the HAVING threshold is
+    * partition-order-independent. */
   def sqlLargeOrders(s: SparkSession, dir: String): DataFrame = {
     registerViews(s, dir)
     s.sql(
-      """SELECT c.c_name, c.c_custkey, o.o_orderkey,
-        |  CAST(o.o_orderdate AS STRING) AS o_orderdate, o.o_totalprice,
-        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
-        |FROM customer c
-        |JOIN orders o ON c.c_custkey = o.o_custkey
-        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-        |WHERE o.o_orderkey IN (
-        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(l_quantity AS DECIMAL(25,6))) AS qty
+        |  FROM lineitem GROUP BY l_orderkey
         |  HAVING sum(CAST(l_quantity AS DECIMAL(25,6))) > 250)
-        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
-        |  o.o_totalprice
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |  CAST(o.o_orderdate AS STRING) AS o_orderdate, o.o_totalprice,
+        |  CAST(b.qty AS DOUBLE) AS sum_qty
+        |FROM big b
+        |JOIN orders o ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
         |ORDER BY o.o_totalprice DESC, o.o_orderkey
         |LIMIT 100""".stripMargin)
   }
@@ -2084,29 +2133,43 @@ object Relational {
 
   /** SQL-21 (TPC-H Q21 shape): suppliers who were the SOLE late supplier on
     * a finished multi-supplier order ("late" = shipped >60 days after the
-    * order date — the schema has no commit/receipt dates). The EXISTS and
-    * NOT EXISTS both correlate only on l_orderkey, so Catalyst decorrelates
-    * them into semi/anti joins on the orderkey — three passes over
-    * lineitem's (orderkey, suppkey, shipdate) projection, no per-row
-    * rescans. The inner copy re-joins orders for the order date rather
-    * than referencing the outer `o`, keeping the correlation single-key. */
+    * order date — the schema has no commit/receipt dates). Single-pass
+    * window form (optimization r14): the EXISTS / NOT EXISTS pair planned
+    * as semi + anti joins that scanned and shuffled lineitem THREE times
+    * (~40 MB of exchange at sf0.1 for a 3-row answer). Both predicates
+    * are per-order set facts — "another supplier exists on the order" ⟺
+    * min/max suppkey ≠ mine; "no OTHER supplier is late" ⟺ the late-line
+    * suppkey min and max both equal mine (my own row being late makes
+    * them non-null) — so one orderkey-partitioned window over the
+    * F-order lines answers both. The status filter lives on the ORDER,
+    * so filtering before the window keeps exactly the lines the original
+    * EXISTS bodies saw; output proven identical against the oracle. One
+    * lineitem pass, one orderkey shuffle, dims broadcast. */
   def sqlLateSuppliers(s: SparkSession, dir: String): DataFrame = {
     registerViews(s, dir)
     s.sql(
-      """SELECT s.s_name, count(*) AS numwait
-        |FROM supplier s
-        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
-        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      """WITH f AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |    CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |      THEN l.l_suppkey END AS late_sup
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        |w AS (
+        |  SELECT l_orderkey, l_suppkey, late_sup,
+        |    min(l_suppkey) OVER (PARTITION BY l_orderkey) AS min_s,
+        |    max(l_suppkey) OVER (PARTITION BY l_orderkey) AS max_s,
+        |    min(late_sup)  OVER (PARTITION BY l_orderkey) AS min_ls,
+        |    max(late_sup)  OVER (PARTITION BY l_orderkey) AS max_ls
+        |  FROM f)
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM w l1
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
         |JOIN nation n ON n.n_nationkey = s.s_nationkey
-        |WHERE o.o_orderstatus = 'F'
-        |  AND n.n_name = 'NATION_3'
-        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-        |  AND EXISTS (SELECT 1 FROM lineitem l2
-        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-        |    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
-        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |WHERE n.n_name = 'NATION_3'
+        |  AND l1.late_sup IS NOT NULL
+        |  AND (l1.min_s <> l1.l_suppkey OR l1.max_s <> l1.l_suppkey)
+        |  AND l1.min_ls = l1.l_suppkey AND l1.max_ls = l1.l_suppkey
         |GROUP BY s.s_name
         |ORDER BY numwait DESC, s.s_name
         |LIMIT 20""".stripMargin)
@@ -2192,12 +2255,19 @@ object Relational {
     // table, two join+distinct chains). The scaladoc above already
     // calls the edge list "the reusable (cacheable) invariant"; now it
     // actually is. Isolated A/B at sf0.1: 1.42 → 0.83 s.
-    val edges = orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    // repartition(c) before the distinct (optimization r14): partitioning
+    // on c co-locates equal (c, s) tuples, so one exchange serves both
+    // the repartition and the distinct inside the pinned subtree
+    // (isolated sweep shuffle 23.0 → 20.7 MB). Pin via DedupOps.truncate
+    // (ADVICE r13; the partitioning-preserving persist pin was rejected —
+    // see the note at the top of this object).
+    val edges = DedupOps.truncate(
+      orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
-      .localCheckpoint()
+      .repartition(col("c"))
+      .distinct())
     val deg = edges.groupBy("c").agg(count(lit(1)).as("d"))
     edges.join(deg, "c")
       .groupBy(col("s").as("s_suppkey"))
@@ -2226,9 +2296,10 @@ object Relational {
     // materialization; the three join branches read the pinned blocks.
     // (The ordersRfm counter-lesson doesn't apply: these branches are
     // multi-shuffle aggregation chains, not pruned scans.)
-    val edges = coOccurrencePairs(s, dir)
-      .select(col("part_a").as("a"), col("part_b").as("b"))
-      .localCheckpoint()
+    // Pin via DedupOps.truncate (ADVICE r13; persist-pin rejected — see
+    // the note at the top of this object).
+    val edges = DedupOps.truncate(coOccurrencePairs(s, dir)
+      .select(col("part_a").as("a"), col("part_b").as("b")))
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e1.b") === col("e2.a"))
       .join(edges.as("e3"),
