@@ -534,16 +534,23 @@ object DedupOps {
     val sh = pinnedShingles(s, dir)
     sh.count()
     val evalSet = sh.filter(col("doc_id") % 50 === 0).select("x").distinct()
-    val train = sh.filter(col("doc_id") % 50 =!= 0)
-    val tot = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val hits = train
-      .join(broadcast(evalSet), "x") // shingleRows is distinct per (doc, x)
-      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .withColumn("hit", lit(1))
+    // ONE pass over the train side (optimization r14): the former
+    // tot/hits factoring grouped the corpus twice and re-joined on
+    // doc_id; a broadcast LEFT probe marks each shingle row in place, so
+    // one doc_id aggregate yields both counts (count(hit) skips nulls =
+    // the overlap count; shingleRows is distinct per (doc, x), so each
+    // row matches ≤ 1 eval row) and the inner-join row set is recovered
+    // by the n_overlap ≥ 1 filter.
     // contam_ratio = fraction of THIS doc's shingles seen in eval — with
     // short n-grams a raw any-overlap rule over-fires on a small-vocab
     // corpus (the 13-gram analog: rare enough that one hit is a signal);
     // downstream consumers threshold the ratio (curation_pipeline: ≥ 0.3)
-    tot.join(hits, Seq("doc_id"))
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(evalSet), Seq("x"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("hit")).as("n_overlap"), count(lit(1)).as("n_shingles"))
+      .filter(col("n_overlap") >= 1)
       .select(col("doc_id"), col("n_overlap"), col("n_shingles"),
         r6(col("n_overlap").cast("double") / col("n_shingles")).as("contam_ratio"))
   }
@@ -1104,8 +1111,12 @@ object DedupOps {
     * The unbounded version is [[simjoinLsh]]; this one demonstrates the
     * kernel itself oracle-exactly. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // SHUFFLE_HASH (optimization r14, same rationale as simPairs'
+    // verify joins): sort-merge sorted both shingle-ARRAY sides of the
+    // consecutive-pair self-join; hashing the join key needs no order
+    // over the heavy payload.
     val sh = shingled(s, dir)
-    sh.as("a")
+    sh.as("a").hint("shuffle_hash")
       .join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         r6(size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
@@ -1141,7 +1152,8 @@ object DedupOps {
     val agree = (1 to NumHashes)
       .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
-    both.as("a").join(both.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+    both.as("a").hint("shuffle_hash")
+      .join(both.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (agree.cast("double") / NumHashes).as("e"),
         (size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
@@ -1153,8 +1165,9 @@ object DedupOps {
   }
 
   def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    // SHUFFLE_HASH: same array-payload-sort removal as dedupNgramJaccard.
     val sh = shingled(s, dir)
-    sh.as("a")
+    sh.as("a").hint("shuffle_hash")
       .join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         r6(size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /

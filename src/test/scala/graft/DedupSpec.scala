@@ -154,6 +154,23 @@ class DedupSpec extends AnyFunSuite {
       assert(firstDoc._3 == firstDoc._2, "first doc's unique chunks must all survive")
   }
 
+  test("decontam single-pass factoring matches the brute-force overlap model") {
+    // Pins the r14 refactor (one broadcast-left-probe aggregate replacing
+    // the tot/hits groupBy pair + re-join): per-doc overlap and shingle
+    // counts — and the zero-overlap exclusion the old inner join implied —
+    // must equal the independently computed set model exactly.
+    val sh = localShingles()
+    val evalSet = sh.collect { case (id, xs) if id % 50 == 0 => xs }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val want = sh.collect {
+      case (id, xs) if id % 50 != 0 && (xs & evalSet).nonEmpty =>
+        id -> ((xs & evalSet).size.toLong, xs.size.toLong)
+    }
+    val got = DedupOps.decontamNgram(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want, "decontam counts diverge from the brute-force model")
+  }
+
   test("decontam flags only train docs, every overlap positive") {
     val rows = DedupOps.decontamNgram(spark, sf).collect()
     assert(rows.nonEmpty)
