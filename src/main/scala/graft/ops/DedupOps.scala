@@ -962,11 +962,25 @@ object DedupOps {
     // compact, and compact changes nothing but the scan count.
     val postings = MinhashIndex.resolvedPostings(s, dir, ix)
     val finePath = MinhashIndex.ensureFine(s, dir, ix)
+    // Bucket sizing stays a full-postings aggregate — examined and left
+    // (optimization r14): pre-pruning the postings to the batch's band
+    // keys (broadcast semi-join) was A/B'd and REVERTED — it saves only
+    // the bucket-cardinality exchange (the postings SCAN is the O(corpus)
+    // term either way, and partial aggregation already shrinks the
+    // exchange to one fixed-width row per bucket) while paying a
+    // broadcast-build job per probe (~+0.2-0.4 s across the three probe
+    // queries at sf0.1). The real 100 TB fix is a STORED per-bucket size
+    // stat maintained by the index lifecycle, which is a write-path
+    // change, not a probe optimization.
     val coldKeys = postings
       .groupBy("band", "band_key").agg(count(lit(1)).as("sz"))
       .filter(col("sz") < RebandHotSize).select("band", "band_key")
+    // No distinct on the fine keys (optimization r14): they feed ONLY a
+    // left-semi probe, and a semi-join is insensitive to build-side
+    // duplicates — the old distinct paid a full shuffle+aggregate of the
+    // stored fine table per probe for nothing.
     val fineKeys = s.read.schema(fineSchema).parquet(finePath)
-      .select("band", "band_key", "sub_key").distinct()
+      .select("band", "band_key", "sub_key")
     batch.join(coldKeys, Seq("band", "band_key"), "left_semi")
       .select("doc_id")
       .union(batch.join(fineKeys, Seq("band", "band_key", "sub_key"),
@@ -1033,6 +1047,11 @@ object DedupOps {
     val resolvedHits = fineProbeHits(s, dir, batch)
       .withColumn("is_dup", lit(true))
     val ix = MinhashIndex.ensureBase(s, dir)
+    // Same no-distinct-before-semi-join as [[fineProbeHits]]
+    // (optimization r14): the base-only leg's fine keys are consumed
+    // ONLY through a batch semi-join, so leaving the fine rows
+    // un-deduplicated changes no flag. (Batch-key pruning of the size
+    // aggregate was A/B'd and reverted — see fineProbeHits.)
     val baseSz = s.read.parquet(ix.bands)
       .groupBy("band", "band_key").agg(count(lit(1)).as("sz"))
     val coldKeys0 = baseSz.filter(col("sz") < RebandHotSize)
@@ -1043,7 +1062,7 @@ object DedupOps {
       .parquet(MinhashIndex.ensureFine(s, dir, ix))
       .filter(col("doc_id") < IncrementalCutoff)
       .join(baseHot, Seq("band", "band_key"), "left_semi")
-      .select("band", "band_key", "sub_key").distinct()
+      .select("band", "band_key", "sub_key")
     val baseHits = batch.join(coldKeys0, Seq("band", "band_key"), "left_semi")
       .select("doc_id")
       .union(batch.join(fineKeys0, Seq("band", "band_key", "sub_key"),

@@ -90,25 +90,37 @@ object PipelineOps {
     * the output is changed-keys-only scale. Revenue compares exactly
     * because both sides aggregate through DECIMAL ([[graft.Tables.dsum]]). */
   def cdcDiffSnapshots(s: SparkSession, dir: String): DataFrame = {
-    def snap(lo: String, hi: String) =
-      orders(s, dir)
-        .filter(to_date(col("o_orderdate")) >= lit(lo) &&
-          to_date(col("o_orderdate")) < lit(hi))
-        .groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
-    val a = snap("1995-01-01", "1997-01-01")
-      .select(col("o_custkey").as("ka"), col("n").as("old_n"), col("rev").as("old_rev"))
-    val b = snap("1996-01-01", "1998-01-01")
-      .select(col("o_custkey").as("kb"), col("n").as("new_n"), col("rev").as("new_rev"))
-    a.join(b, col("ka") === col("kb"), "full_outer")
+    // Single-pass conditional aggregation (optimization r14, guide §2.4):
+    // the two snapshot windows OVERLAP ([95,97) and [96,98) — their union
+    // is one contiguous range), so the old two-aggregate + full-outer-join
+    // form scanned and shuffled orders twice and sort-merged the results
+    // for nothing: one custkey aggregate with per-window conditional
+    // partials yields both snapshots' (n, rev) in one scan and one
+    // exchange, and the join's NULL-side semantics are recovered by the
+    // n = 0 → NULL projection (a key absent from a window has zero rows
+    // under its condition, exactly the rows the old join saw as NULL).
+    // 2 scans → 1, 2 exchanges + SortMergeJoin(full_outer) → 1 exchange.
+    val d = to_date(col("o_orderdate"))
+    val inA = d >= lit("1995-01-01") && d < lit("1997-01-01")
+    val inB = d >= lit("1996-01-01") && d < lit("1998-01-01")
+    orders(s, dir)
+      .filter(d >= lit("1995-01-01") && d < lit("1998-01-01"))
+      .groupBy(col("o_custkey"))
+      .agg(count(when(inA, lit(1))).as("a_n"),
+        dsum(when(inA, col("o_totalprice"))).as("a_rev"),
+        count(when(inB, lit(1))).as("b_n"),
+        dsum(when(inB, col("o_totalprice"))).as("b_rev"))
       .withColumn("op",
-        when(col("ka").isNull, "I")
-          .when(col("kb").isNull, "D")
-          .when(col("old_n") === col("new_n") && col("old_rev") === col("new_rev"), "N")
+        when(col("a_n") === 0, "I")
+          .when(col("b_n") === 0, "D")
+          .when(col("a_n") === col("b_n") && col("a_rev") === col("b_rev"), "N")
           .otherwise("U"))
       .filter(col("op") =!= "N")
-      .select(coalesce(col("ka"), col("kb")).as("custkey"), col("op"),
-        col("old_n"), col("new_n"), col("old_rev"), col("new_rev"))
+      .select(col("o_custkey").as("custkey"), col("op"),
+        when(col("a_n") > 0, col("a_n")).as("old_n"),
+        when(col("b_n") > 0, col("b_n")).as("new_n"),
+        when(col("a_n") > 0, col("a_rev")).as("old_rev"),
+        when(col("b_n") > 0, col("b_rev")).as("new_rev"))
       .orderBy("custkey")
   }
 
